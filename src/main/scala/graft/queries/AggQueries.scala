@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — aggregations.
+  *
+  * Determinism: all money sums go through DECIMAL casts *before*
+  * aggregation (double sums are order-dependent); money columns are
+  * 2-decimal-valued so DECIMAL(18,2) is lossless; l_discount is
+  * 6-decimal-valued so it gets DECIMAL(18,6); the disc-price product keeps
+  * full scale 8 (no cross-engine rounding ambiguity).
+  *
+  * Scale notes: every groupBy here compiles to partial (map-side) +
+  * final HashAggregate around one Exchange — the canonical scalable shape.
+  * Distinct counts rewrite via Expand; at 100 TB swap exact distinct for
+  * the mergeable `hll_sketch_agg` path (see SketchQueries.s_agg_hll).
+  * Skewed group keys are handled by AQE; for pathological single-key skew
+  * pre-salt with a synthetic suffix and re-aggregate.
+  */
+object AggQueries extends QueryPack {
+
+  private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+  private val sumBase = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+
+  val queries: Map[String, Fn] = Map(
+    "q_agg_pricing_summary" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .cast("decimal(30,8)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct_daily" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("cnt"))
+        .orderBy("day", "event_type")),
+
+    "q_agg_multi_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          countDistinct(col("event_type")).as("uniq_types"),
+          count(lit(1)).as("cnt"))
+        .orderBy("day")),
+
+    "q_agg_having" -> ((s, dir) =>
+      Tables.t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+        .filter(col("cnt") > 70 && col("sum_price") > col("cnt") * lit(945))
+        .orderBy("p_brand")),
+
+    "q_agg_rollup" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  COUNT(*) AS cnt
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    "q_quantile_exact" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderpriority"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  $sumBase AS sum_base,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+         |       AS DECIMAL(30,8)) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct_daily" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |  COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  COUNT(DISTINCT user_id) AS uniq_users,
+        |  COUNT(DISTINCT event_type) AS uniq_types,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT p_brand, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM part GROUP BY p_brand
+        |HAVING COUNT(*) > 70 AND SUM(CAST(p_retailprice AS DECIMAL(18,2))) > COUNT(*) * 945
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, $sumQty AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, $sumQty AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_quantile_exact" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — event-stream operators, batch twins.
+  *
+  * Each query here is the deterministic batch formulation of a streaming
+  * operator; graft.streaming.* runs the same logic through Structured
+  * Streaming (`window`, `session_window`, `dropDuplicatesWithinWatermark`)
+  * and the ScalaTest suites assert batch ≡ stream.
+  *
+  * Time arithmetic is pinned to integer microseconds (unix_micros on a
+  * UTC-session cast), never seconds (Spark truncates, DuckDB doesn't) and
+  * never double division (rounds the last µs digit).
+  *
+  * Scale notes: tumbling/sliding windows are plain groupBys (partial+final
+  * agg); sliding assigns each event to its 2 windows via an exploded
+  * offset array — row growth is the slide factor, bounded and local.
+  * Sessionization is one shuffle on user_id + in-partition sort — the
+  * standard distributed gap-sessionize; in streaming the same semantics
+  * come from session_window state.
+  */
+object EventQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_evt_tumbling_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    "q_evt_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        .select(col("event_type"), col("us"),
+          explode(array(lit(0L), lit(1800000000L))).as("off"))
+        .withColumn("wstart_us", expr("((us - off) div 3600000000) * 3600000000 + off"))
+        .groupBy(expr("CAST(timestamp_micros(wstart_us) AS TIMESTAMP_NTZ)").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("window_start", "event_type")),
+
+    "q_evt_session_30min" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("brk").over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          timestamp_micros(min("us")).cast("timestamp_ntz").as("session_start"),
+          timestamp_micros(max("us")).cast("timestamp_ntz").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q_evt_dedup_minute" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_before"),
+          countDistinct(col("user_id"), date_trunc("minute", col("ts"))).as("n_after")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_evt_tumbling_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_evt_sliding" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |w AS (SELECT event_type,
+        |        ((us - off) // 3600000000) * 3600000000 + off AS wstart_us
+        |      FROM ev, (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS o(off))
+        |SELECT make_timestamp(wstart_us) AS window_start, event_type, COUNT(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_evt_session_30min" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flagged AS (SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sess AS (SELECT user_id, event_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  make_timestamp(MIN(us)) AS session_start,
+        |  make_timestamp(MAX(us)) AS session_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_evt_dedup_minute" ->
+      """SELECT COUNT(*) AS n_before,
+        |  COUNT(DISTINCT (user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)))) AS n_after
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 — scalar functions (string / date / math / array / json /
+  * conditional). All built-in, codegen'd expressions — no UDFs, so
+  * predicate pushdown and whole-stage codegen stay intact.
+  *
+  * Cross-engine pins: Spark `weekday()+1` == DuckDB `isodow`;
+  * ROUND(...,6) on every computed double; BIGINT casts where Spark returns
+  * INT but DuckDB returns BIGINT (length, year, datediff, ...).
+  */
+object FnQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_fn_string" -> ((s, dir) =>
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_u"),
+          substring(col("c_name"), 1, 8).as("name8"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          expr("replace(c_name, '#', '-')").as("repl"),
+          length(col("c_name")).cast("long").as("name_len"),
+          regexp_extract(col("c_name"), "[0-9]+", 0).cast("long").as("name_num"))
+        .orderBy("c_custkey")
+        .limit(100)),
+
+    "q_fn_date" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val l = Tables.t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(o("o_orderkey"), l("l_linenumber"),
+          year(o("o_orderdate")).cast("long").as("yr"),
+          month(o("o_orderdate")).cast("long").as("mo"),
+          (expr("weekday(o_orderdate)") + 1).cast("long").as("dow_iso"),
+          date_trunc("month", o("o_orderdate")).cast("date").as("month_start"),
+          datediff(l("l_shipdate"), o("o_orderdate")).cast("long").as("ship_delay_days"))
+        // (o_orderkey, l_linenumber) not unique — add ship_delay_days; the
+        // residual dup rows are output-identical, hence interchangeable.
+        .orderBy("o_orderkey", "l_linenumber", "ship_delay_days")
+        .limit(100)
+    }),
+
+    "q_fn_math" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"),
+          round(abs(col("l_extendedprice") - 1000.0), 6).as("abs_v"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(pow(col("l_quantity"), 2), 6).as("pow_q"))
+        // (l_orderkey, l_linenumber) is not unique; (…, price, qty) is.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .limit(100)),
+
+    "q_fn_array" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+        .limit(100)),
+
+    "q_fn_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+        .limit(10)),
+
+    "q_fn_case_coalesce" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 250000, "mid")
+            .otherwise("high").as("bucket"),
+          expr("coalesce(nullif(o_orderpriority, '1-URGENT'), 'fallback')").as("prio"))
+        .groupBy("bucket", "prio")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket", "prio"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_u,
+        |  substring(c_name, 1, 8) AS name8,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined,
+        |  replace(c_name, '#', '-') AS repl,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  CAST(regexp_extract(c_name, '[0-9]+', 0) AS BIGINT) AS name_num
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o.o_orderkey, l.l_linenumber,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o.o_orderdate) AS BIGINT) AS mo,
+        |  CAST(date_part('isodow', o.o_orderdate) AS BIGINT) AS dow_iso,
+        |  CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_delay_days
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey, l.l_linenumber, ship_delay_days LIMIT 100""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |  ROUND(abs(l_extendedprice - 1000.0), 6) AS abs_v,
+        |  ROUND(sqrt(l_quantity), 6) AS sqrt_q,
+        |  ROUND(ln(l_extendedprice), 6) AS ln_p,
+        |  ROUND(power(l_quantity, 2), 6) AS pow_q
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |LIMIT 100""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY k LIMIT 10""".stripMargin,
+
+    "q_fn_case_coalesce" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 250000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'fallback') AS prio,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY bucket, prio""".stripMargin
+  )
+}

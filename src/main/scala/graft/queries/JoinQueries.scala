@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 — joins.
+  *
+  * Scale notes per query:
+  *  - inner/theta joins on (l_orderkey, o_orderkey): co-partitioned shuffle
+  *    joins; at 100 TB pre-bucket both fact tables on orderkey so the
+  *    exchange disappears.
+  *  - dimension joins (`part`, `region`, `nation`, probe lists) are
+  *    explicitly `broadcast()` — no shuffle of the fact side, ever.
+  *  - the as-of join is equi+range plus a per-key top-1 window, the
+  *    standard distributed formulation (no native as-of in Spark); the
+  *    probe side is broadcast.
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_join_inner_equi" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(sum(o("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q_join_broadcast_dim" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+      val p = broadcast(Tables.t(s, dir, "part"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(p("p_size") > 40 && l("l_quantity") < 10)
+        .groupBy(p("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    "q_join_left_outer" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val big = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left")
+        .filter(big("o_orderkey").isNull)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_full_outer" -> ((s, dir) => {
+      val ck = Tables.t(s, dir, "customer").select(col("c_custkey").as("ck")).distinct()
+      val ek = Tables.events(s, dir).select(col("user_id").as("ek")).distinct()
+      ck.join(ek, col("ck") === col("ek"), "full_outer")
+        .select(
+          when(col("ck").isNotNull && col("ek").isNotNull, "both")
+            .when(col("ck").isNotNull, "customer_only")
+            .otherwise("events_only").as("presence"))
+        .groupBy("presence")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("presence")
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val bigo = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(bigo, c("c_custkey") === bigo("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(50)
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val ev = Tables.events(s, dir)
+      c.join(ev, c("c_custkey") === ev("user_id"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_join_theta_range" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("l_shipdate") > o("o_orderdate"))
+        .groupBy(year(o("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("order_year")
+    }),
+
+    "q_join_cross" -> ((s, dir) => {
+      val r = Tables.t(s, dir, "region")
+      val n = Tables.t(s, dir, "nation")
+      r.crossJoin(broadcast(n))
+        .select(col("r_name"), col("n_name"),
+          concat_ws("-", col("r_name"), col("n_name")).as("label"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .select("event_id", "ts", "user_id", "event_type")
+      val probes = s.range(1).select(explode(expr(
+        "array(to_timestamp_ntz('2024-01-08 00:00:00')," +
+          " to_timestamp_ntz('2024-01-15 12:00:00')," +
+          " to_timestamp_ntz('2024-01-25 06:30:00'))")).as("probe_ts"))
+      val w = Window.partitionBy(col("probe_ts"), col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      broadcast(probes).join(ev, col("ts") <= col("probe_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("probe_ts", "user_id", "event_id", "ts", "event_type")
+        .orderBy("probe_ts", "user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
+
+    "q_join_broadcast_dim" ->
+      """SELECT p.p_brand, COUNT(*) AS cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size > 40 AND l.l_quantity < 10
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS cnt
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IS NULL
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT DISTINCT c_custkey AS ck FROM customer),
+        |     e AS (SELECT DISTINCT user_id AS ek FROM events)
+        |SELECT CASE WHEN ck IS NOT NULL AND ek IS NOT NULL THEN 'both'
+        |            WHEN ck IS NOT NULL THEN 'customer_only'
+        |            ELSE 'events_only' END AS presence,
+        |       COUNT(*) AS cnt
+        |FROM c FULL JOIN e ON c.ck = e.ek
+        |GROUP BY 1 ORDER BY presence""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey LIMIT 50""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT COUNT(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year, COUNT(*) AS cnt
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        |GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r.r_name, n.n_name, concat_ws('-', r.r_name, n.n_name) AS label
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH probes AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+        |                                     (TIMESTAMP '2024-01-15 12:00:00'),
+        |                                     (TIMESTAMP '2024-01-25 06:30:00')) AS t(probe_ts)),
+        |ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |       FROM events WHERE user_id < 50)
+        |SELECT probe_ts, user_id, event_id, ts, event_type FROM (
+        |  SELECT p.probe_ts, e.user_id, e.event_id, e.ts, e.event_type,
+        |         row_number() OVER (PARTITION BY p.probe_ts, e.user_id
+        |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM probes p JOIN ev e ON e.ts <= p.probe_ts) sub
+        |WHERE rn = 1 ORDER BY probe_ts, user_id""".stripMargin
+  )
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 — similarity search & multimodal joins.
+  *
+  * The cosine kernel is pure higher-order-function SQL (zip_with +
+  * aggregate), double precision, left-to-right accumulation — bitwise
+  * identical to DuckDB's list_dot_product. Norms are computed ONCE per
+  * vector, then pairs only pay one dot product.
+  *
+  * Scale notes: brute-force probe×corpus is the exact baseline — the probe
+  * side is broadcast so the corpus never shuffles, and per-probe top-k is a
+  * partitioned window. The O(n²) pair queries are label-partitioned so the
+  * join is an equi-join on label with a range residual (never a raw cross
+  * product). The 100 TB path is the LSH-bucketed variant in
+  * graft.operators.AnnLsh (s_sim_ann_lsh): random-hyperplane signatures
+  * bucket the corpus, candidates come from an equi-join on bucket.
+  */
+object SimQueries extends QueryPack {
+
+  /** probe-side dot product of two pre-cast double vectors. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+
+  private def withNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+
+  val queries: Map[String, Fn] = Map(
+    "q_sim_cosine_topk" -> ((s, dir) => {
+      val e = withNorm(s, dir)
+      val p = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(p).join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(dot("pv", "v") / (col("pn") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "sim", "rn")
+        .orderBy("probe_id", "rn")
+    }),
+
+    "q_sim_pairs_threshold" -> ((s, dir) => {
+      val a = withNorm(s, dir)
+        .select(col("vec_id").as("a_id"), col("label"), col("v").as("av"), col("nrm").as("an"))
+      val b = withNorm(s, dir)
+        .select(col("vec_id").as("b_id"), col("label").as("b_label"),
+          col("v").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .select(col("label"), round(dot("av", "bv") / (col("an") * col("bn")), 6).as("sim"))
+        .filter(col("sim") >= 0.18)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("label")
+    }),
+
+    "q_sim_knn_label" -> ((s, dir) => {
+      val e = withNorm(s, dir)
+      val p = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val wk = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val knn = broadcast(p).join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+          round(dot("pv", "v") / (col("pn") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 10)
+      val wv = Window.partitionBy("probe_id").orderBy(col("votes").desc, col("label"))
+      knn.groupBy("probe_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy("probe_id")
+    }),
+
+    "q_mm_join" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val e = Tables.t(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .groupBy(e("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"))
+        .orderBy("label")
+    }),
+
+    "q_mm_enriched_filter" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val e = Tables.t(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .filter(d("lang") === "en" && e("label").isin(0, 1))
+        .select(d("doc_id"), d("lang"), d("n_chars"), e("label"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |            ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS sim
+        |          FROM n p JOIN n c ON c.vec_id <> p.vec_id
+        |          WHERE p.vec_id < 10),
+        |ranked AS (SELECT probe_id, neighbor_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY probe_id
+        |                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+        |           FROM pairs)
+        |SELECT probe_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
+
+    "q_sim_pairs_threshold" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.label,
+        |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, COUNT(*) AS cnt FROM p WHERE sim >= 0.18
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_sim_knn_label" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+        |            ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS sim
+        |          FROM n p JOIN n c ON c.vec_id <> p.vec_id
+        |          WHERE p.vec_id < 20),
+        |knn AS (SELECT probe_id, label FROM (
+        |          SELECT probe_id, label,
+        |            row_number() OVER (PARTITION BY probe_id
+        |                               ORDER BY sim DESC, neighbor_id) AS rn
+        |          FROM pairs) s WHERE rn <= 10),
+        |votes AS (SELECT probe_id, label, COUNT(*) AS votes FROM knn GROUP BY 1, 2)
+        |SELECT probe_id, label AS pred_label, votes FROM (
+        |  SELECT probe_id, label, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vr
+        |  FROM votes) s WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+
+    "q_mm_join" ->
+      """SELECT e.label, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
+
+    "q_mm_enriched_filter" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.lang = 'en' AND e.label IN (0, 1)
+        |ORDER BY d.n_chars DESC, d.doc_id LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3/§2.5 `s_*` rows — approximate / sketch operators.
+  * Spark-only (probabilistic ⇒ no DuckDB oracle; driver does a rows-only
+  * check, ScalaTest bounds the error vs the exact twins).
+  *
+  * Scale notes: these ARE the 100 TB path. `approx_count_distinct` (HLL++)
+  * and `hll_sketch_agg`/`hll_union_agg` (DataSketches) are mergeable —
+  * partial sketches combine associatively across executors, so distinct
+  * counting never shuffles raw keys, exactly like the reference's Redis
+  * PFADD/PFMERGE workers. approx_percentile (KLL-style) likewise merges.
+  */
+object SketchQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // approximate daily uniques — sketch twin of q_agg_distinct_daily
+    "s_agg_hll" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          // mergeable DataSketches HLL: estimate from a reusable binary sketch
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("hll_sketch_users"))
+        .orderBy("day")),
+
+    // approximate quantiles — twin of q_quantile_exact
+    "s_agg_approx_quantile" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("approx_p"))
+        .select(col("o_orderpriority"),
+          col("approx_p").getItem(0).as("p50"),
+          col("approx_p").getItem(1).as("p90"))
+        .orderBy("o_orderpriority")),
+
+    // heavy hitters over event_type and user_id (count-min style)
+    "s_topk_freq" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .stat.freqItems(Seq("event_type", "user_id"), 0.1))
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — text analysis & exact dedup (LLM-pipeline mandate).
+  *
+  * Scale notes: tokenization is `explode(split(...))` — a Generator inside
+  * whole-stage codegen, no shuffle until the counting aggregate (which is
+  * partial+final). Exact dedup groups by `sha2(text,256)` — at 100 TB the
+  * hash (32 bytes) is what shuffles, never the document body; the keeper
+  * choice (min doc_id) is a plain min aggregate. tf-idf is two aggregates
+  * plus a broadcast of the tiny doc-count; the df (document-frequency)
+  * side is an aggregate over the exploded tokens, not a self-join.
+  */
+object TextQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_text_tokens_top20" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    "q_text_doc_stats" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+        .orderBy("lang")),
+
+    "q_text_bigrams" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
+    "q_text_tfidf_top" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.filter(col("doc_id") < 20)
+        .join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
+    "q_dedup_exact_groups" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("keeper"))
+        .filter(col("cnt") > 1)
+        .orderBy("h")),
+
+    "q_dedup_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "q_dedup_distinct_rows" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select("lang", "source")
+        .distinct()
+        .agg(count(lit(1)).as("cnt")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens_top20" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q_text_doc_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_bigrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pairs AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+        |          FROM d, unnest(range(1, len(toks))) AS t(i))
+        |SELECT bigram, COUNT(*) AS cnt FROM pairs
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_text_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |           FROM tf JOIN df USING (token) CROSS JOIN n
+        |           WHERE tf.doc_id < 20),
+        |ranked AS (SELECT doc_id, token, tfidf,
+        |             CAST(row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY tfidf DESC, token) AS BIGINT) AS rn
+        |           FROM scored)
+        |SELECT doc_id, token, tfidf, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_dedup_exact_groups" ->
+      """SELECT sha256(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_keep_first" ->
+      """WITH ranked AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs FROM ranked WHERE rn = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_distinct_rows" ->
+      """SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT lang, source FROM documents) t""".stripMargin
+  )
+}

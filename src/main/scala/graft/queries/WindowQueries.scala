@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — window functions.
+  *
+  * Scale notes: all partitioned windows shuffle once on the partition key
+  * and sort within partitions — the scalable shape. `q_win_ntile_pct` uses
+  * a single global window; that is inherently single-reducer, fine for a
+  * 150k-row orders table but at 100 TB the decile assignment would switch
+  * to `approx_percentile`-derived cut points joined back broadcast-style.
+  */
+object WindowQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_win_rank_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (us - lag(us, 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_win_frame_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)").as("cum_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_ntile_pct" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(10).over(w).cast("long").as("decile"),
+          round(percent_rank().over(w), 6).as("pct"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) sub
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  lead(event_type) OVER w AS next_type
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_frame_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DECIMAL(18,2)) AS cum_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_ntile_pct" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
