@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond SURVEY.md §2's core inventory
+  * (the BASELINE.json extension mandate): language ID, quality scoring,
+  * regex tokenization, document fingerprinting, n-gram Jaccard dedup and
+  * embedding-cosine near-dup — all oracle-checked against DuckDB.
+  *
+  * Scale notes: everything here is explode→aggregate or equi-join shaped
+  * (partial+final aggregates, broadcast stopword dims). The n-gram
+  * Jaccard pair join is inverted-index style: pairs are generated ONLY
+  * for documents sharing a shingle (equi-join on the shingle hash), never
+  * as a cross product, and capped per-shingle via frequency pruning at
+  * 100 TB (a shingle appearing in k docs contributes k² candidates —
+  * drop shingles with document frequency above a cutoff, standard
+  * near-dup practice). Embedding near-dup at scale goes through the LSH
+  * bucket variant (graft.operators.AnnLsh) instead of all-pairs.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** tiny per-language stopword lists (toy language-ID heuristic). */
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "a", "en" -> "to",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "que",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "et", "fr" -> "un",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ein",
+    "zh" -> "的", "zh" -> "是", "zh" -> "不", "zh" -> "了", "zh" -> "在")
+
+  private def stopwordValues: String =
+    stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  val queries: Map[String, Fn] = Map(
+    // ---- language ID: argmax of per-language stopword hits ----
+    "q_text_langid" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val sw = s.createDataFrame(stopwords).toDF("sw_lang", "sw_token")
+      val hits = toks.join(broadcast(sw), col("token") === col("sw_token"))
+        .groupBy("doc_id", "lang", "sw_lang")
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("sw_lang"))
+      hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("sw_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // ---- quality scoring: length / punctuation / stopword / uniqueness ----
+    "q_text_quality" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"),
+        round(length(col("text")).cast("double") / size(toks), 6).as("avg_token_len"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("uniq_ratio"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("long").as("n_punct"))
+        .orderBy("doc_id")
+        .limit(100)
+    }),
+
+    // ---- BPE-ish regex tokenization: letters | digits | other-symbol ----
+    "q_text_tokens_regex" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_regex_tokens"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_numbers"))
+        .orderBy("doc_id")
+        .limit(100)),
+
+    // ---- document fingerprint: md5 over the normalized token stream ----
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
+            .as("fingerprint"))
+        .orderBy("doc_id")
+        .limit(100)),
+
+    // ---- near-dup by 3-gram shingle Jaccard (inverted-index join) ----
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
+      val inter = a.join(b, col("shingle") === col("b_shingle") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
+      val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
+      inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+        // threshold as exact integer arithmetic (J >= 0.1 ⇔ 10·∩ >= ∪) —
+        // no cross-engine float-boundary ambiguity
+        .filter(col("inter") * 10 >= col("a_n") + col("b_n") - col("inter"))
+        .select(col("a_id"), col("b_id"),
+          round(col("inter").cast("double") /
+            (col("a_n") + col("b_n") - col("inter")), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
+    "q_dedup_embed_cosine" -> ((s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+            (col("an") * col("bn")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |             FROM documents),
+         |sw AS (SELECT * FROM (VALUES $stopwordValues) AS t(sw_lang, sw_token)),
+         |hits AS (SELECT doc_id, lang, sw_lang, COUNT(*) AS hits
+         |         FROM toks JOIN sw ON token = sw_token
+         |         GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, lang, sw_lang FROM (
+         |           SELECT doc_id, lang, sw_lang,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY hits DESC, sw_lang) AS rn
+         |           FROM hits) s WHERE rn = 1)
+         |SELECT lang, sw_lang AS predicted, COUNT(*) AS n_docs
+         |FROM best GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS uniq_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q_text_tokens_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE inter * 10 >= sa.n_sh + sb.n_sh - inter
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a_id, b_id, sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) s
+        |WHERE sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}
