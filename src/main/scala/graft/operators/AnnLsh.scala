@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Approximate nearest-neighbor search via random-hyperplane LSH
+  * (training-pipeline similarity mandate — the 100 TB scale path next to
+  * the exact brute-force baseline in SimQueries).
+  *
+  * L hash tables × P hyperplanes: each vector gets a P-bit bucket per
+  * table (sign of dot(v, plane)); candidates are corpus vectors sharing a
+  * bucket with the probe in ANY table; final ranking is exact cosine over
+  * candidates only.
+  *
+  * Scale notes: planes are a tiny broadcast dim (L·P rows). Bucketing is
+  * a narrow map + one groupBy(vec); the probe⇄corpus match is an
+  * equi-join on (table, bucket) — the whole point: candidate volume is
+  * corpus/2^P per table instead of the full corpus. Recall/cost is tuned
+  * by (L, P); an IVF variant would replace random planes with k-means
+  * centroids, same join shape.
+  */
+object AnnLsh {
+
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  private def planes(spark: SparkSession, tables: Int, planesPerTable: Int,
+                     dim: Int, seed: Long): DataFrame = {
+    val rnd = new Random(seed)
+    val rows = for (t <- 0 until tables; p <- 0 until planesPerTable)
+      yield (t, p, Array.fill(dim)(rnd.nextGaussian()))
+    spark.createDataFrame(rows).toDF("table_id", "plane_id", "w")
+  }
+
+  /** (id, table_id, bucket) — the P sign bits packed into a long. */
+  def buckets(vectors: DataFrame, idCol: String, vecCol: String,
+              planesDf: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(planesDf))
+      .withColumn("bit", when(
+        expr(s"aggregate(zip_with($vecCol, w, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, z) -> acc + z)") >= 0,
+        expr("shiftleft(1L, plane_id)")).otherwise(0L))
+      .groupBy(col(idCol), col("table_id"))
+      .agg(sum("bit").as("bucket"))
+
+  /** Approximate top-k cosine neighbors for each probe (probeFilter rows). */
+  def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
+                 k: Int = 5, tables: Int = 4, planesPerTable: Int = 6,
+                 seed: Long = 42): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val pl = planes(spark, tables, planesPerTable, dim, seed)
+    val vecs = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")))
+    val bk = buckets(vecs.select(col("vec_id"), col("v")), "vec_id", "v", pl)
+    val withB = vecs.join(bk, "vec_id")
+    val probes = withB.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col("table_id").as("p_table"), col("bucket").as("p_bucket"))
+    val cands = broadcast(probes)
+      .join(withB, col("table_id") === col("p_table") &&
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("pv"), col("pn"), col("v"), col("nrm"))
+      .dropDuplicates("probe_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.select(col("probe_id"), col("neighbor_id"),
+        round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+          (col("pn") * col("nrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("probe_id", "rn")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection over token shingles
+  * (training-pipeline dedup mandate; reference analog: dedup of replayed
+  * events, generalized to content dedup).
+  *
+  * DataFrame-native implementation — no driver-side loops:
+  *   shingle → k seeded xxhash64 values → per-doc min per seed (one wide
+  *   groupBy = the signature) → band the signature → equi-join on
+  *   (band, bucket-hash) for candidates → estimate Jaccard as the
+  *   fraction of agreeing signature positions.
+  *
+  * Scale notes: the only shuffles are the signature groupBy (by doc_id)
+  * and the candidate equi-join (by band bucket) — never an all-pairs
+  * product. Bucket skew (a degenerate shingle shared by everything) is
+  * the classic hazard: at 100 TB add a document-frequency cutoff on
+  * shingles before hashing (drop shingles with df > threshold), which
+  * only *improves* dedup precision. Signatures are fixed-width
+  * (numHashes × 8 bytes), so memory per row is bounded.
+  */
+object MinHashDedup {
+
+  /** Per-doc MinHash signature as an array<bigint> of length numHashes. */
+  def signatures(docs: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $shingleSize), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $shingleSize))))")).as("shingle"))
+    val minCols: Seq[Column] =
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    toks.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via banding; est_jaccard = fraction of
+    * agreeing minhash positions. bands × rowsPerBand must equal the
+    * signature length.
+    */
+  def candidatePairs(sigs: DataFrame, idCol: String,
+                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bucket', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+        .as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+      col("band").as("b_band"), col("bucket").as("b_bucket"))
+    a.join(b, col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard", round(
+        expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z)")
+          .cast("double") / size(col("a_sig")), 6))
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** Full pipeline: documents → candidate pairs above the threshold. */
+  def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   threshold: Double = 0.3): DataFrame =
+    candidatePairs(signatures(docs, textCol, idCol), idCol)
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+}

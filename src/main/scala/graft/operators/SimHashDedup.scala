@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (64-bit) over tokens
+  * (training-pipeline dedup mandate).
+  *
+  * Each token hashes to 64 bits (xxhash64); every bit position
+  * accumulates +1/-1 across the document's tokens; the sign vector is the
+  * 64-bit fingerprint. Near-dups = pairs at small Hamming distance.
+  * Candidate generation uses the pigeonhole trick: fingerprints within
+  * Hamming distance d must agree exactly on at least one of d+1 disjoint
+  * bit chunks, so candidates come from an equi-join on (chunk_id,
+  * chunk_value) — never an all-pairs scan.
+  *
+  * Scale notes: one groupBy(doc) for the fingerprint, one equi-join on
+  * 16-bit chunks for candidates; `bit_count(a XOR b)` verification is
+  * codegen'd integer math. All shuffles are key-bounded.
+  */
+object SimHashDedup {
+
+  /** 64-bit simhash per document as column `simhash`. */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    // per bit b: sign of sum over tokens of (bit set ? +1 : -1)
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        expr((0 until 64).map(b => s"IF(s$b >= 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+          .mkString("(", " | ", ")")).as("simhash"))
+  }
+
+  /** Pairs with Hamming distance <= maxHamming, found via 16-bit chunk
+    * equi-join (sound for maxHamming <= 3 with 4 chunks).
+    */
+  def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 disjoint 16-bit chunks are only sound up to distance 3")
+    val fp = fingerprints(docs, textCol, idCol)
+    val chunked = fp.select(col(idCol), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> named_struct('chunk', c, 'val', (simhash >> (c * 16)) & 65535))"))
+        .as("cc"))
+      .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.val").as("val"))
+    val a = chunked.select(col(idCol).as("a_id"), col("simhash").as("a_fp"),
+      col("chunk"), col("val"))
+    val b = chunked.select(col(idCol).as("b_id"), col("simhash").as("b_fp"),
+      col("chunk").as("b_chunk"), col("val").as("b_val"))
+    a.join(b, col("chunk") === col("b_chunk") && col("val") === col("b_val") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_fp ^ b_fp)").cast("long").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit + error-bound tests for the Spark-only operators (SURVEY.md
+  * §5.3.1/§5.3.4): MinHash recall vs exact Jaccard, SimHash behavior on
+  * near-identical docs, ANN-LSH recall vs exact cosine top-k, multimodal
+  * featurize shape, sketch error bounds.
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    // 20 base docs + 5 near-dup copies (one token changed) + 1 exact dup
+    val base = (0 until 20).map { i =>
+      val toks = (0 until 30).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }
+    val nearDups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" ").toVector.updated(15, "CHANGED")
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(0)._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("minhash: est_jaccard finds planted near-dups with high recall") {
+    val pairs = MinHashDedup.nearDupPairs(docsDf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: (i, 100+i) near-dups and (0, 200) exact dup
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet + ((0L, 200L))
+    val found = planted.intersect(pairs)
+    assert(found.size >= 5, s"recall too low: found $found of $planted")
+    assert(pairs.contains((0L, 200L)), "exact dup must always be caught")
+  }
+
+  test("minhash: est_jaccard approximates exact jaccard on planted pairs") {
+    val sigs = MinHashDedup.signatures(docsDf, "text", "doc_id")
+    val pairs = MinHashDedup.candidatePairs(sigs, "doc_id")
+      .filter(col("a_id") === 0 && col("b_id") === 200)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getDouble(2) == 1.0,
+      "identical docs must have est_jaccard 1.0")
+  }
+
+  test("simhash: near-identical docs land within hamming 3, fingerprint is stable") {
+    val fp = SimHashDedup.fingerprints(docsDf, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(200L), "identical docs must have identical simhash")
+    val pairs = SimHashDedup.nearDupPairs(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 200L && p._3 == 0L))
+  }
+
+  test("ann-lsh: recall@5 vs exact cosine top-5 on real embeddings") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val approx = AnnLsh.approxTopK(spark, emb, probeMaxId = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, ex) =>
+      approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@5 $mean too low for 4x6-bit LSH")
+  }
+
+  test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "hello world".getBytes, "txt", 0, 0),
+      Multimodal.MediaRow(2L, Array[Byte](), "txt", 0, 0),
+      Multimodal.MediaRow(3L, Array.tabulate(1000)(i => (i % 251).toByte), "bin", 0, 0))
+    val out = Multimodal.featurize(media.toDS()).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.features.length == Multimodal.FeatureDim))
+    assert(math.abs(out(0).features.sum - 1.0f) < 1e-5, "histogram must be normalized")
+    assert(out(1).features.forall(_ == 0f), "empty media → zero features, no crash")
+    assert(out(0).n_bytes == 11L)
+  }
+
+  test("s_agg_hll: approx distinct within 3*rsd of exact twin") {
+    val approx = SparkEntry.queries("s_agg_hll")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_agg_distinct_daily")(spark, sfDir)
+      .groupBy("day").agg(sum("uniq_users").as("u"))
+    val exactDaily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    exactDaily.foreach { case (day, ex) =>
+      val ap = approx(day)
+      assert(math.abs(ap - ex).toDouble / ex <= 3 * 0.05,
+        s"day $day approx $ap vs exact $ex beyond 15%")
+    }
+  }
+
+  test("s_agg_approx_quantile: within 5% of exact percentile") {
+    val approx = SparkEntry.queries("s_agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("q_quantile_exact")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (prio, (p50, p90)) =>
+      assert(math.abs(approx(prio)._1 - p50) / p50 < 0.05)
+      assert(math.abs(approx(prio)._2 - p90) / p90 < 0.05)
+    }
+  }
+}
