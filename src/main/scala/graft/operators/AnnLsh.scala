@@ -35,8 +35,7 @@ object AnnLsh {
   def buckets(vectors: DataFrame, idCol: String, vecCol: String,
               planesDf: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(planesDf))
-      .withColumn("bit", when(
-        expr(s"aggregate(zip_with($vecCol, w, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, z) -> acc + z)") >= 0,
+      .withColumn("bit", when(expr(s"graft_dot($vecCol, w)") >= 0,
         expr("shiftleft(1L, plane_id)")).otherwise(0L))
       .groupBy(col(idCol), col("table_id"))
       .agg(sum("bit").as("bucket"))
@@ -45,12 +44,11 @@ object AnnLsh {
   def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
                  k: Int = 5, tables: Int = 4, planesPerTable: Int = 6,
                  seed: Long = 42): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val pl = planes(spark, tables, planesPerTable, dim, seed)
-    val vecs = embeddings.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")))
+    val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
     val bk = buckets(vecs.select(col("vec_id"), col("v")), "vec_id", "v", pl)
     val withB = vecs.join(bk, "vec_id")
     val probes = withB.filter(col("vec_id") < probeMaxId)
@@ -65,8 +63,7 @@ object AnnLsh {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.select(col("probe_id"), col("neighbor_id"),
-        round(expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-          (col("pn") * col("nrm")), 6).as("sim"))
+        round(expr("graft_dot(pv, v)") / (col("pn") * col("nrm")), 6).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("probe_id", "rn")

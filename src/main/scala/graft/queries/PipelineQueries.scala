@@ -94,8 +94,17 @@ object PipelineQueries extends QueryPack {
           "array_distinct(transform(sequence(0, size(toks) - 3)," +
             " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-      val b = sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
+      // Exact pruning: a shingle appearing in only one document can never
+      // contribute to an intersection — drop it BEFORE the pair join
+      // (union sizes above already counted it). Cuts the dominant join
+      // input by the singleton fraction with zero semantic change.
+      val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select("shingle")
+      // no broadcast hint: the shared-shingle set is data-dependent and can
+      // be large at scale — AQE demotes/promotes the join strategy at runtime
+      val shPruned = sh.join(shared, "shingle")
+      val a = shPruned.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = shPruned.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
       val inter = a.join(b, col("shingle") === col("b_shingle") && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
       val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
@@ -112,16 +121,15 @@ object PipelineQueries extends QueryPack {
 
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     "q_dedup_embed_cosine" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-            (col("an") * col("bn")), 6).as("sim"))
+          round(expr("graft_dot(av, bv)") / (col("an") * col("bn")), 6).as("sim"))
         .filter(col("sim") >= 0.4)
         .orderBy("a_id", "b_id")
     })

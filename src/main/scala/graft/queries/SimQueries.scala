@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object SimQueries extends QueryPack {
 
-  /** probe-side dot product of two pre-cast double vectors. */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+  /** Fused codegen dot kernel (graft.functions.DotProduct) — bitwise
+    * identical to the aggregate(zip_with(...)) HOF formulation and to the
+    * DuckDB oracle's list_dot_product (left-to-right double accumulation),
+    * but a tight primitive loop inside whole-stage codegen.
+    */
+  private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
-  private def withNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def withNorm(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.VectorFunctions.register(s)
     Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot("v", "v")))
+  }
 
   val queries: Map[String, Fn] = Map(
     "q_sim_cosine_topk" -> ((s, dir) => {
