@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.JsonIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Ingest-validation behavior: valid events parse; malformed / incomplete /
+  * out-of-domain events land in the reject channel with a reason — the
+  * reference's validate-and-ack-away path.
+  */
+class JsonIngestSpec extends SparkSpec {
+
+  private val lines = Seq(
+    """{"event_id": 1, "ts": "2024-01-01T00:00:01", "user_id": 7, "event_type": "view", "value": 1.5, "props": "{}"}""",
+    """{"event_id": 2, "ts": "2024-01-01T00:00:02", "user_id": 8, "event_type": "purchase", "value": 9.99, "props": "{\"k\": 3}"}""",
+    """not json at all""",
+    """{"ts": "2024-01-01T00:00:03", "user_id": 9, "event_type": "view", "value": 1.0, "props": "{}"}""",
+    """{"event_id": 4, "ts": "2024-01-01T00:00:04", "user_id": 10, "event_type": "teleport", "value": 1.0, "props": "{}"}""",
+    """{"event_id": 5, "ts": "2024-01-01T00:00:05", "user_id": 11, "event_type": "view", "value": -3.0, "props": "{}"}""")
+
+  test("batch parse: valid rows survive, each bad row gets the right reason") {
+    import spark.implicits._
+    val parsed = JsonIngest.parse(lines.toDF("value"))
+    val ok = JsonIngest.valid(parsed).orderBy("event_id")
+    assert(ok.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(ok.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val bad = JsonIngest.rejects(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(bad("not json at all") == "malformed_json")
+    assert(bad.values.toSeq.count(_ == "missing_event_id") == 1)
+    assert(bad.values.toSeq.count(_ == "unknown_event_type") == 1)
+    assert(bad.values.toSeq.count(_ == "negative_value") == 1)
+    assert(bad.size == 4)
+  }
+
+  test("streaming parse: same validation through micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = JsonIngest.parse(input.toDF())
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      input.addData(lines.take(3)); q.processAllAvailable()
+      input.addData(lines.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ingest")
+    assert(out.count() == 6)
+    assert(out.filter("reject_reason IS NULL").count() == 2)
+    assert(out.filter("reject_reason = 'malformed_json'").count() == 1)
+  }
+}
