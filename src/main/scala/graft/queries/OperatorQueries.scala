@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnLsh, Multimodal, MinHashDedup, SimHashDedup}
+import graft.operators.{AnnLsh, Multimodal, MinHashDedup, SimHashDedup, TopKAggregator}
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
   * driver rows-only check + ScalaTest error bounds vs exact twins).
@@ -22,7 +22,11 @@ object OperatorQueries extends QueryPack {
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),
 
     // multimodal binary-column featurize (stubbed decode, real plumbing)
-    "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir))
+    "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
+
+    // typed bounded top-k Aggregator (map-side-combinable window-topk twin)
+    "s_topk_per_key" -> ((s, dir) =>
+      TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3))
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.TopKAggregator
+import graft.streaming.StatefulSession
+import graft.streaming.StatefulSession.SessEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Typed Aggregator and explicit-state streaming: both must reproduce
+  * their declarative twins exactly.
+  */
+class TypedOpsSpec extends SparkSpec {
+
+  test("TopKAggregator == window row_number()<=k formulation, row for row") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val viaAgg = TopKAggregator.topOrdersPerCustomer(orders, 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .collect().map(_.toString).toSeq
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+      .collect().map(_.toString).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("StatefulSession(flatMapGroupsWithState) closes sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[SessEvent]
+    val q = StatefulSession.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("statefulsess").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      input.addData(Seq(
+        SessEvent(1, ts("2024-01-01 00:00:00"), 1),
+        SessEvent(1, ts("2024-01-01 00:05:00"), 2)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(1, ts("2024-01-01 00:45:00"), 3)))
+      q.processAllAvailable()
+      // advance watermark far past the open session → timeout flush
+      input.addData(Seq(SessEvent(99, ts("2024-01-01 06:00:00"), 4)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(99, ts("2024-01-01 12:00:00"), 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("statefulsess")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // user 1: session [00:00, 00:05] n=2 closed by gap; session [00:45] n=1
+    // closed by event-time timeout once the watermark passed it
+    assert(rows.contains((1L, "2024-01-01 00:00:00", 2L)), s"gap-closed session missing: $rows")
+    assert(rows.contains((1L, "2024-01-01 00:45:00", 1L)), s"timeout-closed session missing: $rows")
+  }
+
+  test("StatefulSession matches batch gap-sessionization on testdata events (user<10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+      .as[SessEvent].collect().toSeq
+    val input = MemoryStream[SessEvent]
+    val q = StatefulSession.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessbig").outputMode("append").start()
+    try {
+      input.addData(ev); q.processAllAvailable()
+      // flush everything left open via a far-future watermark event
+      input.addData(Seq(SessEvent(9999, Timestamp.valueOf("2030-01-01 00:00:00"), 0)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(9999, Timestamp.valueOf("2031-01-01 00:00:00"), 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessbig").filter(col("user_id") < 10)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val batch = graft.queries.EventQueries.queries("q_evt_session_30min")(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(streamed == batch, s"stream sessions ${streamed.size} vs batch ${batch.size}")
+  }
+}
