@@ -38,7 +38,25 @@ object SketchQueries extends QueryPack {
     // heavy hitters over event_type and user_id (count-min style)
     "s_topk_freq" -> ((s, dir) =>
       Tables.events(s, dir)
-        .stat.freqItems(Seq("event_type", "user_id"), 0.1))
+        .stat.freqItems(Seq("event_type", "user_id"), 0.1)),
+
+    // mergeable-sketch rollup (the reference's PFMERGE analog): daily HLL
+    // sketches union into a monthly distinct count per event_type WITHOUT
+    // re-touching raw data — the 100 TB pattern for distinct over windows
+    "s_agg_hll_union" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("daily_sketch"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(daily_sketch))").as("monthly_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")),
+
+    // skew-salted two-phase aggregation over the stream table
+    "s_agg_salted" -> ((s, dir) =>
+      graft.operators.SaltedAgg.countSum(
+        Tables.events(s, dir), "event_type", col("value").cast("decimal(18,2)"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map.empty
