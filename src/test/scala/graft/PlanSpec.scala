@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression tests — the 100 TB claims, checked against the
+  * actual physical plans (SURVEY.md §4): pushdown reaches the scan,
+  * projection is pruned, dims broadcast, top-k fuses, and a bucketed
+  * layout eliminates the join exchange entirely.
+  */
+class PlanSpec extends SparkSpec {
+
+  // AQE finalizes the physical plan (incl. WholeStageCodegen spans) only
+  // at execution — run the query, then read the final plan
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def plan(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("filters and projection push into the parquet scan") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_partkey"), "projection not pruned — unused column in scan")
+  }
+
+  test("dimension join broadcasts; aggregate is partial+final") {
+    val p = plan("q_join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("global top-k fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must fuse:\n$p")
+  }
+
+  // in SparkPlan.toString, whole-stage-codegen stages carry a "*(n) " prefix
+  private def hasCodegen(p: String): Boolean =
+    p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    val p = plan("q_agg_pricing_summary")
+    assert(hasCodegen(p), s"flagship must be codegen'd:\n$p")
+  }
+
+  test("graft_dot kernel stays inside whole-stage codegen (no HOF interpreter)") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .select(expr("graft_dot(embedding, embedding)").as("d"))
+      .agg(sum("d"))
+    val p = finalPlan(df)
+    assert(hasCodegen(p), s"kernel fell out of codegen:\n$p")
+  }
+
+  test("bucketed layout eliminates the join exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val o = Tables.t(spark, sfDir, "orders")
+    val l = Tables.t(spark, sfDir, "lineitem")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    // force a non-broadcast join so the bucketing effect is observable
+    // (at real scale neither fact side fits a broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val p = finalPlan(joined)
+      // look only at the AQE final plan, not the Initial Plan echo
+      val initIdx = p.indexOf("== Initial Plan ==")
+      val fin = if (initIdx > 0) p.substring(p.indexOf("== Final Plan =="), initIdx) else p
+      assert(fin.contains("SortMergeJoin"), s"expected SMJ over bucketed tables:\n$fin")
+      val joinPart = fin.substring(fin.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle its inputs:\n$fin")
+      assert(fin.contains("Bucketed: true"), s"scan must be bucket-aware:\n$fin")
+      // and results equal the unbucketed join
+      val plainCnt = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.agg(sum("cnt")).first().getLong(0) == plainCnt)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
