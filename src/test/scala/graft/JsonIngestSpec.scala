@@ -33,6 +33,23 @@ class JsonIngestSpec extends SparkSpec {
     assert(bad.size == 4)
   }
 
+  test("csv parse: schema-typed read with corrupt-record reject channel") {
+    import graft.sources.CsvIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("events.csv")
+    java.nio.file.Files.writeString(f,
+      Seq("1,2024-01-01T00:00:01,7,view,1.5,{}",
+        "2,2024-01-01T00:00:02,8,purchase,9.99,{}",
+        "not,a,valid,row,at,all,extra,cols",
+        "3,2024-01-01T00:00:03,9,teleport,1.0,{}").mkString("\n"))
+    val parsed = CsvIngest.readCsv(spark, f.toString)
+    val ok = CsvIngest.valid(parsed)
+    assert(ok.count() == 2)
+    assert(ok.schema("ts").dataType.typeName == "timestamp_ntz")
+    val bad = CsvIngest.rejects(parsed).collect().map(_.getString(1)).sorted.toSeq
+    assert(bad == Seq("malformed_csv", "unknown_event_type"), s"got $bad")
+  }
+
   test("streaming parse: same validation through micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(hasCodegen(p), s"kernel fell out of codegen:\n$p")
   }
 
+  test("day-partitioned layout prunes partitions for time-range scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Layout.writeEventsPartitionedByDay(
+      Tables.events(spark, sfDir), dir)
+    val scan = graft.sources.Layout.readPartitionedEvents(spark, dir)
+      .filter(col("event_date") === "2024-01-05")
+    val p = finalPlan(scan)
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"partition filter must prune directories:\n$p")
+    // pruned scan reads exactly that day's rows
+    val expected = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(scan.count() == expected && expected > 0)
+  }
+
   test("bucketed layout eliminates the join exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     val o = Tables.t(spark, sfDir, "orders")
