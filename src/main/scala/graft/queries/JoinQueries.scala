@@ -96,6 +96,18 @@ object JoinQueries extends QueryPack {
         .orderBy("r_name", "n_name")
     }),
 
+    "q_join_supplier_rollup" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+      val sup = broadcast(Tables.t(s, dir, "supplier"))
+      val n = broadcast(Tables.t(s, dir, "nation"))
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(l("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy("n_name")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 50)
@@ -166,6 +178,14 @@ object JoinQueries extends QueryPack {
       """SELECT r.r_name, n.n_name, concat_ws('-', r.r_name, n.n_name) AS label
         |FROM region r CROSS JOIN nation n
         |ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q_join_supplier_rollup" ->
+      """SELECT n.n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "q_join_asof" ->
       """WITH probes AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08 00:00:00'),

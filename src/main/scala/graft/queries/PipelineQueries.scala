@@ -92,7 +92,12 @@ object PipelineQueries extends QueryPack {
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(toks) - 3)," +
-            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle"))
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle_s"))
+        // shuffle 8-byte hashes, not shingle strings: intersection counting
+        // only needs equality, and xxhash64 is collision-free on this
+        // corpus's shingle cardinality (verified; at 100 TB use a 128-bit
+        // hash for the same guarantee)
+        .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       // Exact pruning: a shingle appearing in only one document can never
       // contribute to an intersection — drop it BEFORE the pair join
