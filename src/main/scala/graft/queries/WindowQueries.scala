@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2.4 — window functions.
   *
   * Scale notes: all partitioned windows shuffle once on the partition key
-  * and sort within partitions — the scalable shape. `q_win_ntile_pct` uses
-  * a single global window; that is inherently single-reducer, fine for a
-  * 150k-row orders table but at 100 TB the decile assignment would switch
-  * to `approx_percentile`-derived cut points joined back broadcast-style.
+  * and sort within partitions — the scalable shape. For rank-filter
+  * top-k, Catalyst's InferWindowGroupLimit already inserts a two-phase
+  * WindowGroupLimit (partial before the shuffle, final after), so only
+  * ~k rows per key per partition shuffle — verified in the q_win_rank_topn
+  * plan; no custom rule needed. `q_win_ntile_pct` uses a single global
+  * window; that is inherently single-reducer, fine for a 150k-row orders
+  * table but at 100 TB the decile assignment would switch to
+  * `approx_percentile`-derived cut points joined back broadcast-style.
   */
 object WindowQueries extends QueryPack {
 
