@@ -66,7 +66,9 @@ class OperatorSpec extends SparkSpec {
       approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"mean recall@5 $mean too low for 4x6-bit LSH")
+    // near-uniform random corpus: 0.42 measured at L=8/P=6; bound leaves
+    // headroom for plane-seed sensitivity (see AnnLsh scaladoc)
+    assert(mean >= 0.35, s"mean recall@5 $mean too low for 8x6-bit LSH")
   }
 
   test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
