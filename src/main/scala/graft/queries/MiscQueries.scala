@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Breadth beyond the SURVEY.md §2 core: statistical aggregates, bitwise
+  * scalar functions, integer-bucketed histograms, and a typed Dataset
+  * pipeline — all oracle-checked.
+  *
+  * Determinism notes: stddev/variance are floating-point and summation-
+  * order sensitive at ~1e-12 relative error; ROUND(...,4) absorbs that on
+  * these magnitudes (verified by the oracle hash). Histogram buckets use
+  * integer-exact floor(value/10) so bucket edges cannot straddle engines.
+  */
+final case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                       o_totalprice: Double, o_orderpriority: String)
+
+object MiscQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "q_agg_stats" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(avg("o_totalprice"), 4).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 2).as("var_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority")),
+
+    "q_fn_bitwise" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("event_id & 255").as("low_byte"),
+          expr("event_id | 4096").as("with_flag"),
+          expr("event_id ^ user_id").as("xored"),
+          expr("shiftleft(event_id, 2)").as("shl2"),
+          expr("shiftright(event_id, 3)").as("shr3"))
+        .orderBy("event_id")
+        .limit(100)),
+
+    "q_evt_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr("CAST(floor(value / 10) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // typed Dataset pipeline: case-class filter/map, same Catalyst plan
+    "q_typed_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .as[Order]
+        .filter(o => o.o_orderstatus == "O" && o.o_totalprice > 300000)
+        .map(o => (o.o_orderkey, o.o_orderpriority, math.round(o.o_totalprice * 100) / 100.0))
+        .toDF("o_orderkey", "prio", "price")
+        .orderBy("o_orderkey")
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT o_orderpriority,
+        |  ROUND(avg(o_totalprice), 4) AS avg_price,
+        |  ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+        |  ROUND(var_samp(o_totalprice), 2) AS var_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS low_byte,
+        |  event_id | 4096 AS with_flag,
+        |  xor(event_id, user_id) AS xored,
+        |  event_id << 2 AS shl2,
+        |  event_id >> 3 AS shr3
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q_evt_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_typed_orders" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |  ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 300000
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin
+  )
+}
