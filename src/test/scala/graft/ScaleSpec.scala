@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: the flagship aggregate over 20x-replicated lineitem
+  * (1.2M rows here) must produce exactly 20x the base counts/sums —
+  * partial aggregation, spill and merge paths stay correct as data
+  * grows, which is the property that carries to 100 TB.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("pricing summary scales linearly under 20x data replication") {
+    val base = Tables.t(spark, sfDir, "lineitem")
+    val factor = 20
+    val replicated = base.crossJoin(
+      spark.range(factor.toLong).select(col("id").as("rep")))
+    val scaled = replicated
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    val plain = base
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    assert(scaled.length == plain.length)
+    scaled.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0) && s.getString(1) == p.getString(1))
+      assert(s.getLong(2) == p.getLong(2) * factor, s"count not linear for ${p.getString(0)}")
+      assert(s.getDecimal(3) == p.getDecimal(3).multiply(new java.math.BigDecimal(factor))
+        .setScale(2), s"sum not linear for ${p.getString(0)}")
+    }
+  }
+}
