@@ -59,7 +59,9 @@ object AnnLsh {
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
     val bk = buckets(vecs.select(col("vec_id"), col("v")), "vec_id", "v", pl)
-    val withB = vecs.join(bk, "vec_id")
+    // cache: both the probe side and the corpus side derive from this plan;
+    // without it the dominant bucketing stage executes twice
+    val withB = vecs.join(bk, "vec_id").cache()
     val probes = withB.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
         col("table_id").as("p_table"), col("bucket").as("p_bucket"))

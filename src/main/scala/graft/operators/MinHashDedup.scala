@@ -44,7 +44,11 @@ object MinHashDedup {
     * signature length.
     */
   def candidatePairs(sigs: DataFrame, idCol: String,
-                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                     bands: Int = 16, rowsPerBand: Int = 4,
+                     numHashes: Int = 64): DataFrame = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal the signature length ($numHashes): " +
+        "out-of-range slices would hash every document into one bucket")
     val banded = sigs.select(col(idCol), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
@@ -67,8 +71,9 @@ object MinHashDedup {
 
   /** Full pipeline: documents → candidate pairs above the threshold. */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   threshold: Double = 0.3): DataFrame =
-    candidatePairs(signatures(docs, textCol, idCol), idCol)
+                   threshold: Double = 0.3, numHashes: Int = 64): DataFrame =
+    candidatePairs(signatures(docs, textCol, idCol, numHashes), idCol,
+        numHashes = numHashes)
       .filter(col("est_jaccard") >= threshold)
       .orderBy("a_id", "b_id")
 }

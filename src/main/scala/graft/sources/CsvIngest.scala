@@ -4,37 +4,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CSV event ingestion with explicit schema and bad-record capture —
-  * same validation contract as JsonIngest, different wire format.
+  * the same validation contract as JsonIngest on a different wire format:
+  * every reject keeps the ORIGINAL line plus a reason, so the dead-letter
+  * channel is replayable.
   *
-  * PERMISSIVE mode + a `_corrupt_record` column keeps malformed lines in
-  * band (reject channel) instead of failing the job — at 100 TB a single
-  * bad line must never kill a scan. DROPMALFORMED/FAILFAST remain
-  * available via the mode option for stricter pipelines.
+  * Implementation mirrors JsonIngest: read raw lines, parse with the
+  * codegen'd `from_csv` expression (embarrassingly parallel, no shuffle),
+  * validate declaratively.
   */
 object CsvIngest {
 
   /** event_id,ts,user_id,event_type,value,props */
   private val csvSchema =
     "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING, _corrupt_record STRING"
+      "value DOUBLE, props STRING"
 
-  def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(csvSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path)
+  /** lines(value: string) → parsed fields + `raw` + `reject_reason`. */
+  def parse(lines: DataFrame): DataFrame =
+    lines
+      .select(col("value").as("raw"),
+        from_csv(col("value"), org.apache.spark.sql.types.StructType.fromDDL(csvSchema),
+          Map("mode" -> "PERMISSIVE")).as("e"))
+      .select(col("raw"), col("e.*"))
       .withColumn("reject_reason",
-        when(col("_corrupt_record").isNotNull, "malformed_csv")
+        when(col("event_id").isNull && col("ts").isNull &&
+          col("user_id").isNull && col("event_type").isNull, "malformed_csv")
           .when(col("event_id").isNull, "missing_event_id")
+          .when(col("ts").isNull, "missing_ts")
+          .when(col("user_id").isNull, "missing_user_id")
           .when(!col("event_type").isin(JsonIngest.validTypes: _*), "unknown_event_type")
+          .when(col("value").isNotNull && col("value") < 0, "negative_value")
           .otherwise(lit(null).cast("string")))
 
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.text(path))
+
   def valid(parsed: DataFrame): DataFrame =
-    parsed.filter(col("reject_reason").isNull)
-      .drop("_corrupt_record", "reject_reason")
+    parsed.filter(col("reject_reason").isNull).drop("raw", "reject_reason")
 
   def rejects(parsed: DataFrame): DataFrame =
-    parsed.filter(col("reject_reason").isNotNull)
-      .select(col("_corrupt_record").as("raw"), col("reject_reason"))
+    parsed.filter(col("reject_reason").isNotNull).select("raw", "reject_reason")
 }

@@ -56,12 +56,16 @@ object StreamOps {
 
   /** Gap-based sessionization via session_window
     * (stream twin of q_evt_session_30min).
+    *
+    * session_window.end is last-event + gap by Spark's definition; the
+    * batch twin defines session_end = max(event ts), so emit max(ts) —
+    * the windows themselves are identical, only the end label differs.
     */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"), col("n_events"))
+        col("session_end"), col("n_events"))
 }

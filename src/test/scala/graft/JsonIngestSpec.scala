@@ -46,8 +46,12 @@ class JsonIngestSpec extends SparkSpec {
     val ok = CsvIngest.valid(parsed)
     assert(ok.count() == 2)
     assert(ok.schema("ts").dataType.typeName == "timestamp_ntz")
-    val bad = CsvIngest.rejects(parsed).collect().map(_.getString(1)).sorted.toSeq
-    assert(bad == Seq("malformed_csv", "unknown_event_type"), s"got $bad")
+    val bad = CsvIngest.rejects(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // every reject keeps the ORIGINAL line for dead-letter replay
+    assert(bad.forall(_._1 != null), s"reject lost its raw line: $bad")
+    assert(bad.map(_._2).sorted == Seq("missing_event_id", "unknown_event_type"), s"got $bad")
+    assert(bad.exists(r => r._1.startsWith("3,") && r._2 == "unknown_event_type"))
   }
 
   test("streaming parse: same validation through micro-batches") {

@@ -88,8 +88,6 @@ class OperatorSpec extends SparkSpec {
   test("s_agg_hll: approx distinct within 3*rsd of exact twin") {
     val approx = SparkEntry.queries("s_agg_hll")(spark, sfDir)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("q_agg_distinct_daily")(spark, sfDir)
-      .groupBy("day").agg(sum("uniq_users").as("u"))
     val exactDaily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(countDistinct("user_id").as("u"))

@@ -41,11 +41,15 @@ class OracleMirrorSpec extends SparkSpec {
   test("events loader regression: micros truncation matches DuckDB semantics") {
     // SURVEY.md §5.3.6 — would have caught the /1000 double-rounding bug:
     // integer-div micros must reconstruct every raw nano value's prefix.
+    // SQL `div` truncates toward zero (Scala `/` semantics) — identical to
+    // floor for the post-epoch timestamps this data guarantees; a pre-epoch
+    // corpus would need an explicit floor-div formulation in the loader.
     val raw = spark.read.parquet(s"$sfDir/events.parquet").select(col("ts").as("ns"))
     val viaLoader = Tables.events(spark, sfDir)
       .select(org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp")).as("us"))
       .collect().map(_.getLong(0)).sorted
-    val expected = raw.collect().map(r => Math.floorDiv(r.getLong(0), 1000L)).sorted
+    val expected = raw.collect().map(_.getLong(0) / 1000L).sorted
     assert(viaLoader.toSeq == expected.toSeq)
+    assert(expected.headOption.forall(_ >= 0), "pre-epoch data would need a floor-div loader")
   }
 }

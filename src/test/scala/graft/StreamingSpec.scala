@@ -114,7 +114,15 @@ class StreamingSpec extends SparkSpec {
     // (gap 35min ⇒ new session); user 2: 01:10, 02:59 (new), 03:01 (same)
     val streamed = runComplete(df => StreamOps.sessionize(df), Seq(base), "sess")
     val got = streamed.orderBy("user_id", "session_start")
-      .select("user_id", "n_events").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)))
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // session_end = max event ts (the batch twin's definition), NOT +gap
+    assert(got == Seq(
+      (1L, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1L),
+      (1L, "2024-01-01 00:45:00", "2024-01-01 00:45:00", 1L),
+      (1L, "2024-01-01 01:20:00", "2024-01-01 01:20:00", 1L),
+      (2L, "2024-01-01 01:10:00", "2024-01-01 01:10:00", 1L),
+      (2L, "2024-01-01 02:59:00", "2024-01-01 03:01:00", 2L)), s"got $got")
   }
 }
