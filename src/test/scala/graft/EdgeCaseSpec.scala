@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Zero-row and degenerate inputs must produce empty results, never
+  * errors — at 100 TB some partition, some day, some bucket is always
+  * empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup operators on zero documents: empty, no error") {
+    assert(MinHashDedup.nearDupPairs(emptyDocs).count() == 0)
+    assert(SimHashDedup.nearDupPairs(emptyDocs).count() == 0)
+  }
+
+  test("dedup operators on single-token docs (below shingle size): empty, no error") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+    assert(MinHashDedup.nearDupPairs(tiny).count() == 0)
+  }
+
+  test("TopKAggregator on empty input and on fewer rows than k") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, Double, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    assert(TopKAggregator.topOrdersPerCustomer(empty, 3).count() == 0)
+    val two = Seq((10L, 1L, "O", 5.0, "x"), (11L, 1L, "O", 7.0, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val rows = TopKAggregator.topOrdersPerCustomer(two, 3)
+      .select("rn", "o_orderkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 11L), (2L, 10L)), s"got $rows")
+  }
+
+  test("Fanout.views on zero events: three empty views, no error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Fanout.views(empty).foreach { case (name, df) =>
+      assert(df.count() == 0, s"$name not empty")
+    }
+  }
+
+  test("ingest parsers on empty input: empty valid and reject channels") {
+    import spark.implicits._
+    val noLines = Seq.empty[String].toDF("value")
+    assert(sources.JsonIngest.parse(noLines).count() == 0)
+    assert(sources.CsvIngest.parse(noLines).count() == 0)
+  }
+
+  test("batch sessionization logic on a single event: one session of one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val one = Seq(graft.streaming.StatefulSession.SessEvent(
+      5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDS()
+    // batch formulation over one row
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val out = one.toDF()
+      .withColumn("brk", when(
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid").count().collect()
+    assert(out.length == 1 && out(0).getLong(2) == 1L)
+  }
+}

@@ -9,7 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  val sfDir = "/root/testdata/sf0.001"
+  /** sf0.001 by default; GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 replays
+    * the driver's exact t2 scale through the whole suite.
+    */
+  val sfDir: String =
+    sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 }
 
 object SparkSpec {
