@@ -32,9 +32,13 @@ object MinHashDedup {
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(toks) - $shingleSize), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $shingleSize))))")).as("shingle"))
+    // hash the (variable-length) shingle string ONCE, then derive the k
+    // family members by hashing the fixed-width base with the seed —
+    // ~2x cheaper than k string hashes, same minhash guarantees
+    val hashed = toks.withColumn("hbase", xxhash64(col("shingle")))
     val minCols: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    toks.groupBy(col(idCol))
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))
+    hashed.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
