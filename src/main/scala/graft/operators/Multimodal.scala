@@ -52,6 +52,29 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampler — deterministic fixed-stride chunking standing in
+    * for video frame extraction (codecs unavailable offline): every
+    * `stride`-th window of `frameSize` bytes becomes one "frame". A real
+    * decoder slots in with the same (blob → frames) signature.
+    */
+  def sampleFramesStub(bytes: Array[Byte], frameSize: Int = 64,
+                       stride: Int = 256): Seq[Array[Byte]] =
+    (0 until math.max(0, bytes.length - frameSize) by stride)
+      .map(off => bytes.slice(off, off + frameSize))
+
+  case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Blob → sampled frames, one row per frame; bytes stay partition-local
+    * until reduced to fixed-width features downstream (the video analog
+    * of `featurize`). A generator-style explode in typed form.
+    */
+  def explodeFrames(rows: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap(r => sampleFramesStub(r.media).zipWithIndex.map {
+      case (f, i) => FrameRow(r.media_id, i, f)
+    })
+  }
+
   /** Demo pipeline over driver testdata: documents' text bytes stand in
     * for media blobs; downstream is a plain columnar aggregate.
     */

@@ -101,6 +101,23 @@ class OperatorSpec extends SparkSpec {
     assert(out(0).n_bytes == 11L)
   }
 
+  test("multimodal: frame sampling explodes blobs deterministically, bytes bounded") {
+    import spark.implicits._
+    val blob = Array.tabulate(1024)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, blob, "vid", 0, 0),
+      Multimodal.MediaRow(2L, Array[Byte](), "vid", 0, 0)).toDS()
+    val frames = Multimodal.explodeFrames(media).collect()
+    val forOne = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(forOne.length == 4, s"1024 bytes / stride 256 -> 4 frames, got ${forOne.length}")
+    assert(forOne.forall(_.frame.length == 64))
+    assert(forOne.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(!frames.exists(_.media_id == 2L), "empty blob yields no frames")
+    // frames feed the same featurize stage
+    val feats = Multimodal.featurize(Multimodal.explodeFrames(media)
+      .map(f => Multimodal.MediaRow(f.media_id * 100 + f.frame_idx, f.frame, "frame", 0, 0)))
+    assert(feats.count() == 4)
+  }
+
   test("s_agg_hll: approx distinct within 3*rsd of exact twin") {
     val approx = SparkEntry.queries("s_agg_hll")(spark, sfDir)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
