@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * probe only in the `nprobe` nearest lists, reranking candidates by
   * exact cosine.
   *
-  * Scale notes: training runs on a sample (centroids are tiny and
-  * broadcast); list assignment is one narrow map over the corpus; the
-  * probe search is an equi-join on list id — candidate volume is
-  * ~ corpus · nprobe / nlist instead of the full corpus. This is the
-  * standard shape of billion-vector IVF indexes; swapping cosine rerank
-  * for product quantization changes only the rerank expression.
+  * Scale notes: at test scale k-means trains on the full corpus; at
+  * 100 TB train on a sample (`.sample(...)` before `fit` — centroid
+  * quality needs only a representative subset) while list assignment
+  * stays one narrow map over everything. Centroids are tiny and
+  * broadcast; the probe search is an equi-join on list id — candidate
+  * volume is ~ corpus · nprobe / nlist instead of the full corpus. This
+  * is the standard shape of billion-vector IVF indexes; swapping cosine
+  * rerank for product quantization changes only the rerank expression.
   */
 object AnnIvf {
 
@@ -29,23 +31,35 @@ object AnnIvf {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val train = embeddings.select(col("vec_id"), col("embedding")).cache()
-    val asMl = train.map { r =>
-      (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
-    }.toDF("vec_id", "features")
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(asMl)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq.toDF("list_id", "c")
-    val assigned = model.transform(asMl)
-      .select(col("vec_id"), col("prediction").as("list_id"))
-    (assigned, centroids)
+    try {
+      val n = train.count()
+      val k = math.min(nlist.toLong, math.max(1L, n)).toInt
+      val asMl = train.map { r =>
+        (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
+      }.toDF("vec_id", "features")
+      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+        .fit(asMl)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray)
+      }.toSeq.toDF("list_id", "c")
+      // materialize assignments before releasing the training cache
+      val assigned = model.transform(asMl)
+        .select(col("vec_id"), col("prediction").as("list_id")).cache()
+      assigned.count()
+      (assigned, centroids)
+    } finally { train.unpersist(); () }
   }
 
   /** Approximate top-k cosine neighbors searching nprobe inverted lists. */
   def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
                  k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
                  seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    // KMeans cannot fit zero rows; an empty corpus means empty results
+    if (embeddings.isEmpty) {
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("probe_id", "neighbor_id", "sim", "rn")
+    }
     val (assigned, centroids) = buildIndex(spark, embeddings, nlist, seed)
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))

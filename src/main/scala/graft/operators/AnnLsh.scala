@@ -54,6 +54,11 @@ object AnnLsh {
                  k: Int = 5, tables: Int = 8, planesPerTable: Int = 6,
                  seed: Long = 42): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    if (embeddings.isEmpty) {
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("probe_id", "neighbor_id", "sim", "rn")
+    }
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val pl = planes(spark, tables, planesPerTable, dim, seed)
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))

@@ -53,7 +53,14 @@ object MinHashDedup {
     require(bands * rowsPerBand == numHashes,
       s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal the signature length ($numHashes): " +
         "out-of-range slices would hash every document into one bucket")
-    val banded = sigs.select(col(idCol), col("sig"),
+    // enforce at execution time that the ACTUAL signature arrays match the
+    // declared length — a mismatched sigs input would otherwise silently
+    // bucket everything together via empty band slices
+    val checked = sigs.withColumn("sig",
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(lit(s"minhash signature length != $numHashes: "),
+          size(col("sig")).cast("string")))))
+    val banded = checked.select(col(idCol), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> named_struct('band', b, 'bucket', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
@@ -75,9 +82,13 @@ object MinHashDedup {
 
   /** Full pipeline: documents → candidate pairs above the threshold. */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   threshold: Double = 0.3, numHashes: Int = 64): DataFrame =
+                   threshold: Double = 0.3, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     candidatePairs(signatures(docs, textCol, idCol, numHashes), idCol,
-        numHashes = numHashes)
+        bands = bands, rowsPerBand = numHashes / bands, numHashes = numHashes)
       .filter(col("est_jaccard") >= threshold)
       .orderBy("a_id", "b_id")
+  }
 }

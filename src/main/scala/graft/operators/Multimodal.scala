@@ -59,7 +59,8 @@ object Multimodal {
     */
   def sampleFramesStub(bytes: Array[Byte], frameSize: Int = 64,
                        stride: Int = 256): Seq[Array[Byte]] =
-    (0 until math.max(0, bytes.length - frameSize) by stride)
+    if (bytes.length < frameSize) Seq.empty
+    else (0 to bytes.length - frameSize by stride) // inclusive: the last full frame counts
       .map(off => bytes.slice(off, off + frameSize))
 
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])

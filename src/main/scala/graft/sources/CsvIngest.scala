@@ -14,21 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object CsvIngest {
 
-  /** event_id,ts,user_id,event_type,value,props */
+  /** event_id,ts,user_id,event_type,value,props; the trailing corrupt-
+    * record field makes token-count mismatches (extra/shifted columns)
+    * detectable instead of silently truncated.
+    */
   private val csvSchema =
     "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING"
+      "value DOUBLE, props STRING, _corrupt_record STRING"
 
-  /** lines(value: string) → parsed fields + `raw` + `reject_reason`. */
+  /** lines(value: string) → parsed fields + `raw` + `reject_reason`.
+    * Blank lines are skipped (consistent with JsonIngest.parse).
+    */
   def parse(lines: DataFrame): DataFrame =
     lines
+      .filter(length(trim(col("value"))) > 0)
       .select(col("value").as("raw"),
         from_csv(col("value"), org.apache.spark.sql.types.StructType.fromDDL(csvSchema),
-          Map("mode" -> "PERMISSIVE")).as("e"))
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("e"))
       .select(col("raw"), col("e.*"))
       .withColumn("reject_reason",
-        when(col("event_id").isNull && col("ts").isNull &&
-          col("user_id").isNull && col("event_type").isNull, "malformed_csv")
+        when(col("_corrupt_record").isNotNull, "malformed_csv")
+          .when(col("event_id").isNull && col("ts").isNull &&
+            col("user_id").isNull && col("event_type").isNull, "malformed_csv")
           .when(col("event_id").isNull, "missing_event_id")
           .when(col("ts").isNull, "missing_ts")
           .when(col("user_id").isNull, "missing_user_id")
@@ -40,7 +48,8 @@ object CsvIngest {
     parse(spark.read.text(path))
 
   def valid(parsed: DataFrame): DataFrame =
-    parsed.filter(col("reject_reason").isNull).drop("raw", "reject_reason")
+    parsed.filter(col("reject_reason").isNull)
+      .drop("raw", "reject_reason", "_corrupt_record")
 
   def rejects(parsed: DataFrame): DataFrame =
     parsed.filter(col("reject_reason").isNotNull).select("raw", "reject_reason")

@@ -36,6 +36,7 @@ object JsonIngest {
     */
   def parse(lines: DataFrame): DataFrame =
     lines
+      .filter(length(trim(col("value"))) > 0) // blank lines are not events
       .select(col("value").as("raw"),
         from_json(col("value"), eventSchema, Map("mode" -> "PERMISSIVE")).as("e"))
       .select(col("raw"), col("e.*"))

@@ -54,19 +54,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sources.CsvIngest.parse(noLines).count() == 0)
   }
 
-  test("batch sessionization logic on a single event: one session of one") {
+  // single-event sessionization is covered through the PRODUCTION path in
+  // TypedOpsSpec (StatefulSession flushes a 1-event session on timeout)
+
+  test("ANN operators on an empty corpus: empty results, no error") {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val one = Seq(graft.streaming.StatefulSession.SessEvent(
-      5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDS()
-    // batch formulation over one row
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val out = one.toDF()
-      .withColumn("brk", when(
-        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800L, 1).otherwise(0))
-      .withColumn("sid", sum("brk").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy("user_id", "sid").count().collect()
-    assert(out.length == 1 && out(0).getLong(2) == 1L)
+    val empty = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(AnnIvf.approxTopK(spark, empty).count() == 0)
+    assert(AnnLsh.approxTopK(spark, empty).count() == 0)
+  }
+
+  test("frame sampling boundary: a blob of exactly one frame yields that frame") {
+    val one = Multimodal.sampleFramesStub(Array.ofDim[Byte](64), frameSize = 64)
+    assert(one.length == 1 && one.head.length == 64)
+    val boundary = Multimodal.sampleFramesStub(Array.ofDim[Byte](320), frameSize = 64, stride = 256)
+    assert(boundary.length == 2, "frame at offset 256 (256+64=320) must be sampled")
   }
 }

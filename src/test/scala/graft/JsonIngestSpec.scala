@@ -41,6 +41,9 @@ class JsonIngestSpec extends SparkSpec {
       Seq("1,2024-01-01T00:00:01,7,view,1.5,{}",
         "2,2024-01-01T00:00:02,8,purchase,9.99,{}",
         "not,a,valid,row,at,all,extra,cols",
+        // extra trailing token: must be REJECTED, not silently truncated
+        "4,2024-01-01T00:00:04,9,view,1.5,{},junk",
+        "",
         "3,2024-01-01T00:00:03,9,teleport,1.0,{}").mkString("\n"))
     val parsed = CsvIngest.readCsv(spark, f.toString)
     val ok = CsvIngest.valid(parsed)
@@ -50,8 +53,11 @@ class JsonIngestSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     // every reject keeps the ORIGINAL line for dead-letter replay
     assert(bad.forall(_._1 != null), s"reject lost its raw line: $bad")
-    assert(bad.map(_._2).sorted == Seq("missing_event_id", "unknown_event_type"), s"got $bad")
+    assert(bad.map(_._2).sorted ==
+      Seq("malformed_csv", "malformed_csv", "unknown_event_type"), s"got $bad")
     assert(bad.exists(r => r._1.startsWith("3,") && r._2 == "unknown_event_type"))
+    assert(bad.exists(r => r._1.endsWith(",junk") && r._2 == "malformed_csv"),
+      "extra-column line must be rejected, not truncated")
   }
 
   test("streaming parse: same validation through micro-batches") {
