@@ -37,8 +37,11 @@ object AnnIvf {
       val asMl = train.map { r =>
         (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
       }.toDF("vec_id", "features")
-      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-        .fit(asMl)
+      // few iterations suffice: buckets only need stable coarse centroids,
+      // not converged clusters (recall is governed by nprobe, not k-means
+      // convergence)
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+        .setFeaturesCol("features").fit(asMl)
       val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray)
       }.toSeq.toDF("list_id", "c")
