@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2.3 — aggregations.
   *
   * Determinism: all money sums go through DECIMAL casts *before*
-  * aggregation (double sums are order-dependent); money columns are
-  * 2-decimal-valued so DECIMAL(18,2) is lossless; l_discount is
-  * 6-decimal-valued so it gets DECIMAL(18,6); the disc-price product keeps
-  * full scale 8 (no cross-engine rounding ambiguity).
+  * aggregation (double sums are order-dependent). The DECIMAL(18,2) cast
+  * DOES round (a minority of stored doubles carry float noise beyond 2
+  * decimals); the real invariant is that Spark's and DuckDB's
+  * double→decimal casts share decimal-aware round-half-up tie semantics,
+  * so both engines round identically — do not reorder the cast and the
+  * aggregation. l_discount is 6-decimal-valued so it gets DECIMAL(18,6);
+  * the disc-price product keeps full scale 8.
   *
   * Scale notes: every groupBy here compiles to partial (map-side) +
   * final HashAggregate around one Exchange — the canonical scalable shape.
@@ -72,17 +75,17 @@ object AggQueries extends QueryPack {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
-    "q_agg_grouping_sets" -> ((s, dir) => {
-      Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-          |  COUNT(*) AS cnt
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
-    }),
+    "q_agg_grouping_sets" -> ((s, dir) =>
+      // Spark 4's native Dataset.groupingSets — no temp-view side effects
+      Tables.t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "q_quantile_exact" -> ((s, dir) =>
       Tables.t(s, dir, "orders")

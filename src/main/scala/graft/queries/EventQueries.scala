@@ -60,7 +60,11 @@ object EventQueries extends QueryPack {
     }),
 
     "q_evt_dedup_minute" -> ((s, dir) =>
+      // explicit null filter: Spark's multi-arg countDistinct drops rows
+      // with any NULL while DuckDB's tuple-DISTINCT would count them —
+      // pinning the filter makes both engines see identical inputs
       Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .agg(count(lit(1)).as("n_before"),
           countDistinct(col("user_id"), date_trunc("minute", col("ts"))).as("n_after")))
   )
@@ -98,6 +102,6 @@ object EventQueries extends QueryPack {
     "q_evt_dedup_minute" ->
       """SELECT COUNT(*) AS n_before,
         |  COUNT(DISTINCT (user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)))) AS n_after
-        |FROM events""".stripMargin
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin
   )
 }

@@ -22,7 +22,9 @@ object FnQueries extends QueryPack {
           concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
           expr("replace(c_name, '#', '-')").as("repl"),
           length(col("c_name")).cast("long").as("name_len"),
-          regexp_extract(col("c_name"), "[0-9]+", 0).cast("long").as("name_num"))
+          // nullif guards the no-digits case: Spark would cast '' to NULL
+          // but DuckDB CAST('' AS BIGINT) hard-errors
+          expr("CAST(nullif(regexp_extract(c_name, '[0-9]+', 0), '') AS BIGINT)").as("name_num"))
         .orderBy("c_custkey")
         .limit(100)),
 
@@ -68,7 +70,9 @@ object FnQueries extends QueryPack {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("k")
+        // k is nullable (a malformed props row would produce NULL) and the
+        // engines' default null order differs under the LIMIT — pin it
+        .orderBy(col("k").asc_nulls_first)
         .limit(10)),
 
     "q_fn_case_coalesce" -> ((s, dir) =>
@@ -90,7 +94,7 @@ object FnQueries extends QueryPack {
         |  concat_ws('|', c_mktsegment, c_name) AS joined,
         |  replace(c_name, '#', '-') AS repl,
         |  CAST(length(c_name) AS BIGINT) AS name_len,
-        |  CAST(regexp_extract(c_name, '[0-9]+', 0) AS BIGINT) AS name_num
+        |  CAST(nullif(regexp_extract(c_name, '[0-9]+', 0), '') AS BIGINT) AS name_num
         |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
 
     "q_fn_date" ->
@@ -122,7 +126,7 @@ object FnQueries extends QueryPack {
 
     "q_fn_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY k LIMIT 10""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST LIMIT 10""".stripMargin,
 
     "q_fn_case_coalesce" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'

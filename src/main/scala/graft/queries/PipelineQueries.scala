@@ -125,17 +125,18 @@ object PipelineQueries extends QueryPack {
     }),
 
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
+    // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned
+    // with the exact-topk twin; threshold compares the UNROUNDED sim (cross-
+    // engine identical), ROUND only decorates the output
     "q_dedup_embed_cosine" -> ((s, dir) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val e = SimQueries.withNorm(s, dir)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(expr("graft_dot(av, bv)") / (col("an") * col("bn")), 6).as("sim"))
-        .filter(col("sim") >= 0.4)
+          (expr("graft_dot(av, bv)") / (col("an") * col("bn"))).as("sim_raw"))
+        .filter(col("sim_raw") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))
         .orderBy("a_id", "b_id")
     })
   )
@@ -199,11 +200,11 @@ object PipelineQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT a_id, b_id, sim FROM (
+        |SELECT a_id, b_id, ROUND(sim_raw, 6) AS sim FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim_raw
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) s
-        |WHERE sim >= 0.4
+        |WHERE sim_raw >= 0.4
         |ORDER BY a_id, b_id""".stripMargin
   )
 }

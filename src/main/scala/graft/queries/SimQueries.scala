@@ -28,7 +28,16 @@ object SimQueries extends QueryPack {
     */
   private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
-  private def withNorm(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Shared normed-embeddings prep — also used by PipelineQueries'
+    * embedding near-dup so the two stay bitwise-aligned.
+    *
+    * Ranking/threshold discipline: windows order and filters compare on
+    * the UNROUNDED sim (bitwise identical across engines via graft_dot ≡
+    * list_dot_product); ROUND(…,6) is applied only to the output column.
+    * Rounding first would put the cross-engine round-tie risk exactly on
+    * the threshold/rank boundary.
+    */
+  private[queries] def withNorm(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.VectorFunctions.register(s)
     Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -40,25 +49,25 @@ object SimQueries extends QueryPack {
       val e = withNorm(s, dir)
       val p = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val w = Window.partitionBy("probe_id").orderBy(col("sim_raw").desc, col("neighbor_id"))
       broadcast(p).join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          round(dot("pv", "v") / (col("pn") * col("nrm")), 6).as("sim"))
+          (dot("pv", "v") / (col("pn") * col("nrm"))).as("sim_raw"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
-        .select("probe_id", "neighbor_id", "sim", "rn")
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("sim_raw"), 6).as("sim"), col("rn"))
         .orderBy("probe_id", "rn")
     }),
 
     "q_sim_pairs_threshold" -> ((s, dir) => {
-      val a = withNorm(s, dir)
-        .select(col("vec_id").as("a_id"), col("label"), col("v").as("av"), col("nrm").as("an"))
-      val b = withNorm(s, dir)
-        .select(col("vec_id").as("b_id"), col("label").as("b_label"),
-          col("v").as("bv"), col("nrm").as("bn"))
+      val e = withNorm(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("v").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-        .select(col("label"), round(dot("av", "bv") / (col("an") * col("bn")), 6).as("sim"))
-        .filter(col("sim") >= 0.18)
+        .filter(dot("av", "bv") / (col("an") * col("bn")) >= 0.18)
         .groupBy("label")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("label")
@@ -68,10 +77,10 @@ object SimQueries extends QueryPack {
       val e = withNorm(s, dir)
       val p = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val wk = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val wk = Window.partitionBy("probe_id").orderBy(col("sim_raw").desc, col("neighbor_id"))
       val knn = broadcast(p).join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
-          round(dot("pv", "v") / (col("pn") * col("nrm")), 6).as("sim"))
+          (dot("pv", "v") / (col("pn") * col("nrm"))).as("sim_raw"))
         .withColumn("rn", row_number().over(wk))
         .filter(col("rn") <= 10)
       val wv = Window.partitionBy("probe_id").orderBy(col("votes").desc, col("label"))
@@ -110,14 +119,14 @@ object SimQueries extends QueryPack {
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-        |            ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS sim
+        |            list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim_raw
         |          FROM n p JOIN n c ON c.vec_id <> p.vec_id
         |          WHERE p.vec_id < 10),
-        |ranked AS (SELECT probe_id, neighbor_id, sim,
+        |ranked AS (SELECT probe_id, neighbor_id, sim_raw,
         |             CAST(row_number() OVER (PARTITION BY probe_id
-        |                                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+        |                                     ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rn
         |           FROM pairs)
-        |SELECT probe_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+        |SELECT probe_id, neighbor_id, ROUND(sim_raw, 6) AS sim, rn FROM ranked WHERE rn <= 5
         |ORDER BY probe_id, rn""".stripMargin,
 
     "q_sim_pairs_threshold" ->
@@ -125,9 +134,9 @@ object SimQueries extends QueryPack {
         |           FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |p AS (SELECT a.label,
-        |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim_raw
         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, COUNT(*) AS cnt FROM p WHERE sim >= 0.18
+        |SELECT label, COUNT(*) AS cnt FROM p WHERE sim_raw >= 0.18
         |GROUP BY label ORDER BY label""".stripMargin,
 
     "q_sim_knn_label" ->
@@ -135,13 +144,13 @@ object SimQueries extends QueryPack {
         |           FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
-        |            ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS sim
+        |            list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim_raw
         |          FROM n p JOIN n c ON c.vec_id <> p.vec_id
         |          WHERE p.vec_id < 20),
         |knn AS (SELECT probe_id, label FROM (
         |          SELECT probe_id, label,
         |            row_number() OVER (PARTITION BY probe_id
-        |                               ORDER BY sim DESC, neighbor_id) AS rn
+        |                               ORDER BY sim_raw DESC, neighbor_id) AS rn
         |          FROM pairs) s WHERE rn <= 10),
         |votes AS (SELECT probe_id, label, COUNT(*) AS votes FROM knn GROUP BY 1, 2)
         |SELECT probe_id, label AS pred_label, votes FROM (
