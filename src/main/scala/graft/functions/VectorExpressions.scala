@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * Numerics are pinned to the oracle semantics: elements widen to double
   * and accumulate LEFT TO RIGHT — bitwise identical to the HOF
   * formulation and to DuckDB's list_dot_product over double lists, so
-  * swapping kernels cannot change a single output bit.
+  * swapping kernels cannot change a single output bit. NULL semantics
+  * also match the HOF: length mismatch or a null element → NULL result,
+  * never a silent partial sum.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -41,15 +43,30 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     if (elemType(e).contains(FloatType)) (a, i) => a.getFloat(i).toDouble
     else (a, i) => a.getDouble(i)
 
+  // NULL semantics match the aggregate(zip_with(...)) HOF formulation (and
+  // therefore the DuckDB oracle): mismatched lengths or any null element
+  // yield NULL — never a silently-truncated partial dot product.
+  override def nullable: Boolean = true
+
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val gx = getter(left)
     val gy = getter(right)
-    val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += gx(x, i) * gy(y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += gx(x, i) * gy(y, i)
+      i += 1
+    }
     s
   }
 
@@ -61,13 +78,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getExpr(left, a, i)} * ${getExpr(right, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ${getExpr(left, a, i)} * ${getExpr(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -56,10 +56,13 @@ object MinHashDedup {
     // enforce at execution time that the ACTUAL signature arrays match the
     // declared length — a mismatched sigs input would otherwise silently
     // bucket everything together via empty band slices
+    // cache: both self-join sides derive from the signature aggregate —
+    // without this the dominant min-hash computation runs twice
+    // (one-shot harness; long-lived sessions can spark.catalog.clearCache())
     val checked = sigs.withColumn("sig",
       when(size(col("sig")) === numHashes, col("sig"))
         .otherwise(raise_error(concat(lit(s"minhash signature length != $numHashes: "),
-          size(col("sig")).cast("string")))))
+          size(col("sig")).cast("string"))))).cache()
     val banded = checked.select(col(idCol), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +

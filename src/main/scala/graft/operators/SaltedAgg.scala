@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
-  /** count + decimal sum per key, salted. `valueExpr` must be additive. */
+  /** count + decimal sum per key, salted. `valueCol` must be additive.
+    *
+    * The salt must be DETERMINISTIC per row (a task retried after a
+    * shuffle-fetch failure must salt its rows identically, or rows get
+    * double-counted/lost across the two phases) — so it derives from the
+    * row content, never from partition ids or nondeterministic counters.
+    */
   def countSum(df: DataFrame, keyCol: String, valueCol: Column, salt: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__cnt"), sum(valueCol).as("__sum"))
       .groupBy(col(keyCol))

@@ -40,7 +40,10 @@ object SimHashDedup {
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 disjoint 16-bit chunks are only sound up to distance 3")
-    val fp = fingerprints(docs, textCol, idCol)
+    // cache: both self-join sides derive from the 64-way aggregate —
+    // without this the dominant fingerprint computation runs twice
+    // (one-shot harness; long-lived sessions can spark.catalog.clearCache())
+    val fp = fingerprints(docs, textCol, idCol).cache()
     val chunked = fp.select(col(idCol), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), c -> named_struct('chunk', c, 'val', (simhash >> (c * 16)) & 65535))"))

@@ -24,15 +24,27 @@ import org.apache.spark.sql.functions._
 class TopKAggregator(k: Int)
   extends Aggregator[(Long, Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+  // value DESC then id ASC, using java.lang.Double.compare so NaN ranks
+  // HIGHEST — exactly Spark SQL's window-sort semantics; Scala's IEEE
+  // double ordering would make NaN incomparable and the sort arbitrary
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Nil
 
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] = xs.sorted(ord).take(k)
 
-  override def reduce(buf: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] =
-    trim((a._2, a._3) +: buf)
+  override def reduce(buf: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] = {
+    val item = (a._2, a._3)
+    // fast path: buffer full (kept sorted by trim) and the new item ranks
+    // below the current kth — O(1) reject instead of O(k log k) re-sort
+    if (buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, item)) buf
+    else trim(item +: buf)
+  }
 
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(b1 ++ b2)

@@ -33,16 +33,10 @@ object CsvIngest {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("e"))
       .select(col("raw"), col("e.*"))
-      .withColumn("reject_reason",
-        when(col("_corrupt_record").isNotNull, "malformed_csv")
-          .when(col("event_id").isNull && col("ts").isNull &&
-            col("user_id").isNull && col("event_type").isNull, "malformed_csv")
-          .when(col("event_id").isNull, "missing_event_id")
-          .when(col("ts").isNull, "missing_ts")
-          .when(col("user_id").isNull, "missing_user_id")
-          .when(!col("event_type").isin(JsonIngest.validTypes: _*), "unknown_event_type")
-          .when(col("value").isNotNull && col("value") < 0, "negative_value")
-          .otherwise(lit(null).cast("string")))
+      .withColumn("reject_reason", EventValidation.rejectReason(
+        (col("_corrupt_record").isNotNull ||
+          (col("event_id").isNull && col("ts").isNull &&
+            col("user_id").isNull && col("event_type").isNull), "malformed_csv")))
 
   def readCsv(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path))

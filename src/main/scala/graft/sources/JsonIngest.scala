@@ -29,7 +29,7 @@ object JsonIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  val validTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error")
+  val validTypes: Seq[String] = EventValidation.validTypes
 
   /** lines(value: string) → parsed events + validity verdict.
     * Output columns: parsed fields, `raw`, `reject_reason` (null = valid).
@@ -42,15 +42,9 @@ object JsonIngest {
       .select(col("raw"), col("e.*"))
       // PERMISSIVE mode yields an all-null struct for unparseable input —
       // all key fields null together is the malformed marker
-      .withColumn("reject_reason",
-        when(col("event_id").isNull && col("ts").isNull &&
-          col("user_id").isNull && col("event_type").isNull, "malformed_json")
-          .when(col("event_id").isNull, "missing_event_id")
-          .when(col("ts").isNull, "missing_ts")
-          .when(col("user_id").isNull, "missing_user_id")
-          .when(!col("event_type").isin(validTypes: _*), "unknown_event_type")
-          .when(col("value").isNotNull && col("value") < 0, "negative_value")
-          .otherwise(lit(null).cast("string")))
+      .withColumn("reject_reason", EventValidation.rejectReason(
+        (col("event_id").isNull && col("ts").isNull &&
+          col("user_id").isNull && col("event_type").isNull, "malformed_json")))
 
   // from_json never returns a null struct in PERMISSIVE mode for non-null
   // input; the all-fields-null check above is the malformed marker. Keep a

@@ -48,8 +48,18 @@ object StatefulSession {
           st match {
             case Some(s) if t - s.last_ts > gapMs =>
               close(s); st = Some(SessState(t, t, 1))
+            case Some(s) if s.session_start - t > gapMs =>
+              // far out-of-order (within watermark, but > gap before the
+              // open session): its own earlier session, emitted directly —
+              // state keeps the open session untouched
+              out += SessionOut(userId, new java.sql.Timestamp(t),
+                new java.sql.Timestamp(t), 1)
             case Some(s) =>
-              st = Some(SessState(s.session_start, math.max(s.last_ts, t), s.n + 1))
+              // in-order extend, or late row within gap of the session —
+              // the session window may extend DOWNWARD (batch twin sorts
+              // all events, so its session_start is the true minimum)
+              st = Some(SessState(math.min(s.session_start, t),
+                math.max(s.last_ts, t), s.n + 1))
             case None =>
               st = Some(SessState(t, t, 1))
           }

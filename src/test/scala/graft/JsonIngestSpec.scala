@@ -60,6 +60,21 @@ class JsonIngestSpec extends SparkSpec {
       "extra-column line must be rejected, not truncated")
   }
 
+  test("absent event_type is rejected, not waved through (tri-state isin trap)") {
+    import spark.implicits._
+    // JSON with the field missing entirely
+    val j = JsonIngest.parse(Seq(
+      """{"event_id": 9, "ts": "2024-01-01T00:00:09", "user_id": 1, "value": 1.0, "props": "{}"}""")
+      .toDF("value"))
+    assert(JsonIngest.rejects(j).collect().map(_.getString(1)).toSeq ==
+      Seq("missing_event_type"))
+    // CSV with an empty type token
+    import graft.sources.CsvIngest
+    val c = CsvIngest.parse(Seq("9,2024-01-01T00:00:09,1,,1.0,{}").toDF("value"))
+    assert(CsvIngest.rejects(c).collect().map(_.getString(1)).toSeq ==
+      Seq("missing_event_type"))
+  }
+
   test("streaming parse: same validation through micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

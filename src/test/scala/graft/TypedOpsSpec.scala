@@ -29,6 +29,43 @@ class TypedOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopKAggregator ranks NaN like the SQL window (highest) and stays deterministic") {
+    import spark.implicits._
+    val rows = Seq((1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, 3.0, 12L), (1L, 7.0, 13L))
+      .toDF("o_custkey", "o_totalprice", "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val got = TopKAggregator.topOrdersPerCustomer(rows, 2)
+      .select("rn", "o_orderkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // SQL desc sort: NaN first, then 7.0
+    assert(got == Seq((1L, 10L), (2L, 13L)), s"got $got")
+  }
+
+  test("StatefulSession absorbs a cross-batch late event by extending session_start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[SessEvent]
+    val q = StatefulSession.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("latesess").outputMode("append").start()
+    try {
+      input.addData(Seq(SessEvent(1, t("2024-01-01 12:00:00"), 1)))
+      q.processAllAvailable()
+      // late but within watermark AND within gap of the open session
+      input.addData(Seq(SessEvent(1, t("2024-01-01 11:57:00"), 2)))
+      q.processAllAvailable()
+      // flush via watermark advance
+      input.addData(Seq(SessEvent(99, t("2024-01-01 20:00:00"), 3)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(99, t("2024-01-02 06:00:00"), 4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s1 = spark.table("latesess").filter(col("user_id") === 1)
+      .select(col("session_start").cast("string"), col("n_events")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // batch twin would report start=11:57 with both events in one session
+    assert(s1 == Seq(("2024-01-01 11:57:00", 2L)), s"got $s1")
+  }
+
   test("StatefulSession(flatMapGroupsWithState) closes sessions on gap and timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
