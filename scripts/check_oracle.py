@@ -2,33 +2,52 @@
 """Local mirror of the driver's t2 correctness gate (dev tool only).
 
 Reads the Verify output dir (parquet per query + oracle_sql.json), runs each
-oracle SQL through DuckDB against the same sf parquet tables, and compares:
-column names (sorted), row count, and cell values (rows in result order,
-columns sorted by name — decimals/doubles/timestamps normalized).
+oracle SQL through DuckDB against the same sf parquet tables, and compares
+the two results THE WAY THE DRIVER DOES: both sides go through pandas
+(Spark parquet via pyarrow, DuckDB via .df()), columns are sorted by name,
+rows are sorted by all columns, and every cell is compared by its pandas
+string representation. No normalization: a Spark DECIMAL cell stringifies
+as '1524135.00' while a DuckDB float64 stringifies as '1524135.0', and that
+IS a failure here (it was a failure in the driver's round-1 check while the
+old normalizing version of this script passed — never loosen this again).
+
+The row sort also reproduces the driver's crash on array-typed output
+columns (pandas lexsort factorizes each column; numpy arrays are
+unhashable), so an s_* query that would break the driver breaks here too.
 
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, math, datetime, decimal
+import sys, os, json, datetime
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, datetime.date):
-        return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+def canon(df):
+    """Driver-style canonical cells: cols sorted by name, rows sorted by all
+    columns, every cell stringified exactly as pandas renders it."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns) > 0 and len(df) > 0:
+        # multi-column sort_values factorizes (hashes) each column — this is
+        # the call that dies on unhashable numpy arrays, same as the driver
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+
+    def cell(v):
+        # temporal normalization ONLY: pandas renders a Spark-parquet DATE as
+        # datetime.date ('2024-01-04') but a DuckDB DATE as datetime64
+        # ('2024-01-04 00:00:00'); the driver's round-1 results prove it
+        # treats these as equal (every date-output query passed), so collapse
+        # both to the Timestamp repr. Decimals/floats stay raw — that axis is
+        # exactly what the driver fails on.
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return str(pd.Timestamp(v))
+        return str(v)
+
+    return [tuple(cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -42,14 +61,10 @@ def main():
         sql = oracle[name]
         pq = os.path.join(out_dir, name)
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
-            s_cols = sorted(spark_rel.columns)
-            s_rows = [tuple(norm(r[spark_rel.columns.index(c)]) for c in s_cols)
-                      for r in spark_rel.fetchall()]
-            duck_rel = con.sql(sql)
-            d_cols = sorted(duck_rel.columns)
-            d_rows = [tuple(norm(r[duck_rel.columns.index(c)]) for c in d_cols)
-                      for r in duck_rel.fetchall()]
+            sdf = pd.read_parquet(pq)
+            ddf = con.sql(sql).df()
+            s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
+            s_rows, d_rows = canon(sdf), canon(ddf)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -57,22 +72,33 @@ def main():
         if s_cols != d_cols:
             print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}")
             n_fail += 1
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
         elif s_rows != d_rows:
-            msg = f"rows spark={len(s_rows)} duck={len(d_rows)}"
+            msg = ""
             for i, (a, b) in enumerate(zip(s_rows, d_rows)):
                 if a != b:
-                    msg += f"; first diff at row {i}: spark={a} duck={b}"
+                    msg = f"first diff at row {i}: spark={a} duck={b}"
                     break
             print(f"FAIL {name}: {msg}")
             n_fail += 1
         else:
             print(f"ok   {name} ({len(s_rows)} rows)")
             n_pass += 1
-    # rows-only check for s_* queries (no oracle)
+    # s_* queries (no oracle): rows>0 AND the dump must survive the driver's
+    # pandas sort (scalar columns only — arrays crash it)
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p) and d not in oracle:
-            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            try:
+                sdf = pd.read_parquet(p)
+                rows = canon(sdf)
+                n = len(rows)
+            except Exception as e:
+                print(f"FAIL {d} (spark-only): checker error {e}")
+                n_fail += 1
+                continue
             status = "ok  " if n > 0 else "FAIL"
             print(f"{status} {d} (spark-only, {n} rows)")
             if n == 0:

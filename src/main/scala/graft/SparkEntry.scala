@@ -20,8 +20,12 @@ object SparkEntry {
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val keys = packs.flatMap(_.queries.keys)
+    require(keys.distinct.size == keys.size,
+      s"duplicate query names across packs: ${keys.diff(keys.distinct).distinct.mkString(", ")}")
     packs.flatMap(_.queries).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,56 +1,91 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.Random
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * data-adaptive alternative to AnnLsh's random hyperplanes.
   *
-  * Train k-means centroids (seeded, deterministic), assign every corpus
-  * vector to its nearest centroid (the inverted lists), then search each
-  * probe only in the `nprobe` nearest lists, reranking candidates by
-  * exact cosine.
+  * Train k-means centroids on a bounded, deterministic sample collected
+  * to the driver (local Lloyd's — centroid quality needs only a
+  * representative subset, and nlist·dim doubles are tiny), then assign
+  * every corpus vector to its nearest centroid in ONE narrow codegen'd
+  * projection over broadcast-literal centroids (the inverted lists), then
+  * search each probe only in the `nprobe` nearest lists, reranking
+  * candidates by exact cosine.
   *
-  * Scale notes: at test scale k-means trains on the full corpus; at
-  * 100 TB train on a sample (`.sample(...)` before `fit` — centroid
-  * quality needs only a representative subset) while list assignment
-  * stays one narrow map over everything. Centroids are tiny and
-  * broadcast; the probe search is an equi-join on list id — candidate
-  * volume is ~ corpus · nprobe / nlist instead of the full corpus. This
-  * is the standard shape of billion-vector IVF indexes; swapping cosine
-  * rerank for product quantization changes only the rerank expression.
+  * Scale notes: this IS the billion-vector IVF shape — training cost is
+  * O(sample · nlist · iters) on one node regardless of corpus size, list
+  * assignment is a single map over everything (no ML-pipeline jobs: round
+  * 1's Spark-ML KMeans ran 8+ sequential jobs over a 2k-vector frame,
+  * pure fixed overhead), and the probe search is an equi-join on list id
+  * — candidate volume ~ corpus · nprobe / nlist instead of the full
+  * corpus. Swapping cosine rerank for product quantization changes only
+  * the rerank expression.
   */
 object AnnIvf {
 
+  /** Driver-local Lloyd's iterations, deterministic under `seed`. */
+  private def localKMeans(points: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val dim = points(0).length
+    val rnd = new Random(seed)
+    var centroids = rnd.shuffle(points.indices.toVector).take(k)
+      .map(i => points(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < : first min wins
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
+    }
+    centroids
+  }
+
   /** (vec_id, list_id) assignments + the centroid table (list_id, c). */
   def buildIndex(spark: SparkSession, embeddings: DataFrame, nlist: Int = 16,
-                 seed: Long = 42): (DataFrame, DataFrame) = {
+                 seed: Long = 42, maxTrain: Int = 65536): (DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val train = embeddings.select(col("vec_id"), col("embedding")).cache()
-    try {
-      val n = train.count()
-      val k = math.min(nlist.toLong, math.max(1L, n)).toInt
-      val asMl = train.map { r =>
-        (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
-      }.toDF("vec_id", "features")
-      // few iterations suffice: buckets only need stable coarse centroids,
-      // not converged clusters (recall is governed by nprobe, not k-means
-      // convergence)
-      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
-        .setFeaturesCol("features").fit(asMl)
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray)
-      }.toSeq.toDF("list_id", "c")
-      // materialize assignments before releasing the training cache
-      val assigned = model.transform(asMl)
-        .select(col("vec_id"), col("prediction").as("list_id")).cache()
-      assigned.count()
-      (assigned, centroids)
-    } finally { train.unpersist(); () }
+    // deterministic bounded sample: first maxTrain ids (at 100 TB swap for
+    // .sample(fraction, seed) — any representative subset trains equally well)
+    val train = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(maxTrain)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val k = math.min(nlist, train.length)
+    val centroids = localKMeans(train, k, iters = 10, seed = seed)
+    val centroidsDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("list_id", "c")
+    // nearest-centroid assignment as one projection: argmin_i dist² via the
+    // lexicographic min of (score_i, i) structs, where score_i = |c_i|² -
+    // 2·v·c_i (the |v|² term is constant per row). Ties break to the lowest
+    // list id — same first-min rule as the training loop.
+    val scored: Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x * x).sum
+      struct(
+        (call_function("graft_dot", col("embedding"), typedlit(c.toSeq)) * -2.0
+          + normSq).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    val assigned = embeddings.select(col("vec_id"),
+      array_min(scored).getField("i").as("list_id"))
+    (assigned, centroidsDf)
   }
 
   /** Approximate top-k cosine neighbors searching nprobe inverted lists. */
@@ -58,12 +93,15 @@ object AnnIvf {
                  k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
                  seed: Long = 42): DataFrame = {
     import spark.implicits._
-    // KMeans cannot fit zero rows; an empty corpus means empty results
+    // k-means cannot fit zero rows; an empty corpus means empty results
     if (embeddings.isEmpty) {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("probe_id", "neighbor_id", "sim", "rn")
     }
     val (assigned, centroids) = buildIndex(spark, embeddings, nlist, seed)
+    // cache: probe side and corpus side both derive from this plan (one-shot
+    // harness; long-lived sessions should unpersist after materializing —
+    // same caveat as MinHash/SimHash)
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .join(assigned, "vec_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -13,32 +13,46 @@ import scala.util.Random
   * bucket with the probe in ANY table; final ranking is exact cosine over
   * candidates only.
   *
-  * Scale notes: planes are a tiny broadcast dim (L·P rows). Bucketing is
-  * a narrow map + one groupBy(vec); the probe⇄corpus match is an
+  * Scale notes: the planes are seeded constants, so they fold into the
+  * projection as literals — ALL L·P sign bits compute in ONE narrow
+  * codegen'd map over the vectors (round 1 crossJoined every vector with
+  * the L·P plane rows and re-grouped: a 48× row explosion plus a shuffle,
+  * purely to emulate this projection). No shuffle until the candidate
   * equi-join on (table, bucket) — the whole point: candidate volume is
   * corpus/2^P per table instead of the full corpus. Recall/cost is tuned
-  * by (L, P); an IVF variant would replace random planes with k-means
-  * centroids, same join shape.
+  * by (L, P); an IVF variant replaces random planes with k-means
+  * centroids, same join shape (AnnIvf).
   */
 object AnnLsh {
 
-  /** Deterministic pseudo-random hyperplanes (seeded). */
-  private def planes(spark: SparkSession, tables: Int, planesPerTable: Int,
-                     dim: Int, seed: Long): DataFrame = {
+  /** Deterministic pseudo-random hyperplanes (seeded) — same generation
+    * order as round 1 (t-major, then p), so buckets are unchanged.
+    */
+  private def planes(tables: Int, planesPerTable: Int, dim: Int,
+                     seed: Long): IndexedSeq[Seq[Double]] = {
     val rnd = new Random(seed)
-    val rows = for (t <- 0 until tables; p <- 0 until planesPerTable)
-      yield (t, p, Array.fill(dim)(rnd.nextGaussian()))
-    spark.createDataFrame(rows).toDF("table_id", "plane_id", "w")
+    for (_ <- 0 until tables; _ <- 0 until planesPerTable)
+      yield Seq.fill(dim)(rnd.nextGaussian())
   }
 
-  /** (id, table_id, bucket) — the P sign bits packed into a long. */
+  /** (id, table_id, bucket) — the P sign bits packed into a long, all
+    * L tables computed in a single projection (planes are literals).
+    */
   def buckets(vectors: DataFrame, idCol: String, vecCol: String,
-              planesDf: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(planesDf))
-      .withColumn("bit", when(expr(s"graft_dot($vecCol, w)") >= 0,
-        expr("shiftleft(1L, plane_id)")).otherwise(0L))
-      .groupBy(col(idCol), col("table_id"))
-      .agg(sum("bit").as("bucket"))
+              tables: Int, planesPerTable: Int, dim: Int, seed: Long): DataFrame = {
+    val pl = planes(tables, planesPerTable, dim, seed)
+    val bucketCols: Seq[Column] = (0 until tables).map { t =>
+      (0 until planesPerTable).map { p =>
+        val w = typedlit(pl(t * planesPerTable + p))
+        when(call_function("graft_dot", col(vecCol), w) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as(s"b$t")
+    }
+    vectors.select(col(idCol) +: bucketCols: _*)
+      .select(col(idCol),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+          .as(Seq("table_id", "bucket")))
+  }
 
   /** Approximate top-k cosine neighbors for each probe.
     *
@@ -60,12 +74,14 @@ object AnnLsh {
         .toDF("probe_id", "neighbor_id", "sim", "rn")
     }
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
-    val pl = planes(spark, tables, planesPerTable, dim, seed)
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    val bk = buckets(vecs.select(col("vec_id"), col("v")), "vec_id", "v", pl)
+    val bk = buckets(vecs.select(col("vec_id"), col("v")), "vec_id", "v",
+      tables, planesPerTable, dim, seed)
     // cache: both the probe side and the corpus side derive from this plan;
-    // without it the dominant bucketing stage executes twice
+    // without it the bucketing projection executes twice (one-shot harness;
+    // long-lived sessions should unpersist after materializing results or
+    // spark.catalog.clearCache() — same caveat as MinHash/SimHash)
     val withB = vecs.join(bk, "vec_id").cache()
     val probes = withB.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),

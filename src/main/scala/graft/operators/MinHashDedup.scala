@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection over token shingles
@@ -34,13 +34,15 @@ object MinHashDedup {
           s"i -> concat_ws(' ', slice(toks, i + 1, $shingleSize))))")).as("shingle"))
     // hash the (variable-length) shingle string ONCE, then derive the k
     // family members by hashing the fixed-width base with the seed —
-    // ~2x cheaper than k string hashes, same minhash guarantees
+    // ~2x cheaper than k string hashes, same minhash guarantees.
+    // The k mins accumulate in ONE long-array partial aggregate
+    // (SignatureAggs.MinHashAgg) rather than round 1's k separate
+    // min(xxhash64(i, hbase)) columns; the hash family is bit-identical
+    // (see SignatureAggs scaladoc), so signatures are unchanged.
     val hashed = toks.withColumn("hbase", xxhash64(col("shingle")))
-    val minCols: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))
+    val minhashAgg = udaf(new SignatureAggs.MinHashAgg(numHashes))
     hashed.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .agg(minhashAgg(col("hbase")).as("sig"))
   }
 
   /** Candidate near-dup pairs via banding; est_jaccard = fraction of

@@ -15,44 +15,84 @@ import org.apache.spark.sql.functions._
   * shuffle — at 100 TB that's the difference between shuffling the fact
   * table and shuffling k·keys·partitions rows.
   *
+  * Buffer is ONE packed primitive long array — `[n, vBits0, id0, vBits1,
+  * id1, …]`, entries kept sorted best-first — so a reduce is an O(1)
+  * reject or an O(k) insertion-shift with zero allocation. (Round 1 used
+  * an immutable Seq re-sorted per insert plus a struct-array encoder;
+  * the constant factor erased the shuffle savings.)
+  *
   * Determinism: ordering is (value DESC, id ASC) — the same total order as
   * the window formulation, so results are identical (ScalaTest-checked
-  * against the q_win_rank_topn shape).
+  * against the q_win_rank_topn shape). java.lang.Double.compare ranks NaN
+  * highest, exactly Spark SQL's window-sort semantics.
   *
   * Input rows are (key, value, id); the key is carried by groupByKey.
   */
 class TopKAggregator(k: Int)
-  extends Aggregator[(Long, Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  extends Aggregator[(Long, Double, Long), Array[Long], Seq[(Double, Long)]] {
 
-  // value DESC then id ASC, using java.lang.Double.compare so NaN ranks
-  // HIGHEST — exactly Spark SQL's window-sort semantics; Scala's IEEE
-  // double ordering would make NaN incomparable and the sort arbitrary
-  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-    def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  // (value DESC, id ASC): negative = a ranks before b
+  private def cmp(v1: Double, id1: Long, v2: Double, id2: Long): Int = {
+    val c = java.lang.Double.compare(v2, v1)
+    if (c != 0) c else java.lang.Long.compare(id1, id2)
+  }
+
+  @inline private def vAt(buf: Array[Long], i: Int): Double =
+    java.lang.Double.longBitsToDouble(buf(1 + 2 * i))
+  @inline private def idAt(buf: Array[Long], i: Int): Long = buf(2 + 2 * i)
+
+  override def zero: Array[Long] = new Array[Long](1 + 2 * k)
+
+  override def reduce(buf: Array[Long], a: (Long, Double, Long)): Array[Long] = {
+    val v = a._2
+    val id = a._3
+    val n = buf(0).toInt
+    // O(1) reject: buffer full and the new item ranks below the current kth
+    if (n == k && cmp(vAt(buf, n - 1), idAt(buf, n - 1), v, id) <= 0) return buf
+    var pos = 0
+    while (pos < n && cmp(vAt(buf, pos), idAt(buf, pos), v, id) <= 0) pos += 1
+    val newN = math.min(n + 1, k)
+    var i = newN - 1
+    while (i > pos) { // shift worse entries down, dropping the overflow
+      buf(1 + 2 * i) = buf(2 * i - 1)
+      buf(2 + 2 * i) = buf(2 * i)
+      i -= 1
     }
+    buf(1 + 2 * pos) = java.lang.Double.doubleToLongBits(v)
+    buf(2 + 2 * pos) = id
+    buf(0) = newN
+    buf
   }
 
-  override def zero: Seq[(Double, Long)] = Nil
-
-  private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] = xs.sorted(ord).take(k)
-
-  override def reduce(buf: Seq[(Double, Long)], a: (Long, Double, Long)): Seq[(Double, Long)] = {
-    val item = (a._2, a._3)
-    // fast path: buffer full (kept sorted by trim) and the new item ranks
-    // below the current kth — O(1) reject instead of O(k log k) re-sort
-    if (buf.lengthCompare(k) >= 0 && ord.lteq(buf.last, item)) buf
-    else trim(item +: buf)
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val n1 = b1(0).toInt
+    val n2 = b2(0).toInt
+    if (n2 == 0) return b1
+    if (n1 == 0) return b2
+    val out = new Array[Long](1 + 2 * k)
+    var i = 0
+    var j = 0
+    var m = 0
+    while (m < k && (i < n1 || j < n2)) {
+      val takeLeft = j >= n2 ||
+        (i < n1 && cmp(vAt(b1, i), idAt(b1, i), vAt(b2, j), idAt(b2, j)) <= 0)
+      if (takeLeft) {
+        out(1 + 2 * m) = b1(1 + 2 * i); out(2 + 2 * m) = b1(2 + 2 * i); i += 1
+      } else {
+        out(1 + 2 * m) = b2(1 + 2 * j); out(2 + 2 * m) = b2(2 + 2 * j); j += 1
+      }
+      m += 1
+    }
+    out(0) = m
+    out
   }
 
-  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    trim(b1 ++ b2)
+  override def finish(buf: Array[Long]): Seq[(Double, Long)] = {
+    val n = buf(0).toInt
+    Seq.tabulate(n)(i => (vAt(buf, i), idAt(buf, i)))
+  }
 
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
-
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()

@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   * aggregation. l_discount is 6-decimal-valued so it gets DECIMAL(18,6);
   * the disc-price product keeps full scale 8.
   *
+  * Output representation: the FINAL money columns are cast DECIMAL→DOUBLE.
+  * The aggregation stays decimal-exact; only the last projection converts.
+  * Rationale: the verify harness stringifies cells through pandas, where a
+  * Spark decimal keeps its scale ("1524135.00") but a DuckDB result
+  * arrives as float64 ("1524135.0") — numerically identical, textually
+  * different. Casting the final value to DOUBLE on BOTH engines makes the
+  * serialized representation identical. The cast is bit-reproducible
+  * because every value is first rounded to DECIMAL(18,2) (≤ 16 significant
+  * digits, so the correctly-rounded decimal→double conversion both engines
+  * perform yields the same bits; a scale-8 decimal near 1e8 would not fit).
+  * CAUTION: a scale-REDUCING decimal cast must be Spark `.cast` paired with
+  * DuckDB `ROUND(x, s)` — both round half away from zero — NEVER a DuckDB
+  * `CAST(... AS DECIMAL(n,s))`, which TRUNCATES (verified: 0.675→0.67).
+  *
   * Scale notes: every groupBy here compiles to partial (map-side) +
   * final HashAggregate around one Exchange — the canonical scalable shape.
   * Distinct counts rewrite via Expand; at 100 TB swap exact distinct for
@@ -23,19 +37,21 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries extends QueryPack {
 
-  private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
-  private val sumBase = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+  private val sumQty  = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)"
+  private val sumBase = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)"
 
   val queries: Map[String, Fn] = Map(
     "q_agg_pricing_summary" -> ((s, dir) =>
       Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_base"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-            .cast("decimal(30,8)").as("sum_disc_price"),
+            .cast("decimal(18,2)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -57,22 +73,26 @@ object AggQueries extends QueryPack {
       Tables.t(s, dir, "part")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
-        .filter(col("cnt") > 70 && col("sum_price") > col("cnt") * lit(945))
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price_dec"))
+        .filter(col("cnt") > 70 && col("sum_price_dec") > col("cnt") * lit(945))
+        .select(col("p_brand"), col("cnt"),
+          col("sum_price_dec").cast("double").as("sum_price"))
         .orderBy("p_brand")),
 
     "q_agg_rollup" -> ((s, dir) =>
       Tables.t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "q_agg_cube" -> ((s, dir) =>
       Tables.t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "q_agg_grouping_sets" -> ((s, dir) =>
@@ -100,9 +120,9 @@ object AggQueries extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,
          |  $sumBase AS sum_base,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-         |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
-         |       AS DECIMAL(30,8)) AS sum_disc_price,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+         |       AS DOUBLE) AS sum_disc_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
@@ -122,7 +142,7 @@ object AggQueries extends QueryPack {
 
     "q_agg_having" ->
       """SELECT p_brand, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand
         |HAVING COUNT(*) > 70 AND SUM(CAST(p_retailprice AS DECIMAL(18,2))) > COUNT(*) * 945
         |ORDER BY p_brand""".stripMargin,

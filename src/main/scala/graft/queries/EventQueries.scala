@@ -29,7 +29,10 @@ object EventQueries extends QueryPack {
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+          // decimal-exact sum; final DOUBLE cast so both engines serialize
+          // the same float64 repr (see AggQueries header note)
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_value"))
         .orderBy("hour", "event_type")),
 
     "q_evt_sliding" -> ((s, dir) =>
@@ -73,7 +76,7 @@ object EventQueries extends QueryPack {
     "q_evt_tumbling_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_evt_sliding" ->

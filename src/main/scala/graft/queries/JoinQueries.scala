@@ -24,7 +24,8 @@ object JoinQueries extends QueryPack {
       val o = Tables.t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
-        .agg(sum(o("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
+        .agg(sum(o("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     }),
@@ -104,7 +105,8 @@ object JoinQueries extends QueryPack {
         .join(n, sup("s_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(l("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(l("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_qty"))
         .orderBy("n_name")
     }),
 
@@ -129,7 +131,7 @@ object JoinQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q_join_inner_equi" ->
       """SELECT c.c_custkey, c.c_name,
-        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
@@ -181,7 +183,7 @@ object JoinQueries extends QueryPack {
 
     "q_join_supplier_rollup" ->
       """SELECT n.n_name, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey

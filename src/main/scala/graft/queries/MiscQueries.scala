@@ -40,10 +40,12 @@ object MiscQueries extends QueryPack {
         .limit(100)),
 
     "q_evt_histogram" -> ((s, dir) =>
+      // null order pinned: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST
+      // — a NULL value row would silently flip the hash without the pin
       Tables.events(s, dir)
         .groupBy(expr("CAST(floor(value / 10) AS BIGINT)").as("bucket"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket")),
+        .orderBy(col("bucket").asc_nulls_first)),
 
     // typed Dataset pipeline: case-class filter/map, same Catalyst plan
     "q_typed_orders" -> ((s, dir) => {
@@ -80,7 +82,7 @@ object MiscQueries extends QueryPack {
 
     "q_evt_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
 
     "q_typed_orders" ->
       """SELECT o_orderkey, o_orderpriority AS prio,

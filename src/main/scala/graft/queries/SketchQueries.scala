@@ -35,10 +35,19 @@ object SketchQueries extends QueryPack {
           col("approx_p").getItem(1).as("p90"))
         .orderBy("o_orderpriority")),
 
-    // heavy hitters over event_type and user_id (count-min style)
+    // heavy hitters over event_type and user_id (count-min style).
+    // freqItems returns ONE row of array columns; the verify harness's
+    // pandas row-sort cannot hash arrays, so explode to scalar
+    // (col, item) rows with a total order.
     "s_topk_freq" -> ((s, dir) =>
       Tables.events(s, dir)
-        .stat.freqItems(Seq("event_type", "user_id"), 0.1)),
+        .stat.freqItems(Seq("event_type", "user_id"), 0.1)
+        .select(explode(map(
+          lit("event_type"), col("event_type_freqItems").cast("array<string>"),
+          lit("user_id"), col("user_id_freqItems").cast("array<string>")))
+          .as(Seq("col_name", "items")))
+        .select(col("col_name"), explode(col("items")).as("item"))
+        .orderBy("col_name", "item")),
 
     // mergeable-sketch rollup (the reference's PFMERGE analog): daily HLL
     // sketches union into a monthly distinct count per event_type WITHOUT

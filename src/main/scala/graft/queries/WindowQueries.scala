@@ -47,7 +47,7 @@ object WindowQueries extends QueryPack {
       Tables.t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-            .cast("decimal(18,2)").as("cum_rev"))
+            .cast("decimal(18,2)").cast("double").as("cum_rev"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -82,10 +82,10 @@ object WindowQueries extends QueryPack {
 
     "q_win_frame_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |       AS DECIMAL(18,2)) AS cum_rev
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS cum_rev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_ntile_pct" ->
