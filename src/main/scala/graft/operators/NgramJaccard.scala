@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram (shingle) Jaccard near-duplicate pairs via an inverted-index
+  * equi-join — the exact-similarity twin of MinHashDedup.
+  *
+  * Pairs are generated ONLY for documents sharing a shingle (equi-join on
+  * the shingle hash), never as a cross product. Two pruning levels:
+  *
+  *  - df == 1 (always on, EXACT): a shingle in only one document can never
+  *    contribute to an intersection; dropping it before the pair join cuts
+  *    the dominant join input by the singleton fraction with zero semantic
+  *    change (union sizes are counted beforehand).
+  *  - df > `dfCutoff` (optional, APPROXIMATE): a shingle appearing in k
+  *    documents contributes k² candidate pairs, so one viral shingle (a
+  *    boilerplate header, a template sentence) makes the join quadratic at
+  *    100 TB. Dropping high-df shingles bounds the per-shingle fan-out at
+  *    cutoff²; intersections shrink by at most the number of dropped
+  *    shingles two documents shared, so reported Jaccard is a LOWER bound
+  *    and the pair set a subset — standard near-dup practice (high-df
+  *    shingles carry no dedup signal anyway). Output is provably identical
+  *    whenever every shared shingle's df is at or below the cutoff
+  *    (ScalaTest-checked on this corpus).
+  */
+object NgramJaccard {
+
+  /** Pairs with Jaccard >= threshNum/threshDen over distinct 3-gram
+    * shingles. The threshold is exact integer arithmetic
+    * (J >= num/den ⇔ den·∩ >= num·∪) — no float-boundary ambiguity.
+    */
+  def pairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+            threshNum: Int = 1, threshDen: Int = 10,
+            dfCutoff: Option[Long] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle_s"))
+      // shuffle 8-byte hashes, not shingle strings: intersection counting
+      // only needs equality, and xxhash64 is collision-free on this
+      // corpus's shingle cardinality (verified; at 100 TB use a 128-bit
+      // hash for the same guarantee)
+      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfFilter = dfCutoff match {
+      case Some(cut) => col("df") > 1 && col("df") <= cut
+      case None      => col("df") > 1
+    }
+    // no broadcast hint: the shared-shingle set is data-dependent and can
+    // be large at scale — AQE demotes/promotes the join strategy at runtime
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(dfFilter).select("shingle")
+    val shPruned = sh.join(shared, "shingle")
+    val a = shPruned.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = shPruned.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
+    val inter = a.join(b, col("shingle") === col("b_shingle") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
+    val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
+    inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+      .filter(col("inter") * threshDen >= (col("a_n") + col("b_n") - col("inter")) * threshNum)
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("a_n") + col("b_n") - col("inter")), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact, shuffle-parallel ntile + percent_rank — the 100 TB twin of
+  * q_win_ntile_pct's empty-partition global window (which Spark executes
+  * on a SINGLE reducer: every row moves to one task).
+  *
+  * Shape: range-repartition on the sort key (Spark samples split points,
+  * so partitions are balanced), sort within partitions, then convert the
+  * per-partition row index to a GLOBAL rank via zipWithIndex (one tiny
+  * extra job collecting just the partition sizes — the standard
+  * distributed ranking idiom). ntile/percent_rank are then pure per-row
+  * arithmetic on (rank, n):
+  *
+  *   ntile(k):  the first n % k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋
+  *              (exactly Spark's NTile semantics, reproduced closed-form);
+  *   percent_rank = (rank - 1) / (n - 1)   (0 when n == 1).
+  *
+  * Output is row-for-row identical to the window formulation because the
+  * total order (o_totalprice, o_orderkey) is unique — ScalaTest-checked.
+  */
+object ScalableNtile {
+
+  /** (o_orderkey, decile, pct) over orders, matching q_win_ntile_pct. */
+  def ntilePct(orders: DataFrame, k: Int, partitions: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val keyed = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val n = keyed.count()
+    if (n == 0L) {
+      return Seq.empty[(Long, Long, Double)].toDF("o_orderkey", "decile", "pct")
+    }
+    val ranked = keyed
+      .repartitionByRange(partitions, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions("o_totalprice", "o_orderkey")
+      .rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getLong(0), idx + 1) } // 1-based rank
+      .toDF("o_orderkey", "r")
+    val bucketSize = n / k
+    val rem = n % k
+    val threshold = rem * (bucketSize + 1) // rows covered by the big buckets
+    // integer `div`, not `/` (Column./ is double division)
+    val decile =
+      if (bucketSize == 0L) col("r") // n < k: each row its own bucket
+      else when(col("r") <= threshold,
+          expr(s"(r - 1) div ${bucketSize + 1} + 1"))
+        .otherwise(expr(s"$rem + (r - 1 - $threshold) div $bucketSize + 1"))
+    val pct =
+      if (n == 1L) lit(0.0)
+      else round((col("r") - 1).cast("double") / lit((n - 1).toDouble), 6)
+    ranked.select(col("o_orderkey"),
+        decile.cast("long").as("decile"),
+        pct.as("pct"))
+      .orderBy("o_orderkey")
+  }
+}

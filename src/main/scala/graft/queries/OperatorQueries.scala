@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnIvf, AnnLsh, Multimodal, MinHashDedup, SimHashDedup, TopKAggregator}
+import graft.operators.{AnnIvf, AnnLsh, Multimodal, MinHashDedup, NgramJaccard, ScalableNtile, SimHashDedup, TopKAggregator}
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
   * driver rows-only check + ScalaTest error bounds vs exact twins).
@@ -32,7 +32,18 @@ object OperatorQueries extends QueryPack {
 
     // typed bounded top-k Aggregator (map-side-combinable window-topk twin)
     "s_topk_per_key" -> ((s, dir) =>
-      TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3))
+      TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3)),
+
+    // df-cutoff n-gram Jaccard — the 100 TB guard against viral shingles
+    // making the candidate join quadratic; identical to the exact twin
+    // whenever every shared shingle's df <= cutoff (ScalaTest-proven)
+    "s_dedup_ngram_dfcut" -> ((s, dir) =>
+      NgramJaccard.pairs(Tables.t(s, dir, "documents"), dfCutoff = Some(64L))),
+
+    // exact scalable ntile twin: range-repartition global rank instead of
+    // a single-reducer global window; identical output to q_win_ntile_pct
+    "s_win_ntile_scalable" -> ((s, dir) =>
+      ScalableNtile.ntilePct(Tables.t(s, dir, "orders"), 10))
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -85,44 +85,10 @@ object PipelineQueries extends QueryPack {
         .limit(100)),
 
     // ---- near-dup by 3-gram shingle Jaccard (inverted-index join) ----
-    "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.t(s, dir, "documents")
-      val sh = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(toks) - 3)," +
-            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle_s"))
-        // shuffle 8-byte hashes, not shingle strings: intersection counting
-        // only needs equality, and xxhash64 is collision-free on this
-        // corpus's shingle cardinality (verified; at 100 TB use a 128-bit
-        // hash for the same guarantee)
-        .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // Exact pruning: a shingle appearing in only one document can never
-      // contribute to an intersection — drop it BEFORE the pair join
-      // (union sizes above already counted it). Cuts the dominant join
-      // input by the singleton fraction with zero semantic change.
-      val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1).select("shingle")
-      // no broadcast hint: the shared-shingle set is data-dependent and can
-      // be large at scale — AQE demotes/promotes the join strategy at runtime
-      val shPruned = sh.join(shared, "shingle")
-      val a = shPruned.select(col("doc_id").as("a_id"), col("shingle"))
-      val b = shPruned.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
-      val inter = a.join(b, col("shingle") === col("b_shingle") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-      val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-      inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
-        // threshold as exact integer arithmetic (J >= 0.1 ⇔ 10·∩ >= ∪) —
-        // no cross-engine float-boundary ambiguity
-        .filter(col("inter") * 10 >= col("a_n") + col("b_n") - col("inter"))
-        .select(col("a_id"), col("b_id"),
-          round(col("inter").cast("double") /
-            (col("a_n") + col("b_n") - col("inter")), 6).as("jaccard"))
-        .orderBy("a_id", "b_id")
-    }),
+    // exact form (no df-cutoff): see graft.operators.NgramJaccard for the
+    // plan and the 100 TB df-cutoff variant (s_dedup_ngram_dfcut)
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents"))),
 
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.sources.JsonIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The reference's full serving topology, end to end: a continuously-
+  * running ingestion stream (directory-tailing NDJSON source → validated
+  * JsonIngest with a dead-letter channel) feeding KEYED, INCREMENTALLY
+  * UPDATED serving views that a read path queries cheaply — the streaming
+  * analog of INCRBY / PFADD+PFCOUNT / ZINCRBY workers plus their GET /
+  * PFCOUNT / ZRANGE readers.
+  *
+  * Views (all mergeable, so updates touch only the micro-batch's keys):
+  *  - counts_per_user  (hour, user_id) → cnt, sum_value — merged by SUM
+  *  - uniques_hourly   (hour) → DataSketches HLL binary — merged by
+  *    hll_union_agg; the estimate is computed on READ, so daily sketches
+  *    also roll up into arbitrary windows without touching raw data
+  *  - topk_hourly — derived from counts_per_user on read (a ZRANGE over
+  *    merged ZINCRBY state, not separate state)
+  *
+  * Exactly-once: foreachBatch is at-least-once, so each commit is
+  * transactional on batchId — snapshots are written to versioned
+  * directories and a pointer file flips atomically (write-temp + move);
+  * a replayed batchId is detected and SKIPPED, so restarts from the
+  * checkpoint cannot double-count (ScalaTest-proven by killing and
+  * re-running the stream).
+  *
+  * Scale notes: the merge reads the previous snapshot and writes a new
+  * one — on a real cluster the snapshot directories are a partitioned
+  * table and the merge rewrites only the partitions the micro-batch
+  * touched (hour-partitioning bounds that to the watermark horizon); the
+  * pointer-flip commit protocol is unchanged. State per view is bounded
+  * by key cardinality, not stream length, because every merge is
+  * associative (sums, HLL union).
+  */
+object ServingSink {
+
+  private def commitFile(storeDir: String) = Paths.get(storeDir, "_COMMIT")
+
+  /** Last committed batch id, -1 if the store is empty. */
+  def committedBatch(storeDir: String): Long = {
+    val f = commitFile(storeDir)
+    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+  }
+
+  private def snapshot(storeDir: String, table: String, batchId: Long): String =
+    s"$storeDir/$table/v$batchId"
+
+  private def currentSnapshot(spark: SparkSession, storeDir: String,
+                              table: String): Option[DataFrame] = {
+    val b = committedBatch(storeDir)
+    if (b < 0) None
+    else {
+      val p = snapshot(storeDir, table, b)
+      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
+  }
+
+  /** Idempotent micro-batch commit: merge the batch into both keyed views,
+    * append its rejects to the dead-letter channel, then flip the pointer.
+    * A batchId at or below the committed pointer is a checkpoint replay
+    * and is skipped entirely.
+    */
+  def upsertBatch(spark: SparkSession, storeDir: String,
+                  parsed: DataFrame, batchId: Long): Unit = {
+    if (batchId <= committedBatch(storeDir)) return // replayed batch
+    val batch = parsed.cache()
+    try {
+      val valid = JsonIngest.valid(batch)
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          col("user_id"), col("value"))
+
+      // dead-letter channel: one directory per batch id → overwrite is
+      // idempotent under replay even before the pointer flips
+      JsonIngest.rejects(batch).write.mode("overwrite")
+        .parquet(s"$storeDir/rejects/v$batchId")
+
+      // INCRBY view: merge by addition on (hour, user_id)
+      val countsDelta = valid.groupBy("hour", "user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      val countsMerged = currentSnapshot(spark, storeDir, "counts_per_user") match {
+        case Some(cur) => cur.unionByName(countsDelta)
+          .groupBy("hour", "user_id")
+          .agg(sum("cnt").cast("long").as("cnt"),
+            sum("sum_value").cast("decimal(18,2)").as("sum_value"))
+        case None => countsDelta
+      }
+      countsMerged.write.mode("overwrite")
+        .parquet(snapshot(storeDir, "counts_per_user", batchId))
+
+      // PFADD/PFMERGE view: merge by HLL union on (hour); binary sketches
+      // stay mergeable so the read path can also roll hours into days
+      val uniqDelta = valid.groupBy("hour")
+        .agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+      val uniqMerged = currentSnapshot(spark, storeDir, "uniques_hourly") match {
+        case Some(cur) => cur.unionByName(uniqDelta)
+          .groupBy("hour").agg(expr("hll_union_agg(sketch)").as("sketch"))
+        case None => uniqDelta
+      }
+      uniqMerged.write.mode("overwrite")
+        .parquet(snapshot(storeDir, "uniques_hourly", batchId))
+
+      // atomic pointer flip commits all snapshots of this batch at once
+      val tmp = Files.createTempFile(Paths.get(storeDir), "_commit", ".tmp")
+      Files.writeString(tmp, batchId.toString, StandardCharsets.UTF_8)
+      Files.move(tmp, commitFile(storeDir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Launch the full topology: tail `inDir` for NDJSON event files,
+    * validate, and upsert the serving views under `storeDir`. AvailableNow
+    * drains what exists and stops (tests/backfills); ProcessingTime runs
+    * continuously.
+    */
+  def start(spark: SparkSession, inDir: String, storeDir: String,
+            ckptDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    Files.createDirectories(Paths.get(storeDir))
+    JsonIngest.streamJsonLines(spark, inDir)
+      .writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        upsertBatch(spark, storeDir, df, id))
+      .option("checkpointLocation", ckptDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  // ---- read path (the GET / PFCOUNT / ZRANGE analogs) ----
+
+  /** Keyed point-readable per-user counters. */
+  def countsPerUser(spark: SparkSession, storeDir: String): DataFrame =
+    currentSnapshot(spark, storeDir, "counts_per_user")
+      .getOrElse(spark.emptyDataFrame)
+
+  /** Distinct users per hour, estimated from the merged sketch. */
+  def uniquesHourly(spark: SparkSession, storeDir: String): DataFrame =
+    currentSnapshot(spark, storeDir, "uniques_hourly") match {
+      case Some(df) => df.select(col("hour"),
+        expr("hll_sketch_estimate(sketch)").as("approx_users"))
+      case None => spark.emptyDataFrame
+    }
+
+  /** Top-k users per hour by event count (ZRANGE over merged state). */
+  def topkHourly(spark: SparkSession, storeDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("hour").orderBy(col("cnt").desc, col("user_id"))
+    countsPerUser(spark, storeDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -142,4 +142,37 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(approx(prio)._2 - p90) / p90 < 0.05)
     }
   }
+
+  test("ngram df-cutoff: identical to the exact join when cutoff covers max df; subset below") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val exact = NgramJaccard.pairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cutoff above every shared shingle's document frequency → provably identical
+    val generous = NgramJaccard.pairs(docs, dfCutoff = Some(1000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(generous.toSeq == exact.toSeq,
+      "df-cutoff above max df must not change a single pair")
+    // tight cutoff → pair set is a subset with lower-bound jaccard
+    val tight = NgramJaccard.pairs(docs, dfCutoff = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    // intersections only shrink, unions are unchanged → every surviving
+    // pair exists in the exact result with jaccard at least as large
+    tight.foreach { case (pair, j) =>
+      assert(exactMap.contains(pair), s"cutoff invented pair $pair")
+      assert(j <= exactMap(pair) + 1e-9, s"cutoff raised jaccard for $pair")
+    }
+  }
+
+  test("s_win_ntile_scalable == q_win_ntile_pct, row for row") {
+    val win = SparkEntry.queries("q_win_ntile_pct")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val scalable = ScalableNtile.ntilePct(Tables.t(spark, sfDir, "orders"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scalable == win, "scalable ntile must reproduce the window exactly")
+    // and again under a different partition count — rank must be partition-invariant
+    val scalable7 = ScalableNtile.ntilePct(Tables.t(spark, sfDir, "orders"), 10, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scalable7 == win, "ntile must be invariant to the repartition width")
+  }
 }
