@@ -96,6 +96,75 @@ class TypedOpsSpec extends SparkSpec {
     assert(rows.contains((1L, "2024-01-01 00:45:00", 1L)), s"timeout-closed session missing: $rows")
   }
 
+  test("StatefulSession merges far-out-of-order events across micro-batches like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[SessEvent]
+    // watermark horizon longer than the gap — the only regime where
+    // far-out-of-order-but-admissible events exist at all
+    val q = StatefulSession.sessionize(input.toDS(), watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("ooosess").outputMode("append").start()
+    try {
+      // open session at 12:00, then two far-out-of-order events (> gap
+      // before its start) arriving in DIFFERENT micro-batches, mutually
+      // within the gap — the batch twin sorts and yields ONE session
+      // [10:00, 10:10] n=2; pre-fix streaming emitted two singletons
+      input.addData(Seq(SessEvent(1, t("2024-01-01 12:00:00"), 1)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(1, t("2024-01-01 10:00:00"), 2)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(1, t("2024-01-01 10:10:00"), 3)))
+      q.processAllAvailable()
+      // and a bridging late event: lands BETWEEN [10:00,10:10] and
+      // [12:00] … within gap of neither (11:00 is 50min from 10:10 and
+      // 60min before 12:00) so it opens a third buffered session
+      input.addData(Seq(SessEvent(1, t("2024-01-01 11:00:00"), 4)))
+      q.processAllAvailable()
+      // flush everything via a far-future watermark
+      input.addData(Seq(SessEvent(99, t("2024-01-02 00:00:00"), 5)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(99, t("2024-01-03 00:00:00"), 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ooosess").filter(col("user_id") === 1)
+      .select(col("session_start").cast("string"), col("session_end").cast("string"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L),
+      ("2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L),
+      ("2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L)), s"got $got")
+  }
+
+  test("StatefulSession bridges two open sessions via a late gap-filling event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[SessEvent]
+    val q = StatefulSession.sessionize(input.toDS(), watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("bridgesess").outputMode("append").start()
+    try {
+      input.addData(Seq(SessEvent(1, t("2024-01-01 12:00:00"), 1)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(1, t("2024-01-01 11:00:00"), 2)))
+      q.processAllAvailable()
+      // 11:30 is within 30min (inclusive) of both 11:00 and 12:00 → all
+      // three become one session, exactly as the batch sort would produce
+      input.addData(Seq(SessEvent(1, t("2024-01-01 11:30:00"), 3)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(99, t("2024-01-02 00:00:00"), 4)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(99, t("2024-01-03 00:00:00"), 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bridgesess").filter(col("user_id") === 1)
+      .select(col("session_start").cast("string"), col("session_end").cast("string"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01 11:00:00", "2024-01-01 12:00:00", 3L)), s"got $got")
+  }
+
   test("StatefulSession matches batch gap-sessionization on testdata events (user<10)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
