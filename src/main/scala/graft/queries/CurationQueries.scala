@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.operators.TokenPacker
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the selection half of a training-data
+  * pipeline: deterministic reproducible sampling, weighted source mixing,
+  * token-budget packing, and the composed curate step (quality filter →
+  * exact dedup → sample). All oracle-checked against DuckDB.
+  *
+  * Determinism discipline: sampling uses a Knuth multiplicative hash on
+  * doc_id reduced mod a prime FIRST (((doc_id % 1000003) * 2654435761)
+  * % 1000) so the product never overflows int64 at any corpus size —
+  * Spark wraps silently on overflow where DuckDB raises, so staying in
+  * range is a cross-engine correctness requirement, not a style choice.
+  * The bucket is a pure function of the row id: the sample is stable
+  * across runs, partitionings, and engines (at 100 TB you'd widen to
+  * xxhash64(doc_id) % 1000 — same shape, not SQL-portable to the oracle).
+  *
+  * Scale notes: sampling/mixing are map-only filters (no shuffle; the
+  * rates dim broadcasts). Packing is the distributed two-pass prefix sum
+  * (operators.TokenPacker) — the oracle's global window cumsum is the
+  * single-reducer shape it replaces. The curate pipeline is filter →
+  * hash-partitioned dedup window → map filter: one shuffle on the
+  * fingerprint, which is also how it shards at 100 TB.
+  */
+object CurationQueries extends QueryPack {
+
+  /** permille bucket 0..999, identical arithmetic in both engines. */
+  private val bucketSql = "((doc_id % 1000003) * 2654435761) % 1000"
+
+  /** Source mixing rates: srcN → (N % 4 + 1) * 200 permille — written as
+    * a literal VALUES dim on both sides so the weights are data, not code.
+    */
+  private val mixRates: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", (i % 4 + 1) * 200L))
+
+  private def mixRatesValues: String =
+    mixRates.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+
+  val queries: Map[String, Fn] = Map(
+    // ---- deterministic reproducible sampling (~10%) ----
+    "q_sample_hash" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .filter(expr(s"$bucketSql < 100"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // ---- weighted source mixing: per-source sampling rates ----
+    "q_mix_weighted" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val rates = s.createDataFrame(mixRates).toDF("r_source", "permille")
+      docs.join(broadcast(rates), col("source") === col("r_source"))
+        .filter(expr(s"$bucketSql < permille"))
+        .groupBy("source", "permille")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---- contiguous token-budget packing (2000 tokens per bin) ----
+    "q_pack_contiguous" -> ((s, dir) =>
+      TokenPacker.packContiguous(Tables.t(s, dir, "documents"), budget = 2000L)),
+
+    // ---- the composed curate step: quality filter → dedup → sample ----
+    "q_curate_pipeline" -> ((s, dir) => {
+      val scored = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
+            .as("fp"))
+      val filtered = scored.filter(col("n_tokens") >= 5 && col("n_tokens") <= 5000)
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      filtered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(expr(s"$bucketSql < 500"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $bucketSql < 100
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weighted" ->
+      s"""WITH rates AS (SELECT * FROM (VALUES $mixRatesValues) AS t(r_source, permille)),
+         |docs AS (SELECT doc_id, source,
+         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |         FROM documents)
+         |SELECT source, CAST(permille AS BIGINT) AS permille,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM docs JOIN rates ON source = r_source
+         |WHERE $bucketSql < permille
+         |GROUP BY source, permille
+         |ORDER BY source""".stripMargin,
+
+    "q_pack_contiguous" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_curate_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(list_transform(string_split(text, ' '),
+         |                                       t -> lower(t)), ' ')) AS fp
+         |  FROM documents),
+         |filtered AS (SELECT * FROM scored WHERE n_tokens BETWEEN 5 AND 5000),
+         |deduped AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM filtered) s
+         |  WHERE rn = 1)
+         |SELECT doc_id, lang, source, n_tokens FROM deduped
+         |WHERE $bucketSql < 500
+         |ORDER BY doc_id""".stripMargin
+  )
+}

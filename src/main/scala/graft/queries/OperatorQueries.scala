@@ -43,7 +43,13 @@ object OperatorQueries extends QueryPack {
     // exact scalable ntile twin: range-repartition global rank instead of
     // a single-reducer global window; identical output to q_win_ntile_pct
     "s_win_ntile_scalable" -> ((s, dir) =>
-      ScalableNtile.ntilePct(Tables.t(s, dir, "orders"), 10))
+      ScalableNtile.ntilePct(Tables.t(s, dir, "orders"), 10)),
+
+    // LSH-candidate + exact-rerank near-dup pairs — the scale path that
+    // subsumes q_dedup_embed_cosine's all-pairs baseline (precision 1 by
+    // construction; recall measured vs the exact twin in OperatorSpec)
+    "s_dedup_embed_ann" -> ((s, dir) =>
+      AnnLsh.nearDupPairs(s, Tables.t(s, dir, "embeddings")))
   )
 
   val oracle: Map[String, String] = Map.empty

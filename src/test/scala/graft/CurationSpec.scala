@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{AnnLsh, TokenPacker}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation operators: the distributed implementations must reproduce
+  * their single-reducer / exact twins.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("TokenPacker == global window cumsum, invariant to partition width") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 2000").as("bin"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = TokenPacker.packContiguous(docs, 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "two-pass prefix sum must equal the window cumsum")
+    val got7 = TokenPacker.packContiguous(docs, 2000L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got7 == expected, "packing must be invariant to the repartition width")
+    // structural sanity: bins start at 0 and advance without gaps
+    val bins = got.map(_._3).distinct
+    assert(bins == (0L until bins.length).toList, s"bins not contiguous: $bins")
+  }
+
+  test("TokenPacker on empty input: empty result, no error") {
+    val empty = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 0)
+    assert(TokenPacker.packContiguous(empty, 2000L).count() == 0L)
+  }
+
+  test("s_dedup_embed_ann: precision 1 vs the exact twin, recall above floor") {
+    val exact = SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnLsh.nearDupPairs(spark, Tables.t(spark, sfDir, "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact rerank ⇒ every emitted pair is a true pair (precision 1)
+    assert(approx.subsetOf(exact),
+      s"ANN emitted non-pairs: ${approx.diff(exact).take(5)}")
+    val recall =
+      if (exact.isEmpty) 1.0
+      else approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"candidate recall $recall below floor (exact=${exact.size})")
+  }
+}
