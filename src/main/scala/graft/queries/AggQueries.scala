@@ -112,7 +112,22 @@ object AggQueries extends QueryPack {
         .groupBy("o_orderpriority")
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // relational pivot: daily × event_type count matrix. Spark's pivot
+    // compiles to one pass of conditional aggregates (same plan as the
+    // oracle's COUNT FILTER columns) — explicit value list so no extra
+    // distinct-values job; pivot count yields NULL for absent cells where
+    // FILTER yields 0, so coalesce pins the engines together
+    "q_agg_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        .select(col("day") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("day")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +185,15 @@ object AggQueries extends QueryPack {
       """SELECT o_orderpriority,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

@@ -65,6 +65,21 @@ object CurationQueries extends QueryPack {
     "q_pack_contiguous" -> ((s, dir) =>
       TokenPacker.packContiguous(Tables.t(s, dir, "documents"), budget = 2000L)),
 
+    // ---- stratified sampling: exact per-language quota, hash-ordered ----
+    // row_number over (lang, hash-bucket) gives each stratum its own
+    // deterministic pseudo-random order, then a fixed quota — exact
+    // per-class counts where rate-based sampling only hits them in
+    // expectation. One shuffle on the stratum key; scales like any
+    // partitioned window
+    "q_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(expr(bucketSql), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("lang", "rn")
+    }),
+
     // ---- the composed curate step: quality filter → dedup → sample ----
     "q_curate_pipeline" -> ((s, dir) => {
       val scored = Tables.t(s, dir, "documents")
@@ -110,6 +125,15 @@ object CurationQueries extends QueryPack {
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang, rn FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY $bucketSql, doc_id) AS BIGINT) AS rn
+         |  FROM documents) s
+         |WHERE rn <= 10
+         |ORDER BY lang, rn""".stripMargin,
 
     "q_curate_pipeline" ->
       s"""WITH scored AS (

@@ -84,7 +84,18 @@ object FnQueries extends QueryPack {
           expr("coalesce(nullif(o_orderpriority, '1-URGENT'), 'fallback')").as("prio"))
         .groupBy("bucket", "prio")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket", "prio"))
+        .orderBy("bucket", "prio")),
+
+    // generator / lateral surface: posexplode a bounded slice — the
+    // UDTF-shaped row expansion (one input row → N output rows with
+    // ordinal), matched to DuckDB's unnest-over-range lateral join
+    "q_fn_posexplode" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+        .limit(200))
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +145,12 @@ object FnQueries extends QueryPack {
         |            ELSE 'high' END AS bucket,
         |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'fallback') AS prio,
         |  COUNT(*) AS cnt
-        |FROM orders GROUP BY 1, 2 ORDER BY bucket, prio""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY bucket, prio""".stripMargin,
+
+    "q_fn_posexplode" ->
+      """SELECT doc_id, i AS pos, toks[i + 1] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+        |  unnest(range(0, least(5, len(toks)))) t(i)
+        |ORDER BY doc_id, pos LIMIT 200""".stripMargin
   )
 }

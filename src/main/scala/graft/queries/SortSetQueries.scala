@@ -55,6 +55,23 @@ object SortSetQueries extends QueryPack {
       val c = Tables.t(s, dir, "customer").select(col("c_custkey").as("k"))
       val u = Tables.events(s, dir).select(col("user_id").as("k"))
       c.except(u).orderBy("k").limit(50)
+    }),
+
+    // multiset (bag) semantics: min(m, n) copies survive INTERSECT ALL,
+    // max(m - n, 0) survive EXCEPT ALL — duplicate rows are identical, so
+    // the ORDER BY is total despite the non-unique key
+    "q_set_intersect_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase").select("user_id")
+      val e = ev.filter(col("event_type") === "error").select("user_id")
+      p.intersectAll(e).orderBy("user_id").limit(100)
+    }),
+
+    "q_set_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase").select("user_id")
+      val e = ev.filter(col("event_type") === "error").select("user_id")
+      p.exceptAll(e).orderBy("user_id").limit(100)
     })
   )
 
@@ -91,6 +108,18 @@ object SortSetQueries extends QueryPack {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
         |SELECT user_id AS k FROM events
-        |ORDER BY k LIMIT 50""".stripMargin
+        |ORDER BY k LIMIT 50""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id LIMIT 100""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id LIMIT 100""".stripMargin
   )
 }

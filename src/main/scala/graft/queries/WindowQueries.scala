@@ -58,6 +58,23 @@ object WindowQueries extends QueryPack {
           ntile(10).over(w).cast("long").as("decile"),
           round(percent_rank().over(w), 6).as("pct"))
         .orderBy("o_orderkey")
+    }),
+
+    // value-range frame (vs q_win_frame_running's row frame): trailing
+    // 1-hour rolling sum per user, ordered by event-time microseconds so
+    // both engines bound the frame on identical integers (peers with equal
+    // timestamps enter together — RANGE semantics, matched cross-engine)
+    "q_win_frame_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"), col("value"))
+        .withColumn("roll_value",
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)").cast("double"))
+        .select(col("user_id"), col("event_id"), col("roll_value"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -93,6 +110,17 @@ object WindowQueries extends QueryPack {
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
         |  ROUND(percent_rank() OVER w, 6) AS pct
         |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_frame_range" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+        |            FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY tus
+        |                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS roll_value
+        |FROM ev ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -99,4 +99,37 @@ class PlanSpec extends SparkSpec {
       assert(joined.agg(sum("cnt")).first().getLong(0) == plainCnt)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  // AQE plans echo "== Initial Plan ==" after the final one — keep only
+  // the executed section so Exchange counts aren't doubled
+  private def finalSection(p: String): String = {
+    val initIdx = p.indexOf("== Initial Plan ==")
+    if (initIdx > 0) p.substring(0, initIdx) else p
+  }
+
+  test("deterministic sampling is map-only: no shuffle before the output sort") {
+    // everything up to the presentation ORDER BY must be scan+filter+project
+    // — at 100 TB the sample is a free pushdown-adjacent pass, not a job
+    val df = SparkEntry.queries("q_sample_hash")(spark, sfDir)
+    val inner = df.queryExecution.optimizedPlan.children.head // strip Sort
+    val p = inner.toString
+    assert(!p.contains("Exchange") && !p.contains("Repartition"),
+      s"sample filter must not shuffle:\n$p")
+    val phys = finalSection(finalPlan(df))
+    assert("Exchange".r.findAllIn(phys).size == 1,
+      s"only the output range sort may exchange:\n$phys")
+  }
+
+  test("pivot: map-side partial aggregates, shuffles bounded by group keys") {
+    val p = finalSection(plan("q_agg_pivot"))
+    // Spark's relational pivot is two aggregate phases — (day, type) count,
+    // then pivotfirst on day — each partial+final, so every shuffle input
+    // is already reduced map-side; the hand-written COUNT(CASE…) twin (the
+    // oracle's shape) would be one phase, but both are scan-dominated at
+    // scale because the (day, type) pre-aggregate is tiny
+    assert(p.contains("partial_count"), s"expected map-side partial count:\n$p")
+    assert(p.contains("partial_pivotfirst"), s"expected partial pivot agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"pivot must shuffle at most twice (pre-agg key, group key):\n$p")
+  }
 }
