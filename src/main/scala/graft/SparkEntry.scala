@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ScanQueries, JoinQueries, AggQueries, WindowQueries, SortSetQueries,
     FnQueries, TextQueries, SimQueries, EventQueries, SketchQueries,
-    PipelineQueries, OperatorQueries, MiscQueries, CurationQueries)
+    PipelineQueries, OperatorQueries, MiscQueries, CurationQueries,
+    AnalyticsQueries)
 
   /** Flagship query (TPC-H Q1 analog) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Correlated subqueries + composite TPC-H-style analytics — the
+  * "user query" tier above single-operator coverage: Catalyst's subquery
+  * decorrelation (EXISTS → semi join, correlated scalar agg → aggregate +
+  * join, IN → semi join) and multi-join pipelines with selective dims.
+  *
+  * Money discipline follows AggQueries: DECIMAL-exact aggregation, ORDER
+  * BY the UNROUNDED decimal (bitwise cross-engine), final output rounded
+  * to DECIMAL(18,2) then cast DOUBLE so both engines serialize identical
+  * float64 (Spark scale-reducing .cast rounds half-away-from-zero = DuckDB
+  * ROUND, never DuckDB's truncating decimal CAST).
+  *
+  * Scale notes: the subqueries decorrelate to the same semi/aggregate-join
+  * shapes a hand-written plan would use (no per-row re-execution); the
+  * TPC-H composites filter BEFORE joining (pushdown reaches every scan),
+  * broadcast the small dims (customer-filter, supplier, nation, region),
+  * and shuffle only on the surviving join keys — AQE re-plans the join
+  * order and coalesces post-filter partitions at runtime.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** Register the TPC-H tables as temp views for spark.sql queries —
+    * same DataFrames as Tables.t, so pushdown/statistics are identical.
+    */
+  private def views(s: SparkSession, dir: String): Unit =
+    Seq("orders", "lineitem", "customer", "supplier", "nation", "region")
+      .foreach(t => Tables.t(s, dir, t).createOrReplaceTempView(t))
+
+  /** Exact decimal revenue: sum(extprice * (1 - discount)). */
+  private val revX =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+
+  private val revXSql =
+    """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))""".stripMargin
+
+  val queries: Map[String, Fn] = Map(
+    // EXISTS → left semi join after decorrelation
+    "q_subq_exists" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders o
+              |WHERE EXISTS (SELECT 1 FROM lineitem l
+              |              WHERE l.l_orderkey = o.o_orderkey
+              |                AND l.l_returnflag = 'R')
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // correlated scalar aggregate → per-key MAX join (each customer's
+    // maximal orders; MAX of a stored double is exact in both engines)
+    "q_subq_scalar" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""SELECT o1.o_orderkey, o1.o_custkey FROM orders o1
+              |WHERE o1.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+              |                         WHERE o2.o_custkey = o1.o_custkey)
+              |ORDER BY o1.o_orderkey""".stripMargin)
+    }),
+
+    // IN-subquery → semi join
+    "q_subq_in" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders
+              |                    WHERE o_totalprice > 400000)
+              |ORDER BY c_custkey LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q3 (shipping priority): filter-first 3-way join, top revenue
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revX.as("rev_x"))
+        .orderBy(col("rev_x").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+    }),
+
+    // TPC-H Q5 (local supplier volume): 6-way join, nation revenue in ASIA
+    "q_tpch_q5" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revX.as("rev_x"))
+        .orderBy(col("rev_x").desc, col("n_name"))
+        .select(col("n_name"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 (returned items): top customers by returned revenue
+    "q_tpch_q10" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      Tables.t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revX.as("rev_x"))
+        .orderBy(col("rev_x").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_subq_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_subq_scalar" ->
+      """SELECT o1.o_orderkey, o1.o_custkey FROM orders o1
+        |WHERE o1.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                         WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q_subq_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate
+         |FROM (
+         |  SELECT l_orderkey, o_orderdate, $revXSql AS rev_x
+         |  FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |    AND l_shipdate > TIMESTAMP '1998-01-01'
+         |  GROUP BY l_orderkey, o_orderdate) t
+         |ORDER BY rev_x DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n_name, $revXSql AS rev_x
+         |  FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY n_name) t
+         |ORDER BY rev_x DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT c_custkey, c_name, n_name, $revXSql AS rev_x
+         |  FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY c_custkey, c_name, n_name) t
+         |ORDER BY rev_x DESC, c_custkey
+         |LIMIT 20""".stripMargin
+  )
+}

@@ -107,6 +107,21 @@ class PlanSpec extends SparkSpec {
     if (initIdx > 0) p.substring(0, initIdx) else p
   }
 
+  test("TPC-H composite: date filters push to scans, dims broadcast") {
+    val p = finalSection(plan("q_tpch_q5"))
+    assert(p.contains("BroadcastHashJoin"), s"small dims must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orderdate range must reach the orders scan:\n$p")
+    // the selective region filter must run at its scan, not after the join
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter must push:\n$p")
+  }
+
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val p = finalSection(plan("q_subq_exists"))
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+  }
+
   test("deterministic sampling is map-only: no shuffle before the output sort") {
     // everything up to the presentation ORDER BY must be scan+filter+project
     // — at 100 TB the sample is a free pushdown-adjacent pass, not a job
