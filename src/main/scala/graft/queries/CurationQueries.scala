@@ -80,6 +80,22 @@ object CurationQueries extends QueryPack {
         .orderBy("lang", "rn")
     }),
 
+    // ---- incremental dedup: new batch vs already-ingested corpus ----
+    // the steady-state pipeline shape (dedup each incoming batch against
+    // history): fingerprint anti-join — one shuffle on the fingerprint,
+    // history side prunable to its fingerprint column only. Even ids play
+    // the seen corpus, odd ids the incoming batch (scale-invariant split)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val fp = md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
+      val docs = Tables.t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), fp.as("fp"))
+        .join(seen, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the composed curate step: quality filter → dedup → sample ----
     "q_curate_pipeline" -> ((s, dir) => {
       val scored = Tables.t(s, dir, "documents")
@@ -134,6 +150,17 @@ object CurationQueries extends QueryPack {
          |  FROM documents) s
          |WHERE rn <= 10
          |ORDER BY lang, rn""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, lang,
+        |    md5(array_to_string(list_transform(string_split(text, ' '),
+        |                                       t -> lower(t)), ' ')) AS fp
+        |  FROM documents)
+        |SELECT n.doc_id, n.lang FROM fp n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM fp o
+        |                  WHERE o.doc_id % 2 = 0 AND o.fp = n.fp)
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_curate_pipeline" ->
       s"""WITH scored AS (
