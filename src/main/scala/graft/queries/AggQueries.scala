@@ -126,7 +126,8 @@ object AggQueries extends QueryPack {
         .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
         .select(col("day") +:
           types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-        .orderBy("day")
+        // null order pinned (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)
+        .orderBy(col("day").asc_nulls_first)
     })
   )
 
@@ -194,6 +195,6 @@ object AggQueries extends QueryPack {
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day NULLS FIRST""".stripMargin
   )
 }

@@ -146,6 +146,21 @@ object ServingSink {
       case None => spark.emptyDataFrame
     }
 
+  /** Distinct users over an ARBITRARY hour range — the payoff of storing
+    * mergeable sketches instead of estimates: the answer is a union of
+    * the per-hour state, never a rescan of raw events (estimates don't
+    * add: Σ hourly counts double-counts users active in several hours).
+    */
+  def uniquesRange(spark: SparkSession, storeDir: String,
+                   fromHour: String, untilHour: String): DataFrame =
+    currentSnapshot(spark, storeDir, "uniques_hourly") match {
+      case Some(df) => df
+        .filter(col("hour") >= lit(fromHour).cast("timestamp") &&
+          col("hour") < lit(untilHour).cast("timestamp"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"))
+      case None => spark.emptyDataFrame
+    }
+
   /** Top-k users per hour by event count (ZRANGE over merged state). */
   def topkHourly(spark: SparkSession, storeDir: String, k: Int = 5): DataFrame = {
     val w = Window.partitionBy("hour").orderBy(col("cnt").desc, col("user_id"))

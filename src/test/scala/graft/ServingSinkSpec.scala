@@ -75,6 +75,15 @@ class ServingSinkSpec extends SparkSpec {
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
     assert(gotTopk == expectTopk)
 
+    // PFCOUNT over an arbitrary window: union of per-hour sketches must
+    // count user 1 once though they are active in hours 0 AND 1 — hours
+    // hold {1,2} and {1,3}, so summing hourly estimates gives 4, the
+    // sketch union the true 3
+    val ranged = ServingSink.uniquesRange(spark, store,
+      "2024-01-01 00:00:00", "2024-01-01 02:00:00").collect()
+    assert(ranged.length == 1 && ranged(0).getLong(0) == 3L,
+      s"range union must dedup across hours: ${ranged.mkString}")
+
     // at-least-once replay storm: a FRESH checkpoint redelivers everything
     // as already-committed batch ids — the transactional pointer must skip
     // them all and leave the store byte-identical
