@@ -35,7 +35,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      // never fail the bench over the file copy, but never hide it either —
+      // a silent miss here is exactly the lost-output failure this exists for
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -63,6 +63,10 @@ object AnnIvf {
                  seed: Long = 42, maxTrain: Int = 65536): (DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
+    if (embeddings.isEmpty) {
+      return (Seq.empty[(Long, Int)].toDF("vec_id", "list_id"),
+        Seq.empty[(Int, Seq[Double])].toDF("list_id", "c"))
+    }
     // deterministic bounded sample: first maxTrain ids (at 100 TB swap for
     // .sample(fraction, seed) — any representative subset trains equally well)
     val train = embeddings.select(col("vec_id"), col("embedding"))

@@ -86,7 +86,7 @@ object CurationQueries extends QueryPack {
     // history side prunable to its fingerprint column only. Even ids play
     // the seen corpus, odd ids the incoming batch (scale-invariant split)
     "q_dedup_incremental" -> ((s, dir) => {
-      val fp = md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
+      val fp = PipelineQueries.docFingerprint
       val docs = Tables.t(s, dir, "documents")
       val seen = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp"))
       docs.filter(col("doc_id") % 2 === 1)
@@ -101,8 +101,7 @@ object CurationQueries extends QueryPack {
       val scored = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
-            .as("fp"))
+          PipelineQueries.docFingerprint.as("fp"))
       val filtered = scored.filter(col("n_tokens") >= 5 && col("n_tokens") <= 5000)
       val w = Window.partitionBy("fp").orderBy("doc_id")
       filtered.withColumn("rn", row_number().over(w))
@@ -152,9 +151,8 @@ object CurationQueries extends QueryPack {
          |ORDER BY lang, rn""".stripMargin,
 
     "q_dedup_incremental" ->
-      """WITH fp AS (SELECT doc_id, lang,
-        |    md5(array_to_string(list_transform(string_split(text, ' '),
-        |                                       t -> lower(t)), ' ')) AS fp
+      s"""WITH fp AS (SELECT doc_id, lang,
+        |    ${PipelineQueries.docFingerprintSql} AS fp
         |  FROM documents)
         |SELECT n.doc_id, n.lang FROM fp n
         |WHERE n.doc_id % 2 = 1
@@ -166,8 +164,7 @@ object CurationQueries extends QueryPack {
       s"""WITH scored AS (
          |  SELECT doc_id, lang, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    md5(array_to_string(list_transform(string_split(text, ' '),
-         |                                       t -> lower(t)), ' ')) AS fp
+         |    ${PipelineQueries.docFingerprintSql} AS fp
          |  FROM documents),
          |filtered AS (SELECT * FROM scored WHERE n_tokens BETWEEN 5 AND 5000),
          |deduped AS (SELECT * FROM (

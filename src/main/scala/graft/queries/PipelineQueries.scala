@@ -32,6 +32,16 @@ object PipelineQueries extends QueryPack {
   private def stopwordValues: String =
     stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
+  /** THE document fingerprint — md5 over the lowercased token stream.
+    * Shared by q_text_fingerprint and the curation dedup queries so every
+    * dedup key agrees; the SQL twin below must stay in lockstep.
+    */
+  private[queries] def docFingerprint =
+    md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
+
+  private[queries] val docFingerprintSql =
+    "md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' '))"
+
   val queries: Map[String, Fn] = Map(
     // ---- language ID: argmax of per-language stopword hits ----
     "q_text_langid" -> ((s, dir) => {
@@ -78,9 +88,7 @@ object PipelineQueries extends QueryPack {
     // ---- document fingerprint: md5 over the normalized token stream ----
     "q_text_fingerprint" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(concat_ws(" ", expr("transform(split(text, ' '), t -> lower(t))")))
-            .as("fingerprint"))
+        .select(col("doc_id"), docFingerprint.as("fingerprint"))
         .orderBy("doc_id")
         .limit(100)),
 
@@ -140,8 +148,8 @@ object PipelineQueries extends QueryPack {
         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "q_text_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' ')) AS fingerprint
+      s"""SELECT doc_id,
+        |  $docFingerprintSql AS fingerprint
         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->

@@ -64,14 +64,16 @@ object SortSetQueries extends QueryPack {
       val ev = Tables.events(s, dir)
       val p = ev.filter(col("event_type") === "purchase").select("user_id")
       val e = ev.filter(col("event_type") === "error").select("user_id")
-      p.intersectAll(e).orderBy("user_id").limit(100)
+      // null order pinned like the histogram/pivot queries — set ops treat
+      // NULLs as equal, so a NULL key could survive into the LIMIT window
+      p.intersectAll(e).orderBy(col("user_id").asc_nulls_first).limit(100)
     }),
 
     "q_set_except_all" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val p = ev.filter(col("event_type") === "purchase").select("user_id")
       val e = ev.filter(col("event_type") === "error").select("user_id")
-      p.exceptAll(e).orderBy("user_id").limit(100)
+      p.exceptAll(e).orderBy(col("user_id").asc_nulls_first).limit(100)
     })
   )
 
@@ -114,12 +116,12 @@ object SortSetQueries extends QueryPack {
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT ALL
         |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id LIMIT 100""".stripMargin,
+        |ORDER BY user_id NULLS FIRST LIMIT 100""".stripMargin,
 
     "q_set_except_all" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT ALL
         |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id LIMIT 100""".stripMargin
+        |ORDER BY user_id NULLS FIRST LIMIT 100""".stripMargin
   )
 }

@@ -28,15 +28,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * directories and a pointer file flips atomically (write-temp + move);
   * a replayed batchId is detected and SKIPPED, so restarts from the
   * checkpoint cannot double-count (ScalaTest-proven by killing and
-  * re-running the stream).
+  * re-running the stream). After a successful flip, snapshots older than
+  * the previous committed version are garbage-collected (the previous one
+  * is kept for readers that resolved the pointer just before the flip).
   *
-  * Scale notes: the merge reads the previous snapshot and writes a new
-  * one — on a real cluster the snapshot directories are a partitioned
-  * table and the merge rewrites only the partitions the micro-batch
-  * touched (hour-partitioning bounds that to the watermark horizon); the
-  * pointer-flip commit protocol is unchanged. State per view is bounded
-  * by key cardinality, not stream length, because every merge is
-  * associative (sums, HLL union).
+  * Scale notes: AS IMPLEMENTED each merge reads the whole previous
+  * snapshot and writes a complete new one — per-batch work is
+  * proportional to total key cardinality, which is fine while the view is
+  * compact (it is an aggregate, bounded by keys, not stream length). The
+  * 100 TB evolution keeps the same pointer-flip protocol but partitions
+  * each view by hour and rewrites ONLY the partitions the micro-batch
+  * touched (bounded by the watermark horizon); the read path and the
+  * replay-skip logic are unchanged by that swap.
   */
 object ServingSink {
 
@@ -107,10 +110,29 @@ object ServingSink {
         .parquet(snapshot(storeDir, "uniques_hourly", batchId))
 
       // atomic pointer flip commits all snapshots of this batch at once
+      val prev = committedBatch(storeDir)
       val tmp = Files.createTempFile(Paths.get(storeDir), "_commit", ".tmp")
       Files.writeString(tmp, batchId.toString, StandardCharsets.UTF_8)
       Files.move(tmp, commitFile(storeDir), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // GC: drop snapshots older than the one readers could still hold
+      // (the just-superseded version stays until the next flip)
+      Seq("counts_per_user", "uniques_hourly").foreach { table =>
+        val dir = Paths.get(storeDir, table)
+        if (Files.isDirectory(dir)) {
+          val listing = Files.list(dir)
+          try listing.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+                n.drop(1).toLong < prev) {
+              val tree = Files.walk(p)
+              try tree.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => Files.delete(f))
+              finally tree.close()
+            }
+          } finally listing.close()
+        }
+      }
     } finally { batch.unpersist(); () }
   }
 
@@ -132,19 +154,33 @@ object ServingSink {
   }
 
   // ---- read path (the GET / PFCOUNT / ZRANGE analogs) ----
+  // an empty/uncommitted store returns EMPTY frames with the documented
+  // schema (never the schemaless spark.emptyDataFrame, which would make
+  // downstream column references throw instead of yielding zero rows)
+
+  private def emptyCounts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(java.sql.Timestamp, Long, Long, java.math.BigDecimal)]
+      .toDF("hour", "user_id", "cnt", "sum_value")
+      .select(col("hour"), col("user_id"), col("cnt"),
+        col("sum_value").cast("decimal(18,2)"))
+  }
 
   /** Keyed point-readable per-user counters. */
   def countsPerUser(spark: SparkSession, storeDir: String): DataFrame =
     currentSnapshot(spark, storeDir, "counts_per_user")
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(emptyCounts(spark))
 
   /** Distinct users per hour, estimated from the merged sketch. */
-  def uniquesHourly(spark: SparkSession, storeDir: String): DataFrame =
+  def uniquesHourly(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
     currentSnapshot(spark, storeDir, "uniques_hourly") match {
       case Some(df) => df.select(col("hour"),
         expr("hll_sketch_estimate(sketch)").as("approx_users"))
-      case None => spark.emptyDataFrame
+      case None => Seq.empty[(java.sql.Timestamp, Long)]
+        .toDF("hour", "approx_users")
     }
+  }
 
   /** Distinct users over an ARBITRARY hour range — the payoff of storing
     * mergeable sketches instead of estimates: the answer is a union of
@@ -152,14 +188,16 @@ object ServingSink {
     * add: Σ hourly counts double-counts users active in several hours).
     */
   def uniquesRange(spark: SparkSession, storeDir: String,
-                   fromHour: String, untilHour: String): DataFrame =
+                   fromHour: String, untilHour: String): DataFrame = {
+    import spark.implicits._
     currentSnapshot(spark, storeDir, "uniques_hourly") match {
       case Some(df) => df
         .filter(col("hour") >= lit(fromHour).cast("timestamp") &&
           col("hour") < lit(untilHour).cast("timestamp"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"))
-      case None => spark.emptyDataFrame
+      case None => Seq.empty[Long].toDF("approx_users")
     }
+  }
 
   /** Top-k users per hour by event count (ZRANGE over merged state). */
   def topkHourly(spark: SparkSession, storeDir: String, k: Int = 5): DataFrame = {

@@ -62,6 +62,9 @@ class EdgeCaseSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
     assert(AnnIvf.approxTopK(spark, empty).count() == 0)
     assert(AnnLsh.approxTopK(spark, empty).count() == 0)
+    assert(AnnLsh.nearDupPairs(spark, empty).count() == 0)
+    val (assigned, centroids) = AnnIvf.buildIndex(spark, empty)
+    assert(assigned.count() == 0 && centroids.count() == 0)
   }
 
   test("frame sampling boundary: a blob of exactly one frame yields that frame") {

@@ -15,6 +15,17 @@ class ServingSinkSpec extends SparkSpec {
   private def event(id: Long, ts: String, user: Long, typ: String, v: Double): String =
     s"""{"event_id": $id, "ts": "$ts", "user_id": $user, "event_type": "$typ", "value": $v, "props": "{}"}"""
 
+  test("empty/uncommitted store: read path yields typed empty frames, no errors") {
+    val store = Files.createTempDirectory("graft_serving_empty").toString
+    assert(ServingSink.countsPerUser(spark, store).count() == 0)
+    assert(ServingSink.uniquesHourly(spark, store)
+      .select("hour", "approx_users").count() == 0)
+    assert(ServingSink.uniquesRange(spark, store,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00").count() == 0)
+    // topkHourly references hour/cnt columns — must resolve on the empty path
+    assert(ServingSink.topkHourly(spark, store).count() == 0)
+  }
+
   test("ingest → keyed serving views: merge across restarts, replay-safe, read path matches batch") {
     val dir = Files.createTempDirectory("graft_serving")
     val in = Files.createDirectory(dir.resolve("in")).toString
@@ -49,6 +60,16 @@ class ServingSinkSpec extends SparkSpec {
       event(5, "2024-01-01T01:30:00", 3, "click", 4.0),
       event(6, "2024-01-01T02:05:00", 2, "view", 7.0)))
     drain()
+
+    // third batch: also exercises snapshot GC (after committing v2 the
+    // v0 snapshots are older than the reader-held v1 and must be gone)
+    writeBatch("b3.ndjson", Seq(
+      event(7, "2024-01-01T02:45:00", 4, "view", 1.5)))
+    drain()
+    assert(!Files.exists(java.nio.file.Paths.get(store, "counts_per_user", "v0")),
+      "v0 snapshot must be garbage-collected after v2 commits")
+    assert(Files.exists(java.nio.file.Paths.get(store, "counts_per_user", "v1")),
+      "the just-superseded snapshot must survive for in-flight readers")
 
     // read path must equal the batch Fanout views over ALL events
     val allValid = JsonIngest.valid(JsonIngest.readJsonLines(spark, in))
