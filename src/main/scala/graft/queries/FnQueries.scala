@@ -86,6 +86,15 @@ object FnQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket", "prio")),
 
+    // fuzzy matching for entity resolution: edit distance to a probe key
+    // (same Levenshtein definition in both engines)
+    "q_fn_levenshtein" -> ((s, dir) =>
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("c_custkey")),
+
     // generator / lateral surface: posexplode a bounded slice — the
     // UDTF-shaped row expansion (one input row → N output rows with
     // ordinal), matched to DuckDB's unnest-over-range lateral join
@@ -146,6 +155,13 @@ object FnQueries extends QueryPack {
         |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'fallback') AS prio,
         |  COUNT(*) AS cnt
         |FROM orders GROUP BY 1, 2 ORDER BY bucket, prio""".stripMargin,
+
+    "q_fn_levenshtein" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+        |FROM customer
+        |WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_fn_posexplode" ->
       """SELECT doc_id, i AS pos, toks[i + 1] AS token

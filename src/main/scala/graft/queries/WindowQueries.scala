@@ -60,6 +60,21 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // navigation over the full partition frame: first/last/nth under a
+    // deterministic order (unique (o_orderdate, o_orderkey) tie-break);
+    // nth_value is NULL for partitions shorter than n in both engines
+    "q_win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // value-range frame (vs q_win_frame_running's row frame): trailing
     // 1-hour rolling sum per user, ordered by event-time microseconds so
     // both engines bound the frame on identical integers (peers with equal
@@ -111,6 +126,16 @@ object WindowQueries extends QueryPack {
         |  ROUND(percent_rank() OVER w, 6) AS pct
         |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_frame_range" ->
       """WITH ev AS (SELECT user_id, event_id,
