@@ -34,27 +34,27 @@ object SortSetQueries extends QueryPack {
       p.unionAll(e)
         .groupBy("user_id")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("user_id")
+        .orderBy(col("user_id").asc_nulls_first)
     }),
 
     "q_set_union_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val p = ev.filter(col("event_type") === "purchase").select("user_id")
       val e = ev.filter(col("event_type") === "error").select("user_id")
-      p.union(e).distinct().orderBy("user_id")
+      p.union(e).distinct().orderBy(col("user_id").asc_nulls_first)
     }),
 
     "q_set_intersect" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val p = ev.filter(col("event_type") === "purchase").select("user_id")
       val e = ev.filter(col("event_type") === "error").select("user_id")
-      p.intersect(e).orderBy("user_id").limit(50)
+      p.intersect(e).orderBy(col("user_id").asc_nulls_first).limit(50)
     }),
 
     "q_set_except" -> ((s, dir) => {
       val c = Tables.t(s, dir, "customer").select(col("c_custkey").as("k"))
       val u = Tables.events(s, dir).select(col("user_id").as("k"))
-      c.except(u).orderBy("k").limit(50)
+      c.except(u).orderBy(col("k").asc_nulls_first).limit(50)
     }),
 
     // multiset (bag) semantics: min(m, n) copies survive INTERSECT ALL,
@@ -92,25 +92,26 @@ object SortSetQueries extends QueryPack {
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |  UNION ALL
         |  SELECT user_id FROM events WHERE event_type = 'error')
-        |SELECT user_id, COUNT(*) AS cnt FROM u GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |SELECT user_id, COUNT(*) AS cnt FROM u GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_set_union_distinct" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id""".stripMargin,
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_set_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id LIMIT 50""".stripMargin,
+        |ORDER BY user_id NULLS FIRST LIMIT 50""".stripMargin,
 
     "q_set_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
         |SELECT user_id AS k FROM events
-        |ORDER BY k LIMIT 50""".stripMargin,
+        |ORDER BY k NULLS FIRST LIMIT 50""".stripMargin,
 
     "q_set_intersect_all" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
