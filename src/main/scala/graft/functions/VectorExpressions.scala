@@ -109,15 +109,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * needed (works however the driver constructed the SparkSession).
   */
 object VectorFunctions {
+  /** (identifier, info, builder) triple — shared by the post-hoc register
+    * below and GraftExtensions' build-time injectFunction.
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) {
+        throw new IllegalArgumentException(
+          s"graft_dot requires exactly 2 arguments, got ${children.length}")
+      }
+      DotProduct(children.head, children(1))
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2) {
-          throw new IllegalArgumentException(
-            s"graft_dot requires exactly 2 arguments, got ${children.length}")
-        }
-        DotProduct(children.head, children(1))
-      })
+      descriptor._1, descriptor._2, descriptor._3)
 }
