@@ -70,6 +70,21 @@ object AnalyticsQueries extends QueryPack {
               |ORDER BY c_custkey LIMIT 100""".stripMargin)
     }),
 
+    // recursive CTE: calendar densification — generate the day series,
+    // left-join counts so gap days appear as explicit zeros (the series
+    // is tiny and broadcast; recursion depth = days, not data size)
+    "q_rec_series" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""WITH RECURSIVE days(day) AS (
+              |  SELECT DATE '1995-01-01' AS day
+              |  UNION ALL
+              |  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
+              |  WHERE day < DATE '1995-01-31')
+              |SELECT d.day, COUNT(o.o_orderkey) AS n_orders
+              |FROM days d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.day
+              |GROUP BY d.day ORDER BY d.day""".stripMargin)
+    }),
+
     // TPC-H Q3 (shipping priority): filter-first 3-way join, top revenue
     "q_tpch_q3" -> ((s, dir) => {
       val cutoff = lit("1998-01-01").cast("timestamp")
@@ -146,6 +161,16 @@ object AnalyticsQueries extends QueryPack {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 400000)
         |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "q_rec_series" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '1995-01-01' AS day
+        |  UNION ALL
+        |  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
+        |  WHERE day < DATE '1995-01-31')
+        |SELECT d.day, COUNT(o.o_orderkey) AS n_orders
+        |FROM days d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue,
