@@ -40,6 +40,16 @@ object AggQueries extends QueryPack {
   private val sumQty  = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)"
   private val sumBase = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)"
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide day × event_type count matrix — shared by pivot and unpivot. */
+  private def pivotDaily(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day").pivot("event_type", eventTypes).agg(count(lit(1)))
+      .select(col("day") +:
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
   val queries: Map[String, Fn] = Map(
     "q_agg_pricing_summary" -> ((s, dir) =>
       Tables.t(s, dir, "lineitem")
@@ -119,16 +129,19 @@ object AggQueries extends QueryPack {
     // oracle's COUNT FILTER columns) — explicit value list so no extra
     // distinct-values job; pivot count yields NULL for absent cells where
     // FILTER yields 0, so coalesce pins the engines together
-    "q_agg_pivot" -> ((s, dir) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.events(s, dir)
-        .select(to_date(col("ts")).as("day"), col("event_type"))
-        .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
-        .select(col("day") +:
-          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    "q_agg_pivot" -> ((s, dir) =>
+      pivotDaily(s, dir)
         // null order pinned (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)
-        .orderBy(col("day").asc_nulls_first)
-    })
+        .orderBy(col("day").asc_nulls_first)),
+
+    // the inverse: melt the wide day × type matrix back to long form —
+    // unpivot is a zero-shuffle per-row expansion (Expand node)
+    "q_agg_unpivot" -> ((s, dir) =>
+      pivotDaily(s, dir)
+        .unpivot(Array(col("day")),
+          eventTypes.map(t => col(s"n_$t")).toArray, "event_type", "n")
+        .withColumn("event_type", expr("substring(event_type, 3)"))
+        .orderBy(col("day").asc_nulls_first, col("event_type")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,6 +208,18 @@ object AggQueries extends QueryPack {
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
-        |FROM events GROUP BY 1 ORDER BY day NULLS FIRST""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q_agg_unpivot" -> {
+      val arms = eventTypes.map(t =>
+        s"SELECT day, '$t' AS event_type, n_$t AS n FROM p").mkString("\n  UNION ALL\n  ")
+      s"""WITH p AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    ${eventTypes.map(t =>
+              s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n    ")}
+         |  FROM events GROUP BY 1)
+         |$arms
+         |ORDER BY day NULLS FIRST, event_type""".stripMargin
+    }
   )
 }
