@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries surfaced in the compact stdout line: the five BASELINE.md
+    * analogs plus every historically-heavy operator worth watching.
+    */
+  private val headline = Seq(
+    "q_agg_pricing_summary", // b_q1
+    "q_join_inner_equi",     // b_join3
+    "q_win_rank_topn",       // b_window
+    "q_evt_tumbling_hourly", // b_events
+    "q_sim_cosine_topk",     // cosine HOF baseline
+    "q_dedup_ngram_jaccard",
+    "q_tpch_q3",
+    "s_dedup_minhash",
+    "s_dedup_simhash",
+    "s_dedup_ngram_dfcut",
+    "s_dedup_embed_ann",
+    "s_sim_ann_lsh",
+    "s_sim_ann_ivf",
+    "s_topk_per_key")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
+  private def jsonLine(total: Double, entries: Seq[(String, Double)],
+                       sfDir: String, n: Int): String = {
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,21 +54,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout is shared with sbt logging and the driver's parser has lost the
-    // line in it before (BENCH_r01 "parsed": null) — also write to a file
-    println(json)
+    val full = jsonLine(total, results, sfDir, results.length)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       // never fail the bench over the file copy, but never hide it either —
       // a silent miss here is exactly the lost-output failure this exists for
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // stop BEFORE printing: shutdown logging must not push the JSON out of
+    // the driver's tail window
     spark.stop()
+    // full detail first (humans, the file copy above), then a COMPACT line
+    // LAST: the driver keeps only the final ~2000 chars of stdout and tries
+    // to parse a JSON line out of them — the 97-query full line is longer
+    // than that window and gets decapitated (BENCH_r01/r02 "parsed": null),
+    // so the last line must be one that always fits whole.
+    println(full)
+    val byName = results.toMap
+    val compact = jsonLine(total,
+      headline.flatMap(q => byName.get(q).map(q -> _)), sfDir, results.length)
+    println(compact)
   }
 }

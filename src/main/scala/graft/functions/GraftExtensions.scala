@@ -31,11 +31,15 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
         ZipWith(a, b,
           LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
             Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
-        Literal(0.0, DoubleType),
+        Literal(init: java.lang.Double, DoubleType),
         LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _),
           Seq(macc: NamedLambdaVariable, mv: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(finv: NamedLambdaVariable), _))
-      if isDoubleArray(a) && isDoubleArray(b) &&
+      // raw-bits check: -0.0 == 0.0 under ==, but the HOF yields -0.0 for an
+      // empty array with a -0.0 accumulator while the kernel yields 0.0 — a
+      // stringified output change a bitwise-invisible rule must not make
+      if java.lang.Double.doubleToRawLongBits(init) == 0L &&
+        isDoubleArray(a) && isDoubleArray(b) &&
         Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
         Set(ax.exprId, ay.exprId) == Set(macc.exprId, mv.exprId) &&
         fin.exprId == finv.exprId =>

@@ -96,7 +96,7 @@ object AnnIvf {
     graft.functions.VectorFunctions.register(spark)
     if (embeddings.isEmpty) {
       return (Seq.empty[(Long, Int)].toDF("vec_id", "list_id"),
-        Seq.empty[(Int, Seq[Double])].toDF("list_id", "c"))
+        Seq.empty[(Int, Seq[Double], Double)].toDF("list_id", "c", "c_normsq"))
     }
     // deterministic bounded sample: first maxTrain ids (at 100 TB swap for
     // .sample(fraction, seed) — any representative subset trains equally well).

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   */
 class TopKAggregator(k: Int)
   extends Aggregator[(Long, Double, Long), Array[Long], Seq[(Double, Long)]] {
+  require(k > 0, s"top-k bound must be positive, got $k")
 
   // (value DESC, id ASC): negative = a ranks before b
   private def cmp(v1: Double, id1: Long, v2: Double, id2: Long): Int = {

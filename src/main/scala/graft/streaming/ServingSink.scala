@@ -43,6 +43,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object ServingSink {
 
+  /** Dead-letter batch dirs kept by GC (most recent first). */
+  val rejectsRetain = 64
+
   private def commitFile(storeDir: String) = Paths.get(storeDir, "_COMMIT")
 
   /** Last committed batch id, -1 if the store is empty. */
@@ -133,6 +136,37 @@ object ServingSink {
           } finally listing.close()
         }
       }
+      // sweep _commit*.tmp orphans (a crash between createTempFile and the
+      // atomic move leaves one behind; the writer is single-threaded per
+      // store — foreachBatch commits sequentially — so after our own move
+      // any surviving tmp is stale by construction)
+      val storeListing = Files.list(Paths.get(storeDir))
+      try storeListing.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("_commit") && n.endsWith(".tmp")) Files.delete(p)
+      } finally storeListing.close()
+      // dead-letter retention: keep the most recent rejectsRetain batch
+      // dirs. Rejects are diagnostic, not transactional state — a real
+      // deployment forwards them to an alerting sink; unbounded per-batch
+      // dirs would otherwise accumulate for the life of the topology.
+      val rejDir = Paths.get(storeDir, "rejects")
+      if (Files.isDirectory(rejDir)) {
+        val rejListing = Files.list(rejDir)
+        val vs = try {
+          import scala.jdk.CollectionConverters._
+          rejListing.iterator().asScala.toList.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.length > 1
+          }
+        } finally rejListing.close()
+        vs.sortBy(-_.getFileName.toString.drop(1).toLong)
+          .drop(rejectsRetain).foreach { p =>
+            val tree = Files.walk(p)
+            try tree.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+            finally tree.close()
+          }
+      }
     } finally { batch.unpersist(); () }
   }
 
@@ -158,11 +192,14 @@ object ServingSink {
   // schema (never the schemaless spark.emptyDataFrame, which would make
   // downstream column references throw instead of yielding zero rows)
 
+  // hour is TIMESTAMP_NTZ in committed snapshots (JsonIngest parses ts as
+  // TimestampNTZType) — the empty frames must carry the same type or the
+  // read path's schema would differ between an empty and a populated store
   private def emptyCounts(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(java.sql.Timestamp, Long, Long, java.math.BigDecimal)]
       .toDF("hour", "user_id", "cnt", "sum_value")
-      .select(col("hour"), col("user_id"), col("cnt"),
+      .select(col("hour").cast("timestamp_ntz"), col("user_id"), col("cnt"),
         col("sum_value").cast("decimal(18,2)"))
   }
 
@@ -179,6 +216,7 @@ object ServingSink {
         expr("hll_sketch_estimate(sketch)").as("approx_users"))
       case None => Seq.empty[(java.sql.Timestamp, Long)]
         .toDF("hour", "approx_users")
+        .select(col("hour").cast("timestamp_ntz"), col("approx_users"))
     }
   }
 
