@@ -46,18 +46,26 @@ object NgramJaccard {
       .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfFilter = dfCutoff match {
-      case Some(cut) => col("df") > 1 && col("df") <= cut
-      case None      => col("df") > 1
+      case Some(cut) => size(col("ids")) > 1 && size(col("ids")) <= cut
+      case None      => size(col("ids")) > 1
     }
-    // no broadcast hint: the shared-shingle set is data-dependent and can
-    // be large at scale — AQE demotes/promotes the join strategy at runtime
-    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(dfFilter).select("shingle")
-    val shPruned = sh.join(shared, "shingle")
-    val a = shPruned.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = shPruned.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
-    val inter = a.join(b, col("shingle") === col("b_shingle") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    // posting lists instead of a self-join: ONE shuffle of the shingle
+    // table builds sorted per-shingle doc lists, and the (a < b) candidate
+    // pairs expand inside a projection — the round-2 shape (df-filter join
+    // + self-join on shingle) shuffled the same table three times. The
+    // per-group buffer is O(df): bounded by `dfCutoff` when set; in the
+    // exact variant a viral shingle makes the list (and its df² pairs)
+    // large — the identical pair volume the self-join would stream, which
+    // is exactly why the cutoff exists at scale.
+    val lists = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(dfFilter)
+    val inter = lists.select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a', a, 'b', b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
     val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
     inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
