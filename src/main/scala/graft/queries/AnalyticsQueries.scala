@@ -123,6 +123,36 @@ object AnalyticsQueries extends QueryPack {
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
     }),
 
+    // TPC-H Q6 (forecast revenue change): pure scan-side query — every
+    // predicate pushes into the parquet reader, no join, one partial+final
+    // aggregate; the 100 TB plan is a map-only pass over pruned row groups
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,6)"))
+          .cast("decimal(18,2)").cast("double").as("revenue"))),
+
+    // TPC-H Q18 (large-volume customers): the big-order keys come from an
+    // aggregate-then-filter on lineitem alone (shuffle bounded by order
+    // keys), then join back to the order/customer dims
+    "q_tpch_q18" -> ((s, dir) => {
+      val bigOrders = Tables.t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_x"))
+        .filter(col("sum_qty_x") > 240)
+      Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_x").cast("decimal(18,2)").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q10 (returned items): top customers by returned revenue
     "q_tpch_q10" -> ((s, dir) => {
       val o = Tables.t(s, dir, "orders")
@@ -202,6 +232,28 @@ object AnalyticsQueries extends QueryPack {
          |    AND o_orderdate < TIMESTAMP '1997-01-01'
          |  GROUP BY n_name) t
          |ORDER BY rev_x DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  CAST(ROUND(sum_qty_x, 2) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_x
+        |      FROM lineitem GROUP BY 1
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 240) t
+        |  ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, n_name,

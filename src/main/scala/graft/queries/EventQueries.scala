@@ -62,6 +62,45 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     }),
 
+    // ordered conversion funnel view → click → purchase: each stage is the
+    // user's FIRST qualifying event strictly after the previous stage.
+    // All three aggregates and joins key on user_id — one partitioning
+    // reused down the chain, and the per-user stage frames are aggregate-
+    // small (≤ 1 row/user), so the joins broadcast at any corpus scale
+    // where users ≪ events.
+    "q_evt_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          timestamp_micros(col("v_us")).cast("timestamp_ntz").as("first_view"),
+          timestamp_micros(col("c_us")).cast("timestamp_ntz").as("first_click"),
+          timestamp_micros(col("p_us")).cast("timestamp_ntz").as("first_purchase"))
+        .orderBy("user_id")
+    }),
+
+    // cohort retention: users grouped by first-seen day, counted per
+    // day-offset of later activity — two aggregates over the same
+    // user_id shuffle plus a per-user join (broadcast-small right side)
+    "q_evt_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      val f = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.distinct().join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
+
     "q_evt_dedup_minute" -> ((s, dir) =>
       // explicit null filter: Spark's multi-arg countDistinct drops rows
       // with any NULL while DuckDB's tuple-DISTINCT would count them —
@@ -101,6 +140,34 @@ object EventQueries extends QueryPack {
         |  make_timestamp(MIN(us)) AS session_start,
         |  make_timestamp(MAX(us)) AS session_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_evt_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS c_us FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS p_us FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+        |SELECT v.user_id, make_timestamp(v_us) AS first_view,
+        |  make_timestamp(c_us) AS first_click,
+        |  make_timestamp(p_us) AS first_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_evt_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+        |  COUNT(*) AS n_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
 
     "q_evt_dedup_minute" ->
       """SELECT COUNT(*) AS n_before,

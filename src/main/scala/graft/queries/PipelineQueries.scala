@@ -42,6 +42,27 @@ object PipelineQueries extends QueryPack {
   private[queries] val docFingerprintSql =
     "md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' '))"
 
+  /** Shared CTE chain ending in `pairs(a_id, b_id, jaccard)` — the DuckDB
+    * twin of NgramJaccard.pairs; q_dedup_ngram_jaccard selects it
+    * directly, q_dedup_components walks it as a graph.
+    */
+  private val ngramPairsCtes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+      |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a_id, b_id,
+      |            ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+      |          FROM inter
+      |          JOIN sizes sa ON sa.doc_id = a_id
+      |          JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE inter * 10 >= sa.n_sh + sb.n_sh - inter)""".stripMargin
+
   val queries: Map[String, Fn] = Map(
     // ---- language ID: argmax of per-language stopword hits ----
     "q_text_langid" -> ((s, dir) => {
@@ -98,6 +119,13 @@ object PipelineQueries extends QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents"))),
 
+    // ---- pairs → transitive clusters → canonical survivor per cluster ----
+    // distributed min-label propagation (operators.DedupClusters); the
+    // DuckDB twin walks the same pair graph with a recursive CTE
+    "q_dedup_components" -> ((s, dir) =>
+      graft.operators.DedupClusters.canonical(
+        graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents")))),
+
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned
     // with the exact-topk twin; threshold compares the UNROUNDED sim (cross-
@@ -153,22 +181,23 @@ object PipelineQueries extends QueryPack {
         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
-        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |  ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = a_id
-        |JOIN sizes sb ON sb.doc_id = b_id
-        |WHERE inter * 10 >= sa.n_sh + sb.n_sh - inter
+      s"""WITH $ngramPairsCtes
+        |SELECT a_id, b_id, jaccard FROM pairs
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id,
+        |  LEAST(src, MIN(dst)) AS cluster_id,
+        |  (src = LEAST(src, MIN(dst))) AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -65,7 +65,22 @@ object SketchQueries extends QueryPack {
     "s_agg_salted" -> ((s, dir) =>
       graft.operators.SaltedAgg.countSum(
         Tables.events(s, dir), "event_type", col("value").cast("decimal(18,2)"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Bloom-membership incremental dedup — approximate twin of
+    // q_dedup_incremental: the seen corpus folds into a broadcast bit
+    // array (one mergeable aggregate), the new batch filters scan-side;
+    // the seen corpus is never shuffled (operators.BloomDedup)
+    "s_dedup_bloom" -> ((s, dir) => {
+      val fp = xxhash64(PipelineQueries.docFingerprint)
+      val docs = Tables.t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 5 =!= 0).select(fp.as("fp"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), fp.as("fp"))
+      graft.operators.BloomDedup.novelRows(seen, batch, col("fp"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map.empty

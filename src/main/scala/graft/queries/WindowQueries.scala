@@ -90,6 +90,19 @@ object WindowQueries extends QueryPack {
             .cast("decimal(18,2)").cast("double"))
         .select(col("user_id"), col("event_id"), col("roll_value"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // distribution ranks within each nation: percent_rank/cume_dist are
+    // rank-derived, so ties in c_acctbal yield identical values under any
+    // secondary order — deterministic without a unique sort key in the
+    // window itself (the OUTPUT sort is the unique c_custkey)
+    "q_win_cume_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -146,6 +159,14 @@ object WindowQueries extends QueryPack {
         |            OVER (PARTITION BY user_id ORDER BY tus
         |                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |            AS DECIMAL(18,2)) AS DOUBLE) AS roll_value
-        |FROM ev ORDER BY user_id, event_id""".stripMargin
+        |FROM ev ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_cume_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

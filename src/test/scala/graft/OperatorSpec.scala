@@ -165,6 +165,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("components: chains, cliques and singleton-free labeling") {
+    import spark.implicits._
+    // component A: 10-node chain 0-1-2-…-9 (worst-case diameter for
+    // min-label propagation — needs several rounds, not one)
+    // component B: triangle 100-101-102; component C: lone pair 200-201
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("a_id", "b_id")
+    val got = DedupClusters.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L, s"chain node $i → ${got(i)}"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
+    assert(got.size == 15, "exactly the paired nodes are labeled")
+
+    val canon = DedupClusters.canonical(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(canon.count(_._3) == 3, "one canonical per component")
+    assert(canon.filter(_._3).map(_._1).toSet == Set(0L, 100L, 200L))
+  }
+
+  test("bloom: distributed build matches local bits, no false negatives, bounded FP") {
+    import spark.implicits._
+    val numBits = 4096
+    val k = 7
+    val seenKeys = (0L until 300L).map(i => i * 0x9E3779B97F4A7C15L + 11L)
+    val seen = seenKeys.toDF("fp").repartition(4) // partial buffers must OR-merge
+    val bits = BloomDedup.build(seen, col("fp"), numBits, k)
+    // reference build, single-threaded
+    val expected = new Array[Long](numBits / 64)
+    seenKeys.foreach { h =>
+      val h1 = h >>> 32; val h2 = (h & 0xffffffffL) | 1L
+      (0 until k).foreach { i =>
+        val p = ((h1 + i * h2) % numBits).toInt
+        expected(p >> 6) |= 1L << (p & 63)
+      }
+    }
+    assert(bits.toSeq == expected.toSeq, "distributed OR-merge must equal local build")
+    // SQL probe agrees: every seen key contained (one-sided guarantee)
+    val fn = seen.filter(!BloomDedup.mightContain(bits, numBits, k, col("fp"))).count()
+    assert(fn == 0L, "a Bloom filter can never produce a false negative")
+    // novel keys: FP rate near theory ((1-e^{-kn/m})^k ≈ 2.2% here), not runaway
+    val novel = (0L until 2000L).map(i => i * 0xC2B2AE3D27D4EB4FL + 7L)
+      .filterNot(seenKeys.toSet)
+    val fp = novel.toDF("fp")
+      .filter(BloomDedup.mightContain(bits, numBits, k, col("fp"))).count()
+    assert(fp.toDouble / novel.size < 0.10, s"false-positive rate too high: $fp/${novel.size}")
+  }
+
   test("s_win_ntile_scalable == q_win_ntile_pct, row for row") {
     val win = SparkEntry.queries("q_win_ntile_pct")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
