@@ -192,14 +192,15 @@ object ServingSink {
   // schema (never the schemaless spark.emptyDataFrame, which would make
   // downstream column references throw instead of yielding zero rows)
 
-  // hour is TIMESTAMP_NTZ in committed snapshots (JsonIngest parses ts as
-  // TimestampNTZType) — the empty frames must carry the same type or the
-  // read path's schema would differ between an empty and a populated store
+  // hour is TIMESTAMP (LTZ) in committed snapshots: JsonIngest parses ts
+  // as TIMESTAMP_NTZ but date_trunc returns plain TIMESTAMP (verified on
+  // the parquet footer metadata, `{"name":"hour","type":"timestamp"}`) —
+  // the java.sql.Timestamp-typed empty frames match it exactly
   private def emptyCounts(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(java.sql.Timestamp, Long, Long, java.math.BigDecimal)]
       .toDF("hour", "user_id", "cnt", "sum_value")
-      .select(col("hour").cast("timestamp_ntz"), col("user_id"), col("cnt"),
+      .select(col("hour"), col("user_id"), col("cnt"),
         col("sum_value").cast("decimal(18,2)"))
   }
 
@@ -216,7 +217,6 @@ object ServingSink {
         expr("hll_sketch_estimate(sketch)").as("approx_users"))
       case None => Seq.empty[(java.sql.Timestamp, Long)]
         .toDF("hour", "approx_users")
-        .select(col("hour").cast("timestamp_ntz"), col("approx_users"))
     }
   }
 
