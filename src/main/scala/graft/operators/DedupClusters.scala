@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
   * on node id, nothing driver-side but the loop itself, and
   * `localCheckpoint` truncates the growing lineage each round.
   *
-  * Scale notes: rounds needed = graph diameter. Near-dup components are
-  * near-cliques (every member matches most others), so the diameter is
-  * tiny and 2–3 rounds converge regardless of corpus size; the edge list
-  * shuffles by node id each round, which at 100 TB is the candidate-pair
-  * table, orders of magnitude below the corpus. For adversarial
-  * long-chain graphs the two-phase large-star/small-star alternation
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-  * converges in O(log²) rounds with the same join-shaped primitives —
-  * swap the loop body, keep everything else. `maxIters` is a safety rail:
-  * non-convergence throws rather than returning silently-partial labels.
+  * Each round ends with a POINTER JUMP (path halving): after taking the
+  * min over neighbor labels, every node follows its new label one more
+  * hop through the label table, so label chains collapse geometrically —
+  * O(log diameter) rounds even on adversarial long-chain graphs (the
+  * same doubling idea as Kiveris et al., "Connected Components in
+  * MapReduce and Beyond"). Near-dup components are near-cliques, so in
+  * practice 2–3 rounds converge regardless of corpus size.
+  *
+  * Scale notes: the edge list shuffles by node id each round — at 100 TB
+  * that is the candidate-pair table, orders of magnitude below the
+  * corpus. `maxIters` is a safety rail: non-convergence throws rather
+  * than returning silently-partial labels.
   */
 object DedupClusters {
 
@@ -35,27 +37,47 @@ object DedupClusters {
     */
   def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                  maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) pair detector ONCE before the
+    // union — its two branches would otherwise each evaluate the upstream
+    // plan; every propagation round then re-reads only these rows
+    def dbg(m: String): Unit =
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] $m t=${System.nanoTime() / 1e9}%.2f")
+    dbg("start")
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
+    dbg("half ckpt")
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // materialize once: every round re-reads the edges
+      .localCheckpoint()
+    dbg("edges ckpt")
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nb_min"))
       .select(col("id"), least(col("id"), col("nb_min")).as("lbl"))
       .localCheckpoint()
+    dbg("labels init")
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       // candidate label per node = min label among its neighbors
       val cand = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("cid")).agg(min(col("lbl")).as("cand"))
-      val next = labels.join(cand, labels("id") === cand("cid"), "left")
+      val stepped = labels.join(cand, labels("id") === cand("cid"), "left")
         .select(labels("id"), labels("lbl"),
-          least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("nxt"))
+          least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("mid"))
+      // pointer jump (path halving): follow the new label one more hop
+      // through the label table — labels chase 2^round hops per round, so
+      // even adversarial chain graphs converge in O(log diameter) rounds
+      val lblMap = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = stepped.join(lblMap, stepped("mid") === lblMap("jid"), "left")
+        .select(stepped("id"), stepped("lbl"),
+          least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("nxt"))
         .localCheckpoint()
       changed = next.filter(col("nxt") < col("lbl")).count()
       labels = next.select(col("id"), col("nxt").as("lbl"))
       iters += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iters changed=$changed t=${System.nanoTime()/1e9}")
     }
     require(changed == 0,
       s"components did not converge after $maxIters rounds — the pair graph " +

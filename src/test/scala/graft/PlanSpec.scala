@@ -147,4 +147,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"pivot must shuffle at most twice (pre-agg key, group key):\n$p")
   }
+
+  test("TPC-H Q6 is scan-side only: all predicates pushed, no join, no hash shuffle") {
+    val p = finalSection(plan("q_tpch_q6"))
+    // PushedFilters is elided in toString — check the scan-side DataFilters
+    assert(p.contains("isnotnull(l_shipdate") && p.contains("l_quantity#") &&
+      p.contains("< 24"),
+      s"range predicates must reach the lineitem scan:\n$p")
+    assert(!p.contains("Join"), s"Q6 has no join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"single global aggregate — only the final single-partition exchange:\n$p")
+  }
+
+  test("funnel: stage aggregates broadcast back, events never cartesian") {
+    val p = finalSection(plan("q_evt_funnel"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel stages must stay equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-user stage frames are aggregate-small and must broadcast:\n$p")
+  }
+
+  test("bloom probe is pure built-in expressions inside codegen") {
+    val bits = graft.operators.BloomDedup.build(
+      Tables.t(spark, sfDir, "documents").select(xxhash64(col("text")).as("fp")),
+      col("fp"), 1 << 12, 7)
+    val df = Tables.t(spark, sfDir, "documents")
+      .filter(!graft.operators.BloomDedup.mightContain(bits, 1 << 12, 7, xxhash64(col("text"))))
+    val p = finalPlan(df)
+    assert(hasCodegen(p), s"bloom probe fell out of whole-stage codegen:\n$p")
+    assert(!p.toLowerCase.contains("udf"), s"probe must not use a UDF:\n$p")
+  }
 }
