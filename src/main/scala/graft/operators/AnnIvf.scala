@@ -59,9 +59,11 @@ object AnnIvf {
     centers.toArray
   }
 
-  /** Driver-local Lloyd's iterations, deterministic under `seed`. */
-  private def localKMeans(points: Array[Array[Double]], k: Int, iters: Int,
-                          seed: Long): Array[Array[Double]] = {
+  /** Driver-local Lloyd's iterations, deterministic under `seed`
+    * (shared with AnnPq's per-subspace codebook training).
+    */
+  private[operators] def localKMeans(points: Array[Array[Double]], k: Int, iters: Int,
+                                     seed: Long): Array[Array[Double]] = {
     val dim = points(0).length
     val rnd = new Random(seed)
     var centroids = kppInit(points, k, rnd)

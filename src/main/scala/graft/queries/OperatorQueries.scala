@@ -27,6 +27,11 @@ object OperatorQueries extends QueryPack {
     "s_sim_ann_ivf" -> ((s, dir) =>
       AnnIvf.approxTopK(s, Tables.t(s, dir, "embeddings"))),
 
+    // product-quantization ADC + exact re-rank — compresses the candidate
+    // scan (codes instead of raw vectors); composes with IVF at scale
+    "s_sim_ann_pq" -> ((s, dir) =>
+      graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"))),
+
     // multimodal binary-column featurize (stubbed decode, real plumbing)
     "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
 

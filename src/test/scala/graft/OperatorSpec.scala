@@ -88,6 +88,28 @@ class OperatorSpec extends SparkSpec {
     assert(mean >= 0.55, s"mean IVF recall@5 $mean below floor")
   }
 
+  test("ann-pq: ADC + exact re-rank recall@5 on real embeddings") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val approx = AnnPq.approxTopK(spark, emb, probeMaxId = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, ex) =>
+      approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // the exact re-rank means recall is set by whether true neighbors make
+    // the ADC top-`rerank` cut; floor leaves headroom for corpus drift
+    assert(mean >= 0.55, s"mean PQ recall@5 $mean below floor")
+
+    // empty corpus must not crash and must keep the documented schema
+    val empty = AnnPq.approxTopK(spark, emb.limit(0))
+    assert(empty.columns.toSeq == Seq("probe_id", "neighbor_id", "sim", "rn"))
+    assert(empty.count() == 0)
+  }
+
   test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
     import spark.implicits._
     val media = Seq(
