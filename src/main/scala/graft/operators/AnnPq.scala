@@ -46,10 +46,17 @@ object AnnPq {
 
   /** Approximate top-k cosine neighbors for probes (vec_id < probeMaxId):
     * ADC over PQ codes + exact re-rank of the best `rerank` candidates.
+    *
+    * With `nlist > 0` this runs IVF-PQ: AnnIvf's inverted lists prune the
+    * candidate set to the probe's `nprobe` nearest cells FIRST, and the
+    * ADC scan reads only those cells' codes — candidate volume drops to
+    * ~corpus·nprobe/nlist AND each candidate costs M bytes instead of
+    * dim·8. That composition is the standard billion-vector layout.
     */
   def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
                  k: Int = 5, m: Int = 8, codes: Int = 16, rerank: Int = 64,
-                 seed: Long = 42, maxTrain: Int = 65536): DataFrame = {
+                 seed: Long = 42, maxTrain: Int = 65536,
+                 nlist: Int = 0, nprobe: Int = 6): DataFrame = {
     import spark.implicits._
     def dbg(msg: String): Unit =
       if (sys.env.contains("GRAFT_PQ_DEBUG"))
@@ -148,8 +155,23 @@ object AnnPq {
     val lutDf = luts.toDF("probe_id", "lut")
 
     // ---- ADC scan: dist ≈ Σ_b lut[b*K + code_b], one aggregate() ----
+    // flat PQ scans every code row; IVF-PQ (nlist > 0) first prunes to
+    // the probes' nprobe nearest inverted lists, then ADC-scans only them
+    val scanSide = if (nlist > 0) {
+      val (assigned, centroids) = AnnIvf.buildIndex(spark, embeddings, nlist, seed)
+      val probes = encoded.filter(col("vec_id") < probeMaxId)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("e_nrm").as("pn"))
+      val wL = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
+      val probeLists = probes.crossJoin(broadcast(centroids))
+        .withColumn("dist2", col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
+          when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
+        .withColumn("lr", row_number().over(wL)).filter(col("lr") <= nprobe)
+        .select("probe_id", "list_id")
+      broadcast(probeLists.join(lutDf, "probe_id"))
+        .join(encoded.join(assigned, "vec_id"), "list_id")
+    } else encoded.crossJoin(broadcast(lutDf))
     val wTop = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
-    val cands = encoded.crossJoin(broadcast(lutDf))
+    val cands = scanSide
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("v"), col("e_nrm"),
         expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), " +

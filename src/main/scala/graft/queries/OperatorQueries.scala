@@ -32,6 +32,12 @@ object OperatorQueries extends QueryPack {
     "s_sim_ann_pq" -> ((s, dir) =>
       graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"))),
 
+    // IVF-PQ: inverted lists prune the candidates, PQ codes shrink what
+    // the pruned scan reads — the standard billion-vector composition
+    "s_sim_ann_ivfpq" -> ((s, dir) =>
+      graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"),
+        nlist = 16, nprobe = 6)),
+
     // multimodal binary-column featurize (stubbed decode, real plumbing)
     "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
 
