@@ -123,6 +123,31 @@ object AnalyticsQueries extends QueryPack {
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
     }),
 
+    // correlated LATERAL subquery with LIMIT — per-customer top-2 orders
+    // as a join operator (the window-free formulation); Catalyst
+    // decorrelates it, DuckDB runs the same SQL natively
+    "q_join_lateral" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer c, LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM orders o
+              |  WHERE o.o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+              |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // FILTER-clause aggregates (per-aggregate predicates without CASE
+    // contortions) + bool_or — one pass, partial+final as usual
+    "q_agg_filtered" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""SELECT o_orderpriority,
+              |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+              |  bool_or(o_totalprice > 400000) AS any_huge,
+              |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS n_big_cust
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // TPC-H Q6 (forecast revenue change): pure scan-side query — every
     // predicate pushes into the parquet reader, no join, one partial+final
     // aggregate; the 100 TB plan is a map-only pass over pruned row groups
@@ -232,6 +257,22 @@ object AnalyticsQueries extends QueryPack {
          |    AND o_orderdate < TIMESTAMP '1997-01-01'
          |  GROUP BY n_name) t
          |ORDER BY rev_x DESC, n_name""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
+    "q_agg_filtered" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  bool_or(o_totalprice > 400000) AS any_huge,
+        |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS n_big_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q6" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
