@@ -47,10 +47,11 @@ object DedupClusters {
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
     dbg("half ckpt")
+    // the union over the materialized half is cheap to recompute per
+    // round — a second checkpoint would only add a copy of the data
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    dbg("edges ckpt")
+    dbg("edges built")
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nb_min"))
       .select(col("id"), least(col("id"), col("nb_min")).as("lbl"))
