@@ -101,6 +101,23 @@ object EventQueries extends QueryPack {
         .orderBy("cohort_day", "offset_days")
     }),
 
+    // z-score anomaly profile per event_type: one stats aggregate joined
+    // back (broadcast-small), outliers counted on the ROUNDED z so the
+    // threshold compares identical float64 in both engines
+    "q_evt_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(first(col("mu")), 6).as("mean_value"),
+          round(first(col("sigma")), 6).as("sd_value"),
+          count(when(abs(round((col("value") - col("mu")) / col("sigma"), 6)) > 3, 1))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     "q_evt_dedup_minute" -> ((s, dir) =>
       // explicit null filter: Spark's multi-arg countDistinct drops rows
       // with any NULL while DuckDB's tuple-DISTINCT would count them —
@@ -168,6 +185,18 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_evt_anomaly" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |stats AS (SELECT event_type, AVG(value) AS mu,
+        |            stddev_samp(value) AS sigma
+        |          FROM ev GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  ROUND(ANY_VALUE(mu), 6) AS mean_value,
+        |  ROUND(ANY_VALUE(sigma), 6) AS sd_value,
+        |  COUNT(*) FILTER (WHERE abs(ROUND((value - mu) / sigma, 6)) > 3) AS n_outliers
+        |FROM ev e JOIN stats s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_evt_dedup_minute" ->
       """SELECT COUNT(*) AS n_before,

@@ -85,10 +85,35 @@ object TextQueries extends QueryPack {
       Tables.t(s, dir, "documents")
         .select("lang", "source")
         .distinct()
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // vocabulary-distribution profile per language: hapax legomena count
+    // and the Zipf head share — two stacked aggregates over the exploded
+    // token table, no joins
+    "q_text_hapax" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_distinct"),
+          count(when(col("c") === 1, 1)).as("n_hapax"),
+          round(max("c").cast("double") / sum("c"), 6).as("top1_share"))
+        .orderBy("lang"))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_hapax" ->
+      """WITH tc AS (
+        |  SELECT lang, token, COUNT(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY lang, token)
+        |SELECT lang, COUNT(*) AS n_distinct,
+        |  COUNT(*) FILTER (WHERE c = 1) AS n_hapax,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_text_tokens_top20" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
