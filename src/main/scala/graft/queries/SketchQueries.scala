@@ -67,6 +67,20 @@ object SketchQueries extends QueryPack {
         Tables.events(s, dir), "event_type", col("value").cast("decimal(18,2)"))
         .orderBy("event_type")),
 
+    // Space-Saving heavy hitters over the token stream — provable
+    // (count, err) bounds from m counters per partition, partials merge
+    // map-side (operators.SpaceSaving); m=16 < vocabulary so eviction
+    // genuinely exercises on this corpus
+    "s_topk_spacesaving" -> ((s, dir) => {
+      val toks = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .select(col("token"), xxhash64(col("token")).as("item"))
+      graft.operators.SpaceSaving.topK(toks, "item", m = 16, k = 10)
+        .join(toks.select("token", "item").distinct(), "item")
+        .select(col("token"), col("est_count"), col("max_err"))
+        .orderBy(col("est_count").desc, col("token"))
+    }),
+
     // Bloom-membership incremental dedup — approximate twin of
     // q_dedup_incremental: the seen corpus folds into a broadcast bit
     // array (one mergeable aggregate), the new batch filters scan-side;

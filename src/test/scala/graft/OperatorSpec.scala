@@ -228,6 +228,27 @@ class OperatorSpec extends SparkSpec {
     assert(canon.filter(_._3).map(_._1).toSet == Set(0L, 100L, 200L))
   }
 
+  test("space-saving: heavy hitters exact within (count, err) bounds under eviction") {
+    import spark.implicits._
+    // Zipf-ish: item i (1..50) appears ceil(600/i) times — vocab 50 > m=8,
+    // so eviction happens constantly; shuffled deterministically
+    val data = (1 to 50).flatMap(i => Seq.fill(600 / i)(i.toLong))
+    val shuffled = new scala.util.Random(7).shuffle(data)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = SpaceSaving.topK(shuffled.toDF("item").repartition(4), "item", m = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 5)
+    out.foreach { case (item, est, err) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(truth <= est, s"space-saving must never undercount: $item $est < $truth")
+      assert(est - err <= truth, s"err bound violated for $item: est $est err $err truth $truth")
+    }
+    // the unambiguous top hitters (1, 2) must survive any merge order
+    val items = out.map(_._1).toSet
+    assert(items.contains(1L) && items.contains(2L),
+      s"dominant heavy hitters lost: $items")
+  }
+
   test("bloom: distributed build matches local bits, no false negatives, bounded FP") {
     import spark.implicits._
     val numBits = 4096
