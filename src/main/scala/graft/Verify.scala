@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter: comma-separated names (or a substring) to
+    // dump just a few queries. The driver never sets this.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(o => o.contains(name) || o.exists(name.contains))
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -43,25 +43,39 @@ object PipelineQueries extends QueryPack {
     "md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' '))"
 
   /** Shared CTE chain ending in `pairs(a_id, b_id, jaccard)` — the DuckDB
-    * twin of NgramJaccard.pairs; q_dedup_ngram_jaccard selects it
-    * directly, q_dedup_components walks it as a graph.
+    * twin of NgramJaccard.pairs over `src` (a table or prior CTE), with
+    * the optional df-cutoff mirrored exactly (union sizes stay computed
+    * over ALL shingles, only intersections shrink — the operator's
+    * semantics). q_dedup_ngram_jaccard selects it directly,
+    * q_dedup_components walks it as a graph, q_curate_fuzzy composes it
+    * behind a quality filter.
     */
-  private val ngramPairsCtes =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
-      |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT a_id, b_id,
-      |            ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-      |          FROM inter
-      |          JOIN sizes sa ON sa.doc_id = a_id
-      |          JOIN sizes sb ON sb.doc_id = b_id
-      |          WHERE inter * 10 >= sa.n_sh + sb.n_sh - inter)""".stripMargin
+  private def ngramPairsCtesFor(src: String, dfCutoff: Option[Long]): String = {
+    val filt = dfCutoff match {
+      case Some(cut) =>
+        s"""keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= $cut),
+           |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),""".stripMargin
+      case None => "sh AS (SELECT doc_id, shingle FROM sh0),"
+    }
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+       |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+       |$filt
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id,
+       |            ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       |          FROM inter
+       |          JOIN sizes sa ON sa.doc_id = a_id
+       |          JOIN sizes sb ON sb.doc_id = b_id
+       |          WHERE inter * 10 >= sa.n_sh + sb.n_sh - inter)""".stripMargin
+  }
+
+  private val ngramPairsCtes = ngramPairsCtesFor("documents", None)
 
   val queries: Map[String, Fn] = Map(
     // ---- language ID: argmax of per-language stopword hits ----
@@ -126,6 +140,23 @@ object PipelineQueries extends QueryPack {
       graft.operators.DedupClusters.canonical(
         graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents")))),
 
+    // ---- end-to-end fuzzy curation: quality filter → near-dup clusters
+    // (df-cutoff guarded) → drop non-canonical members → corpus stats ----
+    // The filter runs FIRST so the expensive pair join sees only quality
+    // docs — the same predicate-first discipline as the TPC-H composites.
+    "q_curate_fuzzy" -> ((s, dir) => {
+      val nTok = size(split(col("text"), " "))
+      val q = Tables.t(s, dir, "documents").filter(nTok >= 30 && nTok <= 5000)
+      val pairs = graft.operators.NgramJaccard.pairs(q, dfCutoff = Some(50L))
+      val dropIds = graft.operators.DedupClusters.components(pairs)
+        .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+      q.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned
     // with the exact-topk twin; threshold compares the UNROUNDED sim (cross-
@@ -184,6 +215,27 @@ object PipelineQueries extends QueryPack {
       s"""WITH $ngramPairsCtes
         |SELECT a_id, b_id, jaccard FROM pairs
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_curate_fuzzy" ->
+      s"""WITH RECURSIVE qdocs AS (
+        |  SELECT * FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 5000),
+        |${ngramPairsCtesFor("qdocs", Some(50L))},
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+        |           FROM reach GROUP BY src),
+        |drop AS (SELECT doc_id FROM labels WHERE doc_id != cluster)
+        |SELECT q.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(q.text, ' '))) AS BIGINT) AS total_tokens
+        |FROM qdocs q LEFT JOIN drop dr ON q.doc_id = dr.doc_id
+        |WHERE dr.doc_id IS NULL
+        |GROUP BY q.lang ORDER BY q.lang""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE $ngramPairsCtes,
