@@ -29,10 +29,15 @@ object NgramJaccard {
   /** Pairs with Jaccard >= threshNum/threshDen over distinct 3-gram
     * shingles. The threshold is exact integer arithmetic
     * (J >= num/den ⇔ den·∩ >= num·∪) — no float-boundary ambiguity.
+    *
+    * `sorted=false` skips the final ORDER BY: a global sort adds a range
+    * exchange whose sampling pass evaluates the whole upstream pair plan a
+    * SECOND time — callers that immediately feed the pairs into connected
+    * components (DedupClusters) or re-aggregate them never need the order.
     */
   def pairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             threshNum: Int = 1, threshDen: Int = 10,
-            dfCutoff: Option[Long] = None): DataFrame = {
+            dfCutoff: Option[Long] = None, sorted: Boolean = true): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -68,11 +73,11 @@ object NgramJaccard {
       .agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
     val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-    inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+    val out = inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
       .filter(col("inter") * threshDen >= (col("a_n") + col("b_n") - col("inter")) * threshNum)
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter")), 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
+    if (sorted) out.orderBy("a_id", "b_id") else out
   }
 }

@@ -48,8 +48,11 @@ object OperatorQueries extends QueryPack {
     // df-cutoff n-gram Jaccard — the 100 TB guard against viral shingles
     // making the candidate join quadratic; identical to the exact twin
     // whenever every shared shingle's df <= cutoff (ScalaTest-proven)
+    // (no output sort: s_* checks are order-insensitive, and the global
+    // sort's range-sampling pass would re-evaluate the whole pair plan)
     "s_dedup_ngram_dfcut" -> ((s, dir) =>
-      NgramJaccard.pairs(Tables.t(s, dir, "documents"), dfCutoff = Some(64L))),
+      NgramJaccard.pairs(Tables.t(s, dir, "documents"), dfCutoff = Some(64L),
+        sorted = false)),
 
     // exact scalable ntile twin: range-repartition global rank instead of
     // a single-reducer global window; identical output to q_win_ntile_pct

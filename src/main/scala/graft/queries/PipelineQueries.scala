@@ -138,7 +138,8 @@ object PipelineQueries extends QueryPack {
     // DuckDB twin walks the same pair graph with a recursive CTE
     "q_dedup_components" -> ((s, dir) =>
       graft.operators.DedupClusters.canonical(
-        graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents")))),
+        graft.operators.NgramJaccard.pairs(Tables.t(s, dir, "documents"),
+          sorted = false))),
 
     // ---- end-to-end fuzzy curation: quality filter → near-dup clusters
     // (df-cutoff guarded) → drop non-canonical members → corpus stats ----
@@ -147,7 +148,8 @@ object PipelineQueries extends QueryPack {
     "q_curate_fuzzy" -> ((s, dir) => {
       val nTok = size(split(col("text"), " "))
       val q = Tables.t(s, dir, "documents").filter(nTok >= 30 && nTok <= 5000)
-      val pairs = graft.operators.NgramJaccard.pairs(q, dfCutoff = Some(50L))
+      val pairs = graft.operators.NgramJaccard.pairs(q, dfCutoff = Some(50L),
+        sorted = false)
       val dropIds = graft.operators.DedupClusters.components(pairs)
         .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
       q.join(dropIds, Seq("doc_id"), "left_anti")
