@@ -52,7 +52,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // measure each query from a clean cache state: operators cache
+      // intermediates for intra-query reuse, and letting those pile up
+      // across 100+ queries charges later queries for earlier ones'
+      // storage (the cache drop itself is outside the timed window)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = jsonLine(total, results, sfDir, results.length)

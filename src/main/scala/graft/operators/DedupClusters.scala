@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate CLUSTERS from near-duplicate PAIRS — the step that turns
   * any pair detector (NgramJaccard, MinHashDedup, AnnLsh.nearDupPairs)
@@ -14,8 +15,13 @@ import org.apache.spark.sql.functions._
   * then each round replaces its label with the minimum over its
   * neighbors' labels, until a fixpoint. Each round is one equi-join of
   * the edge list with the label table plus a groupBy — all shuffles key
-  * on node id, nothing driver-side but the loop itself, and
-  * `localCheckpoint` truncates the growing lineage each round.
+  * on node id, nothing driver-side but the loop itself. Round state is
+  * held with explicitly-managed persists (lineage truncates at the
+  * InMemoryRelation leaf exactly as a checkpoint would) and every
+  * superseded round's blocks are unpersisted IMMEDIATELY — the earlier
+  * `localCheckpoint` version left each round's blocks pinned until the
+  * periodic context cleaner (default 30 min), which in a 100-query
+  * session is a storage leak that squeezes every later query.
   *
   * Each round ends with a POINTER JUMP (path halving): after taking the
   * min over neighbor labels, every node follows its new label one more
@@ -45,17 +51,21 @@ object DedupClusters {
         println(f"[cc] $m t=${System.nanoTime() / 1e9}%.2f")
     dbg("start")
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint()
-    dbg("half ckpt")
-    // the union over the materialized half is cheap to recompute per
-    // round — a second checkpoint would only add a copy of the data
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dbg("half persist")
+    // the union over the persisted half is cheap to recompute per round —
+    // a second materialization would only add a copy of the data
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
     dbg("edges built")
-    var labels = edges.groupBy(col("src").as("id"))
+    // persisted handle for the current round's label table (the thing we
+    // unpersist when the round is superseded) and the projected view of it
+    // that the next round joins against
+    var labelsP = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nb_min"))
       .select(col("id"), least(col("id"), col("nb_min")).as("lbl"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = labelsP
     dbg("labels init")
     var iters = 0
     var changed = 1L
@@ -73,8 +83,12 @@ object DedupClusters {
       val next = stepped.join(lblMap, stepped("mid") === lblMap("jid"), "left")
         .select(stepped("id"), stepped("lbl"),
           least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("nxt"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // this count materializes `next` (and, round 1, `half` + the init
+      // labels in the same job), so the old round can be dropped right after
       changed = next.filter(col("nxt") < col("lbl")).count()
+      labelsP.unpersist(blocking = false)
+      labelsP = next
       labels = next.select(col("id"), col("nxt").as("lbl"))
       iters += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -84,7 +98,13 @@ object DedupClusters {
       s"components did not converge after $maxIters rounds — the pair graph " +
         "has a longer diameter than near-dup clusters should; use a " +
         "star-contraction variant for this input")
-    labels.select(col("id"), col("lbl").as("cluster"))
+    // hand back a plan with NO dependence on the loop's persisted state:
+    // one eager localCheckpoint of the (tiny) final label table, then drop
+    // every block the loop still holds
+    val out = labels.select(col("id"), col("lbl").as("cluster")).localCheckpoint()
+    labelsP.unpersist(blocking = false)
+    half.unpersist(blocking = false)
+    out
   }
 
   /** Per-document dedup decision over a pair table: every document in a
