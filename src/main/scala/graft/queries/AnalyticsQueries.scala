@@ -178,6 +178,72 @@ object AnalyticsQueries extends QueryPack {
         .limit(100)
     }),
 
+    // TPC-H Q7 (volume shipping, adapted: no l_commitdate in this schema
+    // so the year comes from l_shipdate): revenue between two nations by
+    // (supplier nation, customer nation, year). The nation dims filter to
+    // the TWO nations BEFORE joining — the big join inputs shrink at the
+    // scan, and both nation sides broadcast.
+    "q_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revX.as("rev_x"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q14 (promo revenue share): one selective scan month joined to
+    // the broadcast part dim; the promo share is a FILTER-style
+    // conditional aggregate over the same pass (no second scan)
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      val term = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      l.join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", term)).as("promo_x"),
+          sum(term).as("tot_x"))
+        .select(
+          round(lit(100.0) * col("promo_x").cast("double") /
+            col("tot_x").cast("double"), 6).as("promo_pct"),
+          col("promo_x").cast("decimal(18,2)").cast("double").as("promo_revenue"),
+          col("tot_x").cast("decimal(18,2)").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q19 (disjunctive bracket predicates, adapted to this schema's
+    // columns): three (brand, size-range, quantity-range) brackets OR-ed
+    // together — the classic test that a disjunction over join-plus-scan
+    // predicates still prunes (part broadcasts; the l_quantity bounds
+    // union to 1..30 and push to the lineitem scan)
+    "q_tpch_q19" -> ((s, dir) => {
+      val br = (brand: String, smax: Int, qlo: Int, qhi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, smax) &&
+          col("l_quantity").between(qlo, qhi)
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(br("Brand#12", 15, 1, 11) || br("Brand#23", 25, 10, 20) ||
+          br("Brand#9", 35, 20, 30))
+        .groupBy("p_brand")
+        .agg(revX.as("rev_x"), count(lit(1)).as("n_items"))
+        .select(col("p_brand"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"),
+          col("n_items"))
+        .orderBy("p_brand")
+    }),
+
     // TPC-H Q10 (returned items): top customers by returned revenue
     "q_tpch_q10" -> ((s, dir) => {
       val o = Tables.t(s, dir, "orders")
@@ -295,6 +361,53 @@ object AnalyticsQueries extends QueryPack {
         |  ON o_orderkey = l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $revXSql AS rev_x
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n1.n_name != n2.n_name
+         |  GROUP BY 1, 2, 3) t
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT ROUND(100.0 * CAST(promo_x AS DOUBLE) / CAST(tot_x AS DOUBLE), 6)
+         |    AS promo_pct,
+         |  CAST(ROUND(promo_x, 2) AS DOUBLE) AS promo_revenue,
+         |  CAST(ROUND(tot_x, 2) AS DOUBLE) AS total_revenue
+         |FROM (
+         |  SELECT
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+         |      FILTER (WHERE p_type = 'PROMO') AS promo_x,
+         |    $revXSql AS tot_x
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01') t""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT p_brand, CAST(ROUND(rev_x, 2) AS DOUBLE) AS revenue, n_items
+         |FROM (
+         |  SELECT p_brand, $revXSql AS rev_x, CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |     OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 35
+         |         AND l_quantity BETWEEN 20 AND 30)
+         |  GROUP BY p_brand) t
+         |ORDER BY p_brand""".stripMargin,
 
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, n_name,

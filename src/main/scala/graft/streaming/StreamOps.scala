@@ -68,4 +68,39 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_end"), col("n_events"))
+
+  /** Stream-stream INTERVAL join (s_stream_join) — the impression→click
+    * attribution shape: a click matches an impression of the same user
+    * arriving in (imp_ts, imp_ts + maxDelay]. Both sides carry watermarks
+    * and the join condition carries explicit time bounds, which is what
+    * lets Spark BOUND the buffered state: each side retains only rows
+    * newer than (other side's watermark − maxDelay), so state is
+    * O(active horizon), never the full history — the requirement for an
+    * unbounded 100 TB/day stream.
+    *
+    * `joinType` "inner" emits matches as they meet; "leftOuter" also
+    * emits impression-with-no-click rows (null click columns) once the
+    * click-side watermark proves no match can still arrive — exactly the
+    * "unattributed impression" report an ads pipeline needs.
+    */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      maxDelay: String = "30 minutes",
+                      delay: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", delay)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    imp.join(clk,
+        col("user_id") === col("c_user") &&
+          col("click_ts") > col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $maxDelay"),
+        joinType)
+      .select(col("user_id"), col("imp_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"))
+  }
 }
