@@ -124,6 +124,34 @@ object AggQueries extends QueryPack {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy("o_orderpriority")),
 
+    // exact WEIGHTED median per (returnflag, linestatus): smallest price
+    // whose cumulative weight reaches half the group total. The running
+    // sum uses the DEFAULT window frame — RANGE UNBOUNDED PRECEDING TO
+    // CURRENT ROW — on purpose: equal prices aggregate as one range
+    // group, so tie order between duplicate prices can never move the
+    // crossing point (a ROWS frame would be partition-order-sensitive).
+    // Weights are integer-valued quantities cast BIGINT: the cumsum is
+    // exact integer arithmetic in both engines. Scale: parallelism = the
+    // grouping key's cardinality (same single-reducer-per-group shape as
+    // q_win_ntile_pct; ScalableNtile's range-repartition is the 100 TB
+    // path for a low-cardinality key).
+    "q_quantile_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grp = Seq(col("l_returnflag"), col("l_linestatus"))
+      val cum = Window.partitionBy(grp: _*).orderBy(col("l_extendedprice"))
+      val tot = Window.partitionBy(grp: _*)
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"), col("l_quantity").cast("long").as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"),
+          sum("qty").over(cum).as("cum_w"), sum("qty").over(tot).as("tot_w"))
+        .filter(col("cum_w") * 2 >= col("tot_w"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(min("l_extendedprice").as("w_median"),
+          max("tot_w").as("total_weight"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // relational pivot: daily × event_type count matrix. Spark's pivot
     // compiles to one pass of conditional aggregates (same plan as the
     // oracle's COUNT FILTER columns) — explicit value list so no extra
@@ -200,6 +228,22 @@ object AggQueries extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_quantile_weighted" ->
+      """WITH x AS (
+        |  SELECT l_returnflag, l_linestatus, l_extendedprice,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_extendedprice) AS cum_w,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag, l_linestatus) AS tot_w
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  MIN(l_extendedprice) AS w_median,
+        |  CAST(MAX(tot_w) AS BIGINT) AS total_weight
+        |FROM x WHERE cum_w * 2 >= tot_w
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_agg_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,

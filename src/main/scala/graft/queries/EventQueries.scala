@@ -87,6 +87,33 @@ object EventQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // last-touch attribution: every click left-joined to the LATEST view
+    // of the same user inside the trailing 30-minute window — the batch
+    // twin of streaming.StreamOps.attributeClicks (leftOuter), proving
+    // the same semantics both ways. The range join is bounded by the
+    // attribution horizon (a user's views within 30 min), so pair growth
+    // is horizon-local; the top-1 pick is a per-click window, shuffle
+    // keyed on click_id. Unattributed clicks surface with null imp_id.
+    "q_evt_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("imp_id"),
+          col("us").as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us").as("c_us"))
+      val w = Window.partitionBy("click_id")
+        .orderBy(col("v_us").desc_nulls_last, col("imp_id").desc_nulls_last)
+      c.join(v, col("user_id") === col("v_user") &&
+          col("v_us") < col("c_us") &&
+          col("c_us") <= col("v_us") + lit(1800000000L), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("click_id"), col("user_id"), col("imp_id"),
+          (col("c_us") - col("v_us")).as("gap_us"))
+        .orderBy("click_id")
+    }),
+
     // cohort retention: users grouped by first-seen day, counted per
     // day-offset of later activity — two aggregates over the same
     // user_id shuffle plus a per-user join (broadcast-small right side)
@@ -173,6 +200,21 @@ object EventQueries extends QueryPack {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_evt_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id AS v_user, event_id AS imp_id, us AS v_us
+        |      FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS c_us
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, t.imp_id, t.gap_us
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT v.imp_id, c.c_us - v.v_us AS gap_us FROM v
+        |  WHERE v.v_user = c.user_id AND v.v_us < c.c_us
+        |    AND c.c_us <= v.v_us + 1800000000
+        |  ORDER BY v.v_us DESC, v.imp_id DESC LIMIT 1) t ON TRUE
+        |ORDER BY click_id""".stripMargin,
 
     "q_evt_retention" ->
       """WITH ev AS (SELECT user_id,

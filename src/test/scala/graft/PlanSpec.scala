@@ -167,6 +167,41 @@ class PlanSpec extends SparkSpec {
       s"per-user stage frames are aggregate-small and must broadcast:\n$p")
   }
 
+  test("decontamination: benchmark shingle set broadcasts, corpus never shuffles to it") {
+    val p = finalSection(plan("q_text_contamination"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark shingle set is tiny and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shingles must not shuffle for the overlap join:\n$p")
+  }
+
+  test("TPC-H Q19: disjunctive quantity bounds still reach the lineitem scan") {
+    val p = finalSection(plan("q_tpch_q19"))
+    // Catalyst extracts the per-side OR from the cross-column disjunction:
+    // ((q>=1 && q<=11) || (q>=10 && q<=20) || (q>=20 && q<=30)) filters
+    // the lineitem scan even though each bracket also references part
+    assert(p.contains("l_quantity#") && p.contains("Or"),
+      s"union of quantity brackets must filter the lineitem side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+  }
+
+  test("TPC-H Q7: both nation dims broadcast; no cartesian anywhere") {
+    // pinned to sf0.01: at sf0.001 the two-nation trade lanes are empty
+    // and AQE folds the whole plan into EmptyRelation (no joins to see)
+    val p = finalSection(finalPlan(
+      SparkEntry.queries("q_tpch_q7")(spark, "/root/testdata/sf0.01")))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both nation sides are 2 rows and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Q7 joins are all equi:\n$p")
+  }
+
+  test("attribution: horizon range join stays keyed on user, never cartesian") {
+    val p = finalSection(plan("q_evt_attribution"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the view-click join must use the user_id equi key:\n$p")
+  }
+
   test("bloom probe is pure built-in expressions inside codegen") {
     val bits = graft.operators.BloomDedup.build(
       Tables.t(spark, sfDir, "documents").select(xxhash64(col("text")).as("fp")),
