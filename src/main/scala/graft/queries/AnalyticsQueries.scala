@@ -244,6 +244,85 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("p_brand")
     }),
 
+    // TPC-H Q8 (national market share, adapted): of the revenue ASIA
+    // customers generated in 1996–97, the share supplied by NATION_3,
+    // per order year. Both aggregates ride ONE pass (conditional sum);
+    // region/nation dims broadcast after their filters.
+    "q_tpch_q8" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val n1 = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val term = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      Tables.t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("c_rk") === col("r_regionkey"))
+        .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", term)).as("nat_x"),
+          sum(term).as("tot_x"))
+        .select(col("o_year"),
+          round(coalesce(col("nat_x"), lit(0).cast("decimal(18,2)")).cast("double") /
+            col("tot_x").cast("double"), 6).as("mkt_share"),
+          col("tot_x").cast("decimal(18,2)").cast("double").as("total_revenue"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT join keeps the
+    // order-less customers (count(o_orderkey) skips their nulls → 0),
+    // then the distribution is a second tiny aggregate
+    "q_tpch_q13" -> ((s, dir) =>
+      Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // max — the scalar-subquery MAX decorrelates to an aggregate joined
+    // back on decimal equality (exact, so no float-boundary ambiguity)
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revX.as("rev_x"))
+      val top = rev.agg(max(col("rev_x")).as("max_x"))
+      rev.join(broadcast(top), col("rev_x") === col("max_x"))
+        .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_x").cast("decimal(18,2)").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity revenue): per-part average quantity via
+    // an aggregate join; the "below 20% of avg" threshold is EXACT
+    // integer-free decimal arithmetic (5·q·cnt < Σq avoids the division
+    // entirely), so both engines cut identically
+    "q_tpch_q17" -> ((s, dir) => {
+      val pq = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pq_pk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sumq"),
+          count(lit(1)).as("cnt"))
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pq_pk"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") < col("sumq"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 6).as("avg_yearly"))
+    }),
+
     // TPC-H Q10 (returned items): top customers by returned revenue
     "q_tpch_q10" -> ((s, dir) => {
       val o = Tables.t(s, dir, "orders")
@@ -408,6 +487,63 @@ object AnalyticsQueries extends QueryPack {
          |         AND l_quantity BETWEEN 20 AND 30)
          |  GROUP BY p_brand) t
          |ORDER BY p_brand""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""SELECT o_year,
+         |  ROUND(CAST(COALESCE(nat_x, 0) AS DOUBLE) / CAST(tot_x AS DOUBLE), 6)
+         |    AS mkt_share,
+         |  CAST(ROUND(tot_x, 2) AS DOUBLE) AS total_revenue
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+         |      FILTER (WHERE n1.n_name = 'NATION_3') AS nat_x,
+         |    $revXSql AS tot_x
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1) t
+         |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $revXSql AS rev_x
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(ROUND(rev_x, 2) AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_x = (SELECT MAX(rev_x) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / 7.0, 6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pq_pk,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+        |        CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM lineitem GROUP BY 1) pq ON l_partkey = pq_pk
+        |WHERE p_brand = 'Brand#5'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sumq""".stripMargin,
 
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, n_name,
