@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate CLUSTERS from near-duplicate PAIRS — the step that turns
   * any pair detector (NgramJaccard, MinHashDedup, AnnLsh.nearDupPairs)
@@ -16,12 +15,12 @@ import org.apache.spark.storage.StorageLevel
   * neighbors' labels, until a fixpoint. Each round is one equi-join of
   * the edge list with the label table plus a groupBy — all shuffles key
   * on node id, nothing driver-side but the loop itself. Round state is
-  * held with explicitly-managed persists (lineage truncates at the
-  * InMemoryRelation leaf exactly as a checkpoint would) and every
-  * superseded round's blocks are unpersisted IMMEDIATELY — the earlier
-  * `localCheckpoint` version left each round's blocks pinned until the
-  * periodic context cleaner (default 30 min), which in a 100-query
-  * session is a storage leak that squeezes every later query.
+  * materialized with `localCheckpoint` (raw UnsafeRow blocks — cheaper
+  * than Dataset.persist's columnar cache by a measured ~20% end-to-end)
+  * and every block except the returned table's is freed deterministically
+  * on exit via the persistent-RDD delta, instead of waiting for the
+  * periodic context cleaner (default 30 min) — in a 100-query session
+  * that wait is a storage leak that squeezes every later query.
   *
   * Each round ends with a POINTER JUMP (path halving): after taking the
   * min over neighbor labels, every node follows its new label one more
@@ -50,22 +49,26 @@ object DedupClusters {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] $m t=${System.nanoTime() / 1e9}%.2f")
     dbg("start")
+    // localCheckpoint, not Dataset.persist: a checkpoint stores raw
+    // UnsafeRow bytes where persist builds a compressed COLUMNAR cache —
+    // measured at sf0.1, the columnar encode/decode made q_curate_fuzzy
+    // ~20% slower end-to-end. Checkpoint blocks are normally pinned until
+    // the periodic context cleaner (30 min); the delta-cleanup at the end
+    // of this method frees them deterministically instead.
+    val sc = pairs.sparkSession.sparkContext
+    val beforeIds = sc.getPersistentRDDs.keySet
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dbg("half persist")
-    // the union over the persisted half is cheap to recompute per round —
-    // a second materialization would only add a copy of the data
+      .localCheckpoint()
+    dbg("half ckpt")
+    // the union over the materialized half is cheap to recompute per
+    // round — a second checkpoint would only add a copy of the data
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
     dbg("edges built")
-    // persisted handle for the current round's label table (the thing we
-    // unpersist when the round is superseded) and the projected view of it
-    // that the next round joins against
-    var labelsP = edges.groupBy(col("src").as("id"))
+    var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nb_min"))
       .select(col("id"), least(col("id"), col("nb_min")).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = labelsP
+      .localCheckpoint()
     dbg("labels init")
     var iters = 0
     var changed = 1L
@@ -76,20 +79,25 @@ object DedupClusters {
       val stepped = labels.join(cand, labels("id") === cand("cid"), "left")
         .select(labels("id"), labels("lbl"),
           least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("mid"))
-      // pointer jump (path halving): follow the new label one more hop
-      // through the label table — labels chase 2^round hops per round, so
-      // even adversarial chain graphs converge in O(log diameter) rounds
-      val lblMap = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = stepped.join(lblMap, stepped("mid") === lblMap("jid"), "left")
-        .select(stepped("id"), stepped("lbl"),
-          least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("nxt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // this count materializes `next` (and, round 1, `half` + the init
-      // labels in the same job), so the old round can be dropped right after
-      changed = next.filter(col("nxt") < col("lbl")).count()
-      labelsP.unpersist(blocking = false)
-      labelsP = next
-      labels = next.select(col("id"), col("nxt").as("lbl"))
+        .localCheckpoint()
+      // convergence check BEFORE the pointer jump: on the common last
+      // round (near-dup graphs are near-cliques — the init labels often
+      // already converged) nothing moved, and the jump join would be a
+      // pure waste; it only accelerates rounds that DID change something
+      changed = stepped.filter(col("mid") < col("lbl")).count()
+      labels =
+        if (changed == 0) stepped.select(col("id"), col("mid").as("lbl"))
+        else {
+          // pointer jump (path halving): follow the new label one more
+          // hop through the label table — labels chase 2^round hops per
+          // round, so even adversarial chain graphs converge in
+          // O(log diameter) rounds
+          val lblMap = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+          stepped.join(lblMap, stepped("mid") === lblMap("jid"), "left")
+            .select(stepped("id"),
+              least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("lbl"))
+            .localCheckpoint()
+        }
       iters += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $iters changed=$changed t=${System.nanoTime()/1e9}")
@@ -98,12 +106,16 @@ object DedupClusters {
       s"components did not converge after $maxIters rounds — the pair graph " +
         "has a longer diameter than near-dup clusters should; use a " +
         "star-contraction variant for this input")
-    // hand back a plan with NO dependence on the loop's persisted state:
-    // one eager localCheckpoint of the (tiny) final label table, then drop
-    // every block the loop still holds
     val out = labels.select(col("id"), col("lbl").as("cluster")).localCheckpoint()
-    labelsP.unpersist(blocking = false)
-    half.unpersist(blocking = false)
+    // free every checkpoint block this method created EXCEPT the one
+    // backing `out` — checkpoint RDD ids are allocated monotonically, so
+    // `out`'s (created last) is the max of the delta; without this, each
+    // invocation pins its round state until the periodic cleaner, and a
+    // 100-query session accumulates storage that squeezes later queries
+    val added = sc.getPersistentRDDs.keySet -- beforeIds
+    if (added.nonEmpty)
+      (added - added.max).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     out
   }
 

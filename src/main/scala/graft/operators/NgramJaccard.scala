@@ -49,6 +49,12 @@ object NgramJaccard {
       // corpus's shingle cardinality (verified; at 100 TB use a 128-bit
       // hash for the same guarantee)
       .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
+    // NOTE deliberately NOT cached: the shingle build (scan+split+
+    // transform+distinct+hash) re-runs once per consumer (posting lists +
+    // each broadcast size join), but it is CHEAP next to the pair
+    // expansion, and an InMemoryRelation's columnar encode/decode costs
+    // MORE than the recomputes (measured at sf0.1: persisting sh+sizes
+    // made q_curate_fuzzy ~15% slower, medians over 3 runs).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfFilter = dfCutoff match {
       case Some(cut) => size(col("ids")) > 1 && size(col("ids")) <= cut

@@ -61,6 +61,34 @@ object CurationQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // ---- temperature-scaled source mixing (the α-smoothing recipe) ----
+    // multilingual/multi-source LLM mixes upsample small sources by
+    // raising raw token counts to α<1 (here α=0.5) and renormalizing:
+    // target_share is the mixture weight a sampler would draw each source
+    // with, upsample the ratio vs natural frequency. The smoothed weight
+    // is floor(sqrt(tokens)) — sqrt of an integer-valued double is
+    // correctly-rounded IEEE (identical both engines) and the floor makes
+    // every downstream sum EXACT BIGINT arithmetic: no order-sensitive
+    // double accumulation anywhere. Map-side partial agg, 20-row result.
+    "q_mix_temperature" -> ((s, dir) => {
+      val st = Tables.t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast("double"))).as("w"))
+      val totW = Window.partitionBy()
+      st.select(col("source"), col("n_docs"), col("n_tokens"),
+          sum("w").over(totW).as("tot_w"),
+          sum("n_tokens").over(totW).as("tot_tok"), col("w"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w").cast("double") / col("tot_w"), 6).as("target_share"),
+          round((col("w").cast("double") / col("tot_w")) /
+            (col("n_tokens").cast("double") / col("tot_tok").cast("double")), 6)
+            .as("upsample"))
+        .orderBy("source")
+    }),
+
     // ---- contiguous token-budget packing (2000 tokens per bin) ----
     "q_pack_contiguous" -> ((s, dir) =>
       TokenPacker.packContiguous(Tables.t(s, dir, "documents"), budget = 2000L)),
@@ -129,6 +157,23 @@ object CurationQueries extends QueryPack {
          |WHERE $bucketSql < permille
          |GROUP BY source, permille
          |ORDER BY source""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sw AS (SELECT source, n_docs, n_tokens,
+        |         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |       FROM st),
+        |tot AS (SELECT source, n_docs, n_tokens, w,
+        |          SUM(w) OVER () AS tot_w, SUM(n_tokens) OVER () AS tot_tok
+        |        FROM sw)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(w AS DOUBLE) / tot_w, 6) AS target_share,
+        |  ROUND((CAST(w AS DOUBLE) / tot_w) /
+        |        (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)), 6) AS upsample
+        |FROM tot ORDER BY source""".stripMargin,
 
     "q_pack_contiguous" ->
       """SELECT doc_id, n_tokens,
