@@ -63,7 +63,13 @@ object OperatorQueries extends QueryPack {
     // subsumes q_dedup_embed_cosine's all-pairs baseline (precision 1 by
     // construction; recall measured vs the exact twin in OperatorSpec)
     "s_dedup_embed_ann" -> ((s, dir) =>
-      AnnLsh.nearDupPairs(s, Tables.t(s, dir, "embeddings")))
+      AnnLsh.nearDupPairs(s, Tables.t(s, dir, "embeddings"))),
+
+    // PCA embedding compression (Spark ML, no UDFs in the bridge) — the
+    // "shrink the vectors before the index" step; variance-retention and
+    // norm-contraction proven in EmbedPcaSpec
+    "s_embed_pca" -> ((s, dir) =>
+      graft.operators.EmbedPca.project(Tables.t(s, dir, "embeddings")))
   )
 
   val oracle: Map[String, String] = Map.empty
