@@ -110,6 +110,33 @@ object JoinQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // skew-salted shuffle join: the fact side tags a deterministic
+    // content-derived salt (l_orderkey % 8 — retry-safe, no rand()), the
+    // dim side replicates once per salt via explode, and the join key
+    // becomes (partkey, salt) so one hot partkey spreads over 8 shuffle
+    // partitions instead of one straggler. shuffle_hash hint keeps the
+    // join on the exchange path the pattern exists for (broadcast would
+    // make salting a no-op). The oracle is the PLAIN join — proving the
+    // salted plan is semantics-preserving is the point of the query.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val r = 8
+      val l = Tables.t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .as("rev_x"),
+          (col("l_orderkey") % r).cast("int").as("salt"))
+      val p = Tables.t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          explode(sequence(lit(0), lit(r - 1))).as("salt"))
+      l.hint("shuffle_hash")
+        .join(p, l("l_partkey") === p("p_partkey") && l("salt") === p("salt"))
+        .groupBy(p("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_x")).cast("decimal(18,2)").cast("double").as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 50)
@@ -188,6 +215,14 @@ object JoinQueries extends QueryPack {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q_join_skew_salted" ->
+      """SELECT p.p_brand, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
 
     "q_join_asof" ->
       """WITH probes AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08 00:00:00'),

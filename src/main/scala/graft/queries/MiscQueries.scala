@@ -47,6 +47,26 @@ object MiscQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("bucket").asc_nulls_first)),
 
+    // arg-max/arg-min aggregates (Spark max_by/min_by, DuckDB arg_max/
+    // arg_min): per nation, the customers with the highest and lowest
+    // account balance. Both functions are tie-nondeterministic on a bare
+    // double, so the ordering key packs (cents, custkey) into one exact
+    // BIGINT — floor(bal*100 + 0.5) is stable for 2-dp doubles in both
+    // engines, ×1e9 leaves custkey room, and ties become impossible.
+    "q_agg_argmax" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer").withColumn("ord",
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000 + c_custkey"))
+      val n = broadcast(Tables.t(s, dir, "nation"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          expr("max_by(c_name, ord)").as("top_name"),
+          expr("max_by(c_acctbal, ord)").as("top_bal"),
+          expr("min_by(c_name, ord)").as("low_name"),
+          expr("min_by(c_acctbal, ord)").as("low_bal"))
+        .orderBy("n_name")
+    }),
+
     // typed Dataset pipeline: case-class filter/map, same Catalyst plan
     "q_typed_orders" -> ((s, dir) => {
       import s.implicits._
@@ -83,6 +103,19 @@ object MiscQueries extends QueryPack {
     "q_evt_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH c AS (SELECT c_name, c_acctbal, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000
+        |      + c_custkey AS ord
+        |  FROM customer)
+        |SELECT n.n_name, COUNT(*) AS n_cust,
+        |  arg_max(c.c_name, c.ord) AS top_name,
+        |  arg_max(c.c_acctbal, c.ord) AS top_bal,
+        |  arg_min(c.c_name, c.ord) AS low_name,
+        |  arg_min(c.c_acctbal, c.ord) AS low_bal
+        |FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "q_typed_orders" ->
       """SELECT o_orderkey, o_orderpriority AS prio,

@@ -110,6 +110,34 @@ object TrainingQueries extends QueryPack {
           round(col("sfx").cast("double") / 16777216.0 / col("n"), 6).as("centroid"))
         .orderBy("label", "dim")),
 
+    // ---- span-level exact-duplication signal (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better") ----
+    // every 8-token sliding window is a span; a span POSITION is
+    // duplicated when its span text occurs >= 2 times anywhere in the
+    // corpus (other docs or a within-doc repeat — exact-substring dedup
+    // removes both). Per doc: span count, duplicated-position count, and
+    // the duplicated fraction the pipeline thresholds on. Shape: explode
+    // to the span stream, aggregate span totals (types, far smaller than
+    // the stream), join the totals back on the span — the tf-idf df-join
+    // shape; at 100 TB both sides key the shuffle on xxhash64(span)
+    // instead of the string (not oracle-portable, same result).
+    "q_dedup_span" -> ((s, dir) => {
+      val sp = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8)," +
+            " i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as("span"))
+      val totals = sp.groupBy("span").agg(count(lit(1)).as("c"))
+      sp.join(totals, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("c") >= 2, 1)).as("n_dup"),
+          round(count(when(col("c") >= 2, 1)).cast("double") / count(lit(1)), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- behavioral path mining: top 3-step event sequences ----
     // per-user event stream ordered by (µs, event_id) — the same total
     // order both engines see (epoch_us truncation proven by q_evt_funnel)
@@ -176,6 +204,19 @@ object TrainingQueries extends QueryPack {
         |SELECT label, dim,
         |  ROUND(CAST(SUM(fx) AS DOUBLE) / 16777216.0 / COUNT(*), 6) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_dedup_span" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |sp AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM d, unnest(range(1, len(toks) - 6)) AS t(i)),
+        |c AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS c FROM sp GROUP BY 1)
+        |SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(COUNT(*) FILTER (WHERE c.c >= 2) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE c.c >= 2) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_frac
+        |FROM sp JOIN c USING (span)
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_evt_paths" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
