@@ -52,4 +52,44 @@ object TokenPacker {
       .toDF("doc_id", "n_tokens", "bin")
       .orderBy("doc_id")
   }
+
+  /** Greedy quality-ranked selection under a global token budget: rank
+    * documents by (score desc, doc_id), select each document whose
+    * INCLUSIVE running token total still fits (no overhang — the strict
+    * budget convention), where score = distinct-token count (an exact
+    * integer, so range boundaries can never straddle engines).
+    *
+    * Same two-pass distributed prefix sum as [[packContiguous]], ranged
+    * on the (score desc, doc_id) rank order instead of doc_id — the
+    * oracle's global-window cumsum without its single-reducer stage.
+    * Returns (doc_id, score, n_tokens, cum_tokens) ordered by doc_id.
+    */
+  def selectBudget(docs: DataFrame, budget: Long, partitions: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdd = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+      .repartitionByRange(partitions, col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var run = offsets(i)
+        it.flatMap { case (id, nt, sc) =>
+          run += nt
+          if (run <= budget) Some((id, sc, nt, run)) else None
+        }
+      }
+      .toDF("doc_id", "score", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
 }

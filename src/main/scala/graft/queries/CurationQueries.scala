@@ -93,6 +93,13 @@ object CurationQueries extends QueryPack {
     "q_pack_contiguous" -> ((s, dir) =>
       TokenPacker.packContiguous(Tables.t(s, dir, "documents"), budget = 2000L)),
 
+    // ---- greedy budgeted selection: best docs first, stop at 20k tokens ----
+    // score = distinct-token count (exact integer — range boundaries can
+    // never straddle engines); the oracle's global-window cumsum runs as
+    // the distributed two-pass prefix sum (TokenPacker.selectBudget)
+    "q_select_budget" -> ((s, dir) =>
+      TokenPacker.selectBudget(Tables.t(s, dir, "documents"), budget = 20000L)),
+
     // ---- stratified sampling: exact per-language quota, hash-ordered ----
     // row_number over (lang, hash-bucket) gives each stratum its own
     // deterministic pseudo-random order, then a fixed quota — exact
@@ -185,6 +192,19 @@ object CurationQueries extends QueryPack {
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_select_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |c AS (SELECT doc_id, score, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM s)
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, rn FROM (

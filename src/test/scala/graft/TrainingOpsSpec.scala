@@ -70,6 +70,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_select_budget: matches single-reducer window; budget tight") {
+    val budget = 20000L
+    val got = SparkEntry.queries("q_select_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // window recomputation (the oracle's single-reducer shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+      .select("doc_id", "score", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // strict budget: inclusive totals never exceed it
+    assert(got.forall(_._4 <= budget))
+  }
+
   test("q_join_skew_salted equals the plain unsalted join+agg") {
     val l = Tables.t(spark, sfDir, "lineitem")
     val p = Tables.t(spark, sfDir, "part")
