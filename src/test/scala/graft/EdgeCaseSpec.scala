@@ -26,6 +26,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(MinHashDedup.nearDupPairs(tiny).count() == 0)
   }
 
+  test("selectBudget on zero documents and on a budget below every doc") {
+    import spark.implicits._
+    assert(TokenPacker.selectBudget(emptyDocs, 1000L).count() == 0)
+    // every doc bigger than the budget: nothing selected, no error
+    val docs = Seq((1L, (1 to 50).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    assert(TokenPacker.selectBudget(docs, 10L).count() == 0)
+    intercept[IllegalArgumentException](TokenPacker.selectBudget(docs, 0L))
+  }
+
+  test("DedupClusters on an empty pair table: empty labels, no error") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupClusters.components(pairs).count() == 0)
+    assert(DedupClusters.canonical(pairs).count() == 0)
+  }
+
   test("TopKAggregator on empty input and on fewer rows than k") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, String, Double, String)]

@@ -202,6 +202,18 @@ class PlanSpec extends SparkSpec {
       s"the view-click join must use the user_id equi key:\n$p")
   }
 
+  test("span dedup: scan pruned to (doc_id, text); span totals never broadcast") {
+    val p = plan("q_dedup_span")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"span dedup reads only doc_id+text — ReadSchema not pruned:\n$p")
+    // the span-totals join is an equi-join on the span key — never a
+    // cartesian/BNLJ. The physical strategy is AQE's call: at test scale
+    // it broadcasts the (tiny) side, at corpus scale the runtime sizes
+    // force the shuffle join — both are the right plan for their size.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span totals must equi-join on the span key:\n$p")
+  }
+
   test("bloom probe is pure built-in expressions inside codegen") {
     val bits = graft.operators.BloomDedup.build(
       Tables.t(spark, sfDir, "documents").select(xxhash64(col("text")).as("fp")),
