@@ -91,28 +91,40 @@ object AnnIvf {
     centroids
   }
 
-  /** (vec_id, list_id) assignments + the centroid table (list_id, c). */
-  def buildIndex(spark: SparkSession, embeddings: DataFrame, nlist: Int = 16,
-                 seed: Long = 42, maxTrain: Int = 65536): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    if (embeddings.isEmpty) {
-      return (Seq.empty[(Long, Int)].toDF("vec_id", "list_id"),
-        Seq.empty[(Int, Seq[Double], Double)].toDF("list_id", "c", "c_normsq"))
-    }
-    // deterministic bounded sample: first maxTrain ids (at 100 TB swap for
-    // .sample(fraction, seed) — any representative subset trains equally well).
-    // Points are L2-NORMALIZED before clustering: the final ranking is
-    // COSINE, and on the unit sphere euclidean order equals cosine order
-    // (|a-b|² = 2 - 2cosθ) — clustering raw magnitudes would carve Voronoi
-    // cells that cut across cosine neighborhoods and bleed recall.
-    val train = embeddings.select(col("vec_id"), col("embedding"))
+  /** Deterministic bounded training sample: first maxTrain ids (at 100 TB
+    * swap for `.sample(fraction, seed)` — any representative subset trains
+    * equally well). Points are L2-NORMALIZED before clustering: the final
+    * ranking is COSINE, and on the unit sphere euclidean order equals
+    * cosine order (|a-b|² = 2 - 2cosθ) — clustering raw magnitudes would
+    * carve Voronoi cells that cut across cosine neighborhoods and bleed
+    * recall. An empty result doubles as the emptiness probe, so callers
+    * never pay a separate isEmpty job (shared with AnnPq).
+    */
+  private[operators] def collectTrain(embeddings: DataFrame,
+                                      maxTrain: Int): Array[Array[Double]] =
+    embeddings.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(maxTrain)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
+
+  /** (vec_id, list_id) assignments + the centroid table (list_id, c).
+    * `trainOpt` lets a caller that already collected the (normalized)
+    * training sample — AnnPq's IVF-PQ composition, approxTopK below —
+    * reuse it instead of paying a second collect + emptiness job.
+    */
+  def buildIndex(spark: SparkSession, embeddings: DataFrame, nlist: Int = 16,
+                 seed: Long = 42, maxTrain: Int = 65536,
+                 trainOpt: Option[Array[Array[Double]]] = None): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val train = trainOpt.getOrElse(collectTrain(embeddings, maxTrain))
+    if (train.isEmpty) {
+      return (Seq.empty[(Long, Int)].toDF("vec_id", "list_id"),
+        Seq.empty[(Int, Seq[Double], Double)].toDF("list_id", "c", "c_normsq"))
+    }
     val k = math.min(nlist, train.length)
     val centroids = localKMeans(train, k, iters = 10, seed = seed)
     val centroidsDf = centroids.zipWithIndex.map { case (c, i) =>
@@ -150,12 +162,15 @@ object AnnIvf {
                  k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                  seed: Long = 42): DataFrame = {
     import spark.implicits._
-    // k-means cannot fit zero rows; an empty corpus means empty results
-    if (embeddings.isEmpty) {
+    // k-means cannot fit zero rows; the training collect doubles as the
+    // emptiness probe (no separate isEmpty job)
+    val train = collectTrain(embeddings, maxTrain = 65536)
+    if (train.isEmpty) {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("probe_id", "neighbor_id", "sim", "rn")
     }
-    val (assigned, centroids) = buildIndex(spark, embeddings, nlist, seed)
+    val (assigned, centroids) =
+      buildIndex(spark, embeddings, nlist, seed, trainOpt = Some(train))
     // cache: probe side and corpus side both derive from this plan (one-shot
     // harness; long-lived sessions should unpersist after materializing —
     // same caveat as MinHash/SimHash)

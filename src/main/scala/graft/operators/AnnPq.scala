@@ -63,18 +63,14 @@ object AnnPq {
         println(f"[pq] $msg t=${System.nanoTime() / 1e9}%.2f")
     dbg("start")
     graft.functions.VectorFunctions.register(spark)
-    if (embeddings.isEmpty) {
+    // deterministic bounded training sample, L2-normalized; doubles as the
+    // emptiness probe (no separate isEmpty job) and is REUSED for the IVF
+    // coarse quantizer below — one collect trains both quantizers
+    val train = AnnIvf.collectTrain(embeddings, maxTrain)
+    if (train.isEmpty) {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("probe_id", "neighbor_id", "sim", "rn")
     }
-    // deterministic bounded training sample, L2-normalized (see scaladoc)
-    val train = embeddings.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(maxTrain)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n > 0) v.map(_ / n) else v
-      }
     dbg("train collected")
     val dim = train(0).length
     val subDim = dim / m
@@ -158,7 +154,8 @@ object AnnPq {
     // flat PQ scans every code row; IVF-PQ (nlist > 0) first prunes to
     // the probes' nprobe nearest inverted lists, then ADC-scans only them
     val scanSide = if (nlist > 0) {
-      val (assigned, centroids) = AnnIvf.buildIndex(spark, embeddings, nlist, seed)
+      val (assigned, centroids) =
+        AnnIvf.buildIndex(spark, embeddings, nlist, seed, trainOpt = Some(train))
       val probes = encoded.filter(col("vec_id") < probeMaxId)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("e_nrm").as("pn"))
       val wL = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))

@@ -38,48 +38,50 @@ object NgramJaccard {
   def pairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             threshNum: Int = 1, threshDen: Int = 10,
             dfCutoff: Option[Long] = None, sorted: Boolean = true): DataFrame = {
+    // each doc's distinct shingle set is one array per row, so its size
+    // (the |A| of the Jaccard union) rides ALONG with every exploded
+    // posting — no separate per-doc size table, no join to bring it back,
+    // and the whole shingle build (scan+split+transform+distinct+hash)
+    // evaluates exactly once instead of once per size-join consumer
+    // (measured at sf0.1: the two broadcast size joins re-ran it twice and
+    // cost ~35% of the operator).
     val sh = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(toks) - 3)," +
-          " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle_s"))
+          " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))").as("shs"))
       // shuffle 8-byte hashes, not shingle strings: intersection counting
       // only needs equality, and xxhash64 is collision-free on this
       // corpus's shingle cardinality (verified; at 100 TB use a 128-bit
       // hash for the same guarantee)
-      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
-    // NOTE deliberately NOT cached: the shingle build (scan+split+
-    // transform+distinct+hash) re-runs once per consumer (posting lists +
-    // each broadcast size join), but it is CHEAP next to the pair
-    // expansion, and an InMemoryRelation's columnar encode/decode costs
-    // MORE than the recomputes (measured at sf0.1: persisting sh+sizes
-    // made q_curate_fuzzy ~15% slower, medians over 3 runs).
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(expr("transform(shs, s -> xxhash64(s))")).as("shingle"))
     val dfFilter = dfCutoff match {
       case Some(cut) => size(col("ids")) > 1 && size(col("ids")) <= cut
       case None      => size(col("ids")) > 1
     }
     // posting lists instead of a self-join: ONE shuffle of the shingle
-    // table builds sorted per-shingle doc lists, and the (a < b) candidate
-    // pairs expand inside a projection — the round-2 shape (df-filter join
-    // + self-join on shingle) shuffled the same table three times. The
-    // per-group buffer is O(df): bounded by `dfCutoff` when set; in the
-    // exact variant a viral shingle makes the list (and its df² pairs)
-    // large — the identical pair volume the self-join would stream, which
-    // is exactly why the cutoff exists at scale.
+    // table builds sorted per-shingle (doc, n_sh) lists, and the (a < b)
+    // candidate pairs expand inside a projection — the round-2 shape
+    // (df-filter join + self-join on shingle) shuffled the same table
+    // three times. The per-group buffer is O(df): bounded by `dfCutoff`
+    // when set; in the exact variant a viral shingle makes the list (and
+    // its df² pairs) large — the identical pair volume the self-join
+    // would stream, which is exactly why the cutoff exists at scale.
     val lists = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(dfFilter)
+    // sizes are functionally dependent on the ids, so grouping by all four
+    // keys counts exactly the (a_id, b_id) intersections
     val inter = lists.select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a', a, 'b', b))))"))
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('p', a, 'q', b))))"))
         .as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .groupBy(col("p.p.doc_id").as("a_id"), col("p.q.doc_id").as("b_id"),
+        col("p.p.n_sh").as("a_n"), col("p.q.n_sh").as("b_n"))
       .agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-    val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-    val out = inter.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+    val out = inter
       .filter(col("inter") * threshDen >= (col("a_n") + col("b_n") - col("inter")) * threshNum)
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /

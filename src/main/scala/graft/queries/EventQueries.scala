@@ -117,16 +117,22 @@ object EventQueries extends QueryPack {
     // cohort retention: users grouped by first-seen day, counted per
     // day-offset of later activity — two aggregates over the same
     // user_id shuffle plus a per-user join (broadcast-small right side)
-    "q_evt_retention" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+    // ONE wide shuffle: per-user active-day sets collected in a single
+    // keyed aggregate (collect_set partial-aggregates map-side, so the
+    // exchange carries ~distinct (user, day) volume, not the event
+    // stream), cohort = array_min of the same set — the former
+    // scan-twice + self-join shape paid the event scan and the user
+    // shuffle twice for the same answer. The per-user set is bounded by
+    // the day horizon (the retention window itself), never stream length.
+    "q_evt_retention" -> ((s, dir) =>
+      Tables.events(s, dir)
         .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
-      val f = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ev.distinct().join(f, "user_id")
+        .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+        .select(array_min(col("days")).as("cohort_day"), explode(col("days")).as("day"))
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_day", "offset_days")
-    }),
+        .orderBy("cohort_day", "offset_days")),
 
     // z-score anomaly profile per event_type: one stats aggregate joined
     // back (broadcast-small), outliers counted on the ROUNDED z so the
