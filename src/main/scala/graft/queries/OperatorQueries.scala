@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnIvf, AnnLsh, Multimodal, MinHashDedup, NgramJaccard, ScalableNtile, SimHashDedup, TopKAggregator}
+import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator}
+import org.apache.spark.sql.functions._
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
   * driver rows-only check + ScalaTest error bounds vs exact twins).
@@ -69,7 +70,38 @@ object OperatorQueries extends QueryPack {
     // "shrink the vectors before the index" step; variance-retention and
     // norm-contraction proven in EmbedPcaSpec
     "s_embed_pca" -> ((s, dir) =>
-      graft.operators.EmbedPca.project(Tables.t(s, dir, "embeddings")))
+      graft.operators.EmbedPca.project(Tables.t(s, dir, "embeddings"))),
+
+    // damped PageRank over the supplier↔customer co-trade graph (both
+    // directions of every distinct trading pair; node ids = custkey·2 /
+    // suppkey·2+1 to keep the bipartite id spaces disjoint). Exact ranks
+    // + mass conservation proven on hand-checked graphs in OperatorSpec;
+    // rows-only here (double sums are partition-order-sensitive by
+    // nature, so no cross-engine hash is meaningful)
+    "s_graph_pagerank" -> ((s, dir) => {
+      // one quarter of trade — a time-windowed influence graph; the
+      // l_shipdate predicate reaches the parquet scan (PlanSpec-style
+      // pushdown), so the graph build reads a fraction of lineitem
+      val li = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-04-01")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val trade = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"), (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(trade.select(col("supp").as("src"), col("cust").as("dst")))
+      PageRank.run(edges, iters = 6)
+        .orderBy(col("rank").desc, col("id")).limit(100)
+        .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
+    }),
+
+    // BPE tokenizer training: one distributed pass to the word-type
+    // histogram, merge loop on the driver (the industrial split — see
+    // BpeTrainer scaladoc); merge sequence proven against the classic
+    // hand-computed example in OperatorSpec
+    "s_text_bpe" -> ((s, dir) =>
+      BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64))
   )
 
   val oracle: Map[String, String] = Map.empty

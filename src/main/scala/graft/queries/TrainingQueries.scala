@@ -138,6 +138,27 @@ object TrainingQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // ---- unigram-LM negative log-likelihood per document ----
+    // the CCNet-style "LM quality score" shape with the corpus itself as
+    // the language model: nll(doc) = ln(N) − avg(ln cf(token)) — low =
+    // stereotypical text, high = rare-token text; pipelines threshold on
+    // it next to q_text_quality's surface stats. The term-frequency table
+    // BROADCASTS (vocab is types, not tokens) and the grand total reduces
+    // from tf, so the corpus token stream is never joined shuffle-side.
+    "q_text_perplexity" -> ((s, dir) => {
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+      val tot = tf.agg(sum("cf").cast("double").as("n_total"))
+      tok.join(broadcast(tf), "token").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          avg(log(col("cf"))).as("mll"), first(col("n_total")).as("nt"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(log(col("nt")) - col("mll"), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // ---- behavioral path mining: top 3-step event sequences ----
     // per-user event stream ordered by (µs, event_id) — the same total
     // order both engines see (epoch_us truncation proven by q_evt_funnel)
@@ -217,6 +238,16 @@ object TrainingQueries extends QueryPack {
         |    AS dup_frac
         |FROM sp JOIN c USING (span)
         |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cf) AS DOUBLE) AS n FROM tf)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(ln((SELECT n FROM tot)) - AVG(ln(cf)), 6) AS nll
+        |FROM tok JOIN tf USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_evt_paths" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,

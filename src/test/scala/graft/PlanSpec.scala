@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shingles must not shuffle for the overlap join:\n$p")
   }
 
+  test("perplexity: term-frequency table broadcasts, token stream never shuffles to it") {
+    val p = finalSection(plan("q_text_perplexity"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab (types, not tokens) is small and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus token stream must not shuffle for the tf join:\n$p")
+  }
+
   test("TPC-H Q19: disjunctive quantity bounds still reach the lineitem scan") {
     val p = finalSection(plan("q_tpch_q19"))
     // Catalyst extracts the per-side OR from the cross-column disjunction:
