@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator}
+import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator, ZOrderLayout}
 import org.apache.spark.sql.functions._
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
@@ -101,7 +101,55 @@ object OperatorQueries extends QueryPack {
     // BpeTrainer scaladoc); merge sequence proven against the classic
     // hand-computed example in OperatorSpec
     "s_text_bpe" -> ((s, dir) =>
-      BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64))
+      BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)),
+
+    // z-order layout demo: orders written linear-by-custkey vs z-ordered
+    // on (custkey, order day); output = files holding any row of a 1/16
+    // slice per dimension per layout — the locality a stats-aware reader
+    // turns into skipped I/O. Bounds proven on a uniform grid in
+    // LayoutSpec; this runs the same measurement on real data.
+    "s_layout_zorder" -> ((s, dir) => {
+      import s.implicits._
+      // one year of orders — the layout cost is per-write and the demo's
+      // locality ratios are size-invariant, so keep the rewrite small
+      // (the date predicate pushes to the scan)
+      val raw = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("d"))
+      // z-order needs both dimensions on the SAME power-of-two domain —
+      // interleaving raw values of different magnitudes lets the wider
+      // dimension's high bits dominate the curve. Min/max-scale each to
+      // 10 bits (the range-bucketing every OPTIMIZE ZORDER does).
+      val mm = raw.agg(min("o_custkey"), max("o_custkey"), min("d"), max("d")).head()
+      val (cLo, cHi, dLo, dHi) = (mm.getLong(0), mm.getLong(1),
+        mm.getInt(2).toLong, mm.getInt(3).toLong)
+      def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        ((c.cast("long") - lo) * 1024 / (hi - lo + 1)).cast("long")
+      val ord = raw
+        .withColumn("cn", scaled(col("o_custkey"), cLo, cHi))
+        .withColumn("dn", scaled(col("d"), dLo, dHi))
+        .cache() // two layout writes consume it
+      val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      ord.repartitionByRange(16, col("cn")).sortWithinPartitions("cn")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      ZOrderLayout.writeZOrdered(ord, s"$base/zorder", "cn", "dn",
+        numFiles = 16, bits = 10)
+      ord.unpersist()
+      // both 1/16-slice localities in ONE aggregate per layout
+      def locality(layout: String): Seq[(String, String, Long)] = {
+        // file name projected BEFORE the aggregate (non-deterministic
+        // expressions may not appear inside aggregate arguments)
+        val r = s.read.parquet(s"$base/$layout")
+          .select(col("cn"), col("dn"), input_file_name().as("f"))
+          .agg(
+            countDistinct(when(col("cn") < 64, col("f"))),
+            countDistinct(when(col("dn") < 64, col("f")))).head()
+        Seq((layout, "cust_slice", r.getLong(0)), (layout, "date_slice", r.getLong(1)))
+      }
+      (locality("linear") ++ locality("zorder"))
+        .toDF("layout", "slice", "files_touched")
+    })
   )
 
   val oracle: Map[String, String] = Map.empty
