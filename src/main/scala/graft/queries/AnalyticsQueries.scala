@@ -339,6 +339,38 @@ object AnalyticsQueries extends QueryPack {
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
+    }),
+
+    // exact triangle counting on the nation-level trade graph — the
+    // oracle-checked graph-analytics twin of s_graph_pagerank. The edge
+    // table (distinct undirected nation pairs, bounded by |nations|²) is
+    // localCheckpoint'ed so the 3-way self-join reads ~300 materialized
+    // rows instead of re-running the 4-table join three times; triangles
+    // enumerate once with a<b<c, then each vertex's participation counts
+    // via an explode — plain joins at every step, the standard
+    // distributed triangle enumeration (node-iterator over sorted ids).
+    "q_graph_triangles" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val su = Tables.t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val trade = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      val e2 = trade.select(col("a").as("b2"), col("b").as("c2"))
+      val e3 = trade.select(col("a").as("a3"), col("b").as("c3"))
+      val tri = trade
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .select(col("a").as("x"), col("b").as("y"), col("c2").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("nationkey"))
+        .groupBy("nationkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("nationkey")
     })
   )
 
@@ -559,6 +591,27 @@ object AnalyticsQueries extends QueryPack {
          |    AND o_orderdate < TIMESTAMP '1997-04-01'
          |  GROUP BY c_custkey, c_name, n_name) t
          |ORDER BY rev_x DESC, c_custkey
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH trade AS (
+        |  SELECT DISTINCT
+        |    LEAST(c.c_nationkey, s.s_nationkey) AS a,
+        |    GREATEST(c.c_nationkey, s.s_nationkey) AS b
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM trade e1
+        |  JOIN trade e2 ON e1.b = e2.a
+        |  JOIN trade e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT v AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS v FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri) m
+        |GROUP BY v ORDER BY nationkey""".stripMargin
   )
 }

@@ -134,6 +134,24 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "offset_days")),
 
+    // first-order Markov transition matrix over per-user event sequences:
+    // lead() over the (µs, event_id) total order (the q_evt_paths
+    // ordering), then transition counts and row-normalized probabilities
+    // — the 25-cell model a journey/anomaly analysis reads off. The
+    // probability is an integer-ratio division, exact in both engines.
+    "q_evt_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val pw = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("p", round(col("cnt").cast("double") / sum("cnt").over(pw), 6))
+        .orderBy("event_type", "next_type")
+    }),
+
     // z-score anomaly profile per event_type: one stats aggregate joined
     // back (broadcast-small), outliers counted on the ROUNDED z so the
     // threshold compares identical float64 in both engines
@@ -233,6 +251,19 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_evt_markov" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |seq AS (SELECT event_type,
+        |          lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                    ORDER BY us, event_id) AS next_type
+        |        FROM ev),
+        |c AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
 
     "q_evt_anomaly" ->
       """WITH ev AS (SELECT event_type, value FROM events),

@@ -75,6 +75,21 @@ object FnQueries extends QueryPack {
         .orderBy(col("k").asc_nulls_first)
         .limit(10)),
 
+    // semi-structured VARIANT path (Spark 4): parse once into the binary
+    // variant encoding, extract typed fields with variant_get — the
+    // schema-on-read shape for heterogeneous event payloads (at 100 TB
+    // shredded variant subcolumns make these extractions columnar; plain
+    // JSON strings re-parse per access). Oracle = DuckDB's JSON path.
+    "q_fn_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy("event_type")),
+
     "q_fn_case_coalesce" -> ((s, dir) =>
       Tables.t(s, dir, "orders")
         .select(
@@ -147,6 +162,14 @@ object FnQueries extends QueryPack {
     "q_fn_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY k NULLS FIRST LIMIT 10""".stripMargin,
+
+    "q_fn_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+        |  CAST(COUNT(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50)
+        |       AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_fn_case_coalesce" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'

@@ -40,6 +40,24 @@ object WindowQueries extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // LOCF gap-fill (last observation carried forward): a sparse reading
+    // (every 3rd event keeps its value — deterministic construction) is
+    // filled per user from the latest earlier observation via
+    // last(..., ignoreNulls) over a running frame; rows before any
+    // observation stay NULL. The standard time-series repair operator —
+    // one shuffle keyed on user_id.
+    "q_win_locf" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          when(col("event_id") % 3 === 0, col("value")).as("sparse"))
+        .withColumn("filled", last("sparse", ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("sparse"), col("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_win_frame_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -124,6 +142,17 @@ object WindowQueries extends QueryPack {
         |  lead(event_type) OVER w AS next_type
         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_locf" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |              CASE WHEN event_id % 3 = 0 THEN value END AS sparse
+        |            FROM events)
+        |SELECT user_id, event_id, sparse,
+        |  last_value(sparse IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM ev ORDER BY user_id, event_id""".stripMargin,
 
     "q_win_frame_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -175,6 +175,38 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shingles must not shuffle for the overlap join:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selectively-filtered join") {
+    // Spark injects bloom_filter_might_contain on the big side when the
+    // other side is selectively filtered — at 100 TB this is row-group
+    // I/O pruning the fact scan never sees. Size thresholds are tuned for
+    // clusters; shrink them so the injection logic runs at test scale.
+    val conf = spark.conf
+    // creationSideThreshold is a MAX (the filter-building side must be
+    // small), applicationSideScanSizeThreshold a MIN (the pruned scan
+    // must be big); broadcast joins skip injection (the hash table
+    // already prunes), so force the shuffle-join shape clusters see
+    val settings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = settings.map { case (k, _) => k -> conf.getOption(k) }
+    settings.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = Tables.t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .agg(sum("l_quantity"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$p")
+      q.collect() // and the plan still executes correctly with it
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("perplexity: term-frequency table broadcasts, token stream never shuffles to it") {
     val p = finalSection(plan("q_text_perplexity"))
     assert(p.contains("BroadcastHashJoin"),
