@@ -38,6 +38,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // coalesce tiny post-shuffle partitions down to the target size
+      // instead of defending parallelism — at bench scale most shuffles
+      // are far below one 64MB partition and the 32-way task scheduling
+      // IS the cost; big shuffles still split by size
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -116,20 +116,21 @@ object TrainingQueries extends QueryPack {
     // duplicated when its span text occurs >= 2 times anywhere in the
     // corpus (other docs or a within-doc repeat — exact-substring dedup
     // removes both). Per doc: span count, duplicated-position count, and
-    // the duplicated fraction the pipeline thresholds on. Shape: explode
-    // to the span stream, aggregate span totals (types, far smaller than
-    // the stream), join the totals back on the span — the tf-idf df-join
-    // shape; at 100 TB both sides key the shuffle on xxhash64(span)
+    // the duplicated fraction the pipeline thresholds on. Shape: ONE
+    // shuffle of the span stream keyed on the span — a count window over
+    // the span partition annotates every position with its corpus total,
+    // so the former aggregate-then-join-back shape's second explode and
+    // join disappear; at 100 TB the shuffle keys on xxhash64(span)
     // instead of the string (not oracle-portable, same result).
     "q_dedup_span" -> ((s, dir) => {
-      val sp = Tables.t(s, dir, "documents")
+      val w = Window.partitionBy("span")
+      Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks) - 8)," +
             " i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as("span"))
-      val totals = sp.groupBy("span").agg(count(lit(1)).as("c"))
-      sp.join(totals, "span")
+        .withColumn("c", count(lit(1)).over(w))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           count(when(col("c") >= 2, 1)).as("n_dup"),

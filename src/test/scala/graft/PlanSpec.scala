@@ -242,16 +242,16 @@ class PlanSpec extends SparkSpec {
       s"the view-click join must use the user_id equi key:\n$p")
   }
 
-  test("span dedup: scan pruned to (doc_id, text); span totals never broadcast") {
+  test("span dedup: scan pruned to (doc_id, text); one span-keyed shuffle, no join") {
     val p = plan("q_dedup_span")
     assert(!p.contains("n_chars") && !p.contains("lang"),
       s"span dedup reads only doc_id+text — ReadSchema not pruned:\n$p")
-    // the span-totals join is an equi-join on the span key — never a
-    // cartesian/BNLJ. The physical strategy is AQE's call: at test scale
-    // it broadcasts the (tiny) side, at corpus scale the runtime sizes
-    // force the shuffle join — both are the right plan for their size.
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"span totals must equi-join on the span key:\n$p")
+    // corpus span totals come from a count window over the span
+    // partition — the span stream shuffles ONCE on the span key and is
+    // never joined back to itself (the former aggregate-then-join shape
+    // evaluated the explode twice)
+    assert(!p.contains("Join"), s"span totals must not need a join:\n$p")
+    assert(p.contains("Window"), s"expected the count window:\n$p")
   }
 
   test("bloom probe is pure built-in expressions inside codegen") {

@@ -27,15 +27,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r(2)._3 == 0L && r(2)._4 == 0.0, s"unique doc: ${r(2)}")
   }
 
-  test("q_dedup_span: join-back shape equals a window recomputation") {
+  test("q_dedup_span: window shape equals an aggregate-then-join-back recomputation") {
     val sp = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 8)," +
           " i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as("span"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("span")
-    val viaWindow = sp.withColumn("c", count(lit(1)).over(w))
+    // the independent formulation: global span totals joined back on the
+    // span key (the query itself uses the one-shuffle count window)
+    val totals = sp.groupBy("span").agg(count(lit(1)).as("c"))
+    val viaJoin = sp.join(totals, "span")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), count(when(col("c") >= 2, 1)).as("n_dup"))
       .orderBy("doc_id")
@@ -43,7 +45,7 @@ class TrainingOpsSpec extends SparkSpec {
     val viaQuery = SparkEntry.queries("q_dedup_span")(spark, sfDir)
       .select("doc_id", "n_spans", "n_dup")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(viaQuery == viaWindow)
+    assert(viaQuery == viaJoin)
   }
 
   test("q_agg_argmax: max_by/min_by agree with a window-sort recomputation") {
