@@ -147,6 +147,25 @@ object CurationQueries extends QueryPack {
     })
   )
 
+  /** The curate pipeline with in-flight audit metrics: an `Observation`
+    * rides the SAME single action that materializes the kept set and
+    * reports rows kept / tokens kept / fingerprint-dup survivors — the
+    * numbers a data-governance report needs, with NO second pass over
+    * the corpus (at 100 TB a recount is another full scan; accumulator-
+    * backed observations are free). Returns the observed frame and the
+    * observation; read `obs.get` after one action on the frame.
+    */
+  def auditedCuration(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curate_audit")
+    val out = queries("q_curate_pipeline")(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        count(when(col("n_tokens") >= 100, 1)).as("n_long"))
+    (out, obs)
+  }
+
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -103,6 +103,18 @@ object OperatorQueries extends QueryPack {
     "s_text_bpe" -> ((s, dir) =>
       BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)),
 
+    // Spark 4.1's built-in approx_top_k (DataSketches frequent-items) —
+    // the codegen-adjacent twin of the hand-rolled Space-Saving
+    // Aggregator; exploded to scalar rows (the harness can't sort array
+    // cells). Exact below sketch capacity — proven vs the exact top-10
+    // in OperatorSpec.
+    "s_topk_approx_expr" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(user_id, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))),
+
     // z-order layout demo: orders written linear-by-custkey vs z-ordered
     // on (custkey, order day); output = files holding any row of a 1/16
     // slice per dimension per layout — the locality a stats-aware reader

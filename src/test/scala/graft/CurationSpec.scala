@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSpec {
 
+  test("auditedCuration: Observation metrics match a recount, one materialization") {
+    val (out, obs) = graft.queries.CurationQueries.auditedCuration(spark, sfDir)
+    val rows = out.collect() // the ONE action; metrics ride it
+    val m = obs.get
+    assert(m("n_kept") == rows.length.toLong,
+      s"observed n_kept ${m("n_kept")} != ${rows.length}")
+    val tokIdx = out.schema.fieldIndex("n_tokens")
+    assert(m("tokens_kept") == rows.map(_.getLong(tokIdx)).sum)
+    assert(m("n_long") == rows.count(_.getLong(tokIdx) >= 100).toLong)
+  }
+
   test("TokenPacker == global window cumsum, invariant to partition width") {
     val docs = Tables.t(spark, sfDir, "documents")
     val w = Window.orderBy("doc_id")

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{BpeTrainer, PageRank}
+import org.apache.spark.sql.functions.col
 
 /** Exactness tests for the round-5 operators: PageRank against an
   * independent driver-local reference on a hand-built graph (dangling
@@ -56,6 +57,45 @@ class GraphBpeSpec extends SparkSpec {
     val got = PageRank.run(g.toDF("src", "dst"), iters = 0)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.values.foreach(v => assert(math.abs(v - 1.0 / 5) < 1e-12))
+  }
+
+  test("pagerank query: sf graph end-to-end matches the local reference") {
+    // the whole s_graph_pagerank construction (trade edges, both
+    // directions, 6 iterations) against the independent local
+    // implementation on the same edge list
+    import spark.implicits._
+    val got = SparkEntry.queries("s_graph_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-04-01")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = trade.toSeq ++ trade.map(_.swap).toSeq
+    val want = localPageRank(edges, iters = 6, d = 0.85)
+    got.foreach { case (id, ppm) =>
+      val ref = want(id) * 1e6
+      assert(math.abs(ppm - ref) < 0.01, s"node $id: $ppm vs $ref")
+    }
+    // every returned node ranks at or above the local 100th-largest rank
+    // (exact top-100 membership is tie-sensitive in the last ulp — the
+    // cut value is the stable property)
+    val sorted = want.values.toSeq.sorted(Ordering[Double].reverse)
+    val cut = sorted(math.min(100, sorted.size) - 1)
+    got.keys.foreach(id =>
+      assert(want(id) >= cut - 1e-12, s"node $id below the top-100 cut"))
+  }
+
+  test("components: 41-node chain converges via pointer jumping") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = graft.operators.DedupClusters
+      .components(chain.toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 41 && got.forall(_._2 == 0L),
+      "path graph must collapse to one cluster labeled by its minimum")
   }
 
   test("bpe: merge sequence matches the classic hand-computed example") {

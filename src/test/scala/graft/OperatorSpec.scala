@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 class OperatorSpec extends SparkSpec {
 
+  test("approx_top_k (built-in sketch) is exact below sketch capacity") {
+    // 1500 distinct users < the sketch's default tracked capacity, so the
+    // DataSketches frequent-items result must equal the exact top-10
+    val got = SparkEntry.queries("s_topk_approx_expr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("user_id").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._2) == exact.take(10).map(_._2).sortBy(-_),
+      s"approx counts ${got.map(_._2)} != exact ${exact.take(10).map(_._2)}")
+    // membership: every returned user's exact count >= the 10th-largest
+    val cut = exact.map(_._2).sorted(Ordering[Long].reverse)(9)
+    val exactByUser = exact.toMap
+    got.foreach { case (u, c) =>
+      assert(exactByUser(u) == c && c >= cut, s"user $u count $c below cut $cut")
+    }
+  }
+
   private def docsDf = {
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
