@@ -42,6 +42,34 @@ object OperatorQueries extends QueryPack {
     // multimodal binary-column featurize (stubbed decode, real plumbing)
     "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
 
+    // REAL image decode in-pipeline: one synthesized 8×8 P6 blob per
+    // document (the corpus has no image column — blob content is a pure
+    // function of doc_id), decoded by the actual PPM parser (channel
+    // means + luminance stats + histogram), never the stub; pixel-exact
+    // decode proven in OperatorSpec
+    "s_mm_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8; val h = 8
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            px(i * 3) = ((id * 31 + i * 7) % 256).toByte
+            px(i * 3 + 1) = ((id * 17 + i * 13) % 256).toByte
+            px(i * 3 + 2) = ((id * 11 + i * 3) % 256).toByte
+            i += 1
+          }
+          Multimodal.MediaRow(id, head ++ px, "ppm", w, h)
+        }
+      Multimodal.featurize(media)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(element_at(col("features"), 4)), 6).as("avg_lum"),
+          round(avg(element_at(col("features"), 5)), 6).as("avg_lum_sd"))
+    }),
+
     // typed bounded top-k Aggregator (map-side-combinable window-topk twin)
     "s_topk_per_key" -> ((s, dir) =>
       TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3)),

@@ -10,6 +10,39 @@ import org.apache.spark.sql.functions._
   */
 class OperatorSpec extends SparkSpec {
 
+  test("ppm decode: real pixels through the featurize stage, stub fallback for the rest") {
+    import spark.implicits._
+    // 4x2 P6: row 0 = pure red, green, blue, white; row 1 = black x4
+    val header = "P6\n# test\n4 2\n255\n".getBytes("US-ASCII")
+    val px = Array(
+      255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 255,
+      0, 0, 0,     0, 0, 0,     0, 0, 0,     0, 0, 0).map(_.toByte)
+    val ppm = header ++ px
+    val f = graft.operators.Multimodal.decodePpm(ppm).get
+    // channel means: R = (255+255)/8/255, G = (255+255)/8/255, B likewise
+    assert(math.abs(f(0) - 2.0f / 8) < 1e-6, s"mean R ${f(0)}")
+    assert(math.abs(f(1) - 2.0f / 8) < 1e-6, s"mean G ${f(1)}")
+    assert(math.abs(f(2) - 2.0f / 8) < 1e-6, s"mean B ${f(2)}")
+    // luminance histogram fractions sum to 1
+    assert(math.abs((5 until 16).map(f(_)).sum - 1.0f) < 1e-5)
+    // black pixels + pure blue (lum 29) land in bin 0 and 1: 5 of 8 low
+    assert(f(5) + f(6) >= 5.0f / 8 - 1e-5)
+    // malformed ppm (truncated pixels) falls back to the stub, not a crash
+    val bad = header ++ px.take(5)
+    val viaDecode = graft.operators.Multimodal.decode(bad, "ppm")
+    assert(viaDecode.toSeq == graft.operators.Multimodal.decodeStub(bad).toSeq)
+    // end-to-end: the typed featurize stage uses the real path for ppm
+    val media = Seq(
+      graft.operators.Multimodal.MediaRow(1L, ppm, "ppm", 4, 2),
+      graft.operators.Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "jpeg", 0, 0))
+      .toDS()
+    val feats = graft.operators.Multimodal.featurize(media)
+      .collect().map(r => r.media_id -> r.features).toMap
+    assert(feats(1L).toSeq == f.toSeq, "featurize must use the real ppm decode")
+    assert(feats(2L).toSeq ==
+      graft.operators.Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
+  }
+
   test("approx_top_k (built-in sketch) is exact below sketch capacity") {
     // 1500 distinct users < the sketch's default tracked capacity, so the
     // DataSketches frequent-items result must equal the exact top-10
