@@ -105,12 +105,85 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for WAV (RIFF, PCM 16-bit little-endian, any channel
+    * count — samples averaged across channels). Features (FeatureDim =
+    * 16): RMS level, zero-crossing rate, mean |amplitude|, peak, then a
+    * 12-segment RMS energy envelope (each segment's RMS, time order) —
+    * the standard cheap audio descriptors. None on malformed input.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // walk the chunk list for fmt + data (extra chunks are legal)
+    var pos = 12
+    var channels = 0; var bits = 0; var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val len = u32(pos + 4)
+      if (id == "fmt " && pos + 24 <= bytes.length) {
+        if (u16(pos + 8) != 1) return None // PCM only
+        channels = u16(pos + 10)
+        bits = u16(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (channels < 1 || bits != 16 || dataOff < 0 ||
+      dataOff + dataLen > bytes.length) return None
+    val frameBytes = channels * 2
+    val n = (dataLen / frameBytes).toInt
+    if (n == 0) return None
+    var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0L
+    // crossings are sign changes between NONZERO samples — an exact-zero
+    // sample between them (a sine sampled at its node) is not a miss
+    var lastSign = 0
+    val segs = 12
+    val segSumSq = new Array[Double](segs)
+    val segN = new Array[Long](segs)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + i * frameBytes + c * 2
+        val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+        acc += s / 32768.0
+        c += 1
+      }
+      val x = acc / channels
+      sumSq += x * x; sumAbs += math.abs(x); peak = math.max(peak, math.abs(x))
+      if (x != 0) {
+        val s = if (x > 0) 1 else -1
+        if (lastSign != 0 && s != lastSign) zc += 1
+        lastSign = s
+      }
+      val seg = math.min(segs - 1, (i.toLong * segs / n).toInt)
+      segSumSq(seg) += x * x; segN(seg) += 1
+      i += 1
+    }
+    val out = new Array[Float](FeatureDim)
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = (zc.toDouble / math.max(1, n - 1)).toFloat
+    out(2) = (sumAbs / n).toFloat
+    out(3) = peak.toFloat
+    var k = 0
+    while (k < segs) {
+      out(4 + k) = if (segN(k) > 0) math.sqrt(segSumSq(k) / segN(k)).toFloat else 0f
+      k += 1
+    }
+    Some(out)
+  }
+
   /** Format dispatch: real decode where the format needs no codec,
     * deterministic stub elsewhere (and for malformed real-format blobs).
     */
   def decode(bytes: Array[Byte], format: String): Array[Float] =
     format match {
       case "ppm" => decodePpm(bytes).getOrElse(decodeStub(bytes))
+      case "wav" => decodeWav(bytes).getOrElse(decodeStub(bytes))
       case _     => decodeStub(bytes)
     }
 

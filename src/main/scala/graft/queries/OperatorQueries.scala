@@ -131,6 +131,41 @@ object OperatorQueries extends QueryPack {
     "s_text_bpe" -> ((s, dir) =>
       BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)),
 
+    // REAL audio decode in-pipeline: one synthesized PCM tone per
+    // document (frequency a pure function of doc_id), parsed by the
+    // actual RIFF/WAV walker — RMS / zero-crossing / envelope features;
+    // sample-exact decode proven in OperatorSpec
+    "s_mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val sr = 8000; val n = 400
+          val freq = 200.0 + (id % 17) * 100.0
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (0.4 * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+            data(i * 2) = (v & 0xff).toByte
+            data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+          def le16(v: Int) = Array(v, v >> 8).map(x => (x & 0xff).toByte)
+          val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+            le32(sr) ++ le32(sr * 2) ++ le16(2) ++ le16(16)
+          val dataCk = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+          val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataCk
+          Multimodal.MediaRow(id, "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body,
+            "wav", 0, 0)
+        }
+      // zero-crossing rate × (sr/2) recovers each tone's frequency — the
+      // distribution over estimated Hz proves the decode sees real audio
+      Multimodal.featurize(media)
+        .select(round((element_at(col("features"), 2) * 4000).cast("double"), 1).as("est_hz"))
+        .groupBy("est_hz").agg(count(lit(1)).as("n_media"))
+        .orderBy("est_hz")
+    }),
+
     // Spark 4.1's built-in approx_top_k (DataSketches frequent-items) —
     // the codegen-adjacent twin of the hand-rolled Space-Saving
     // Aggregator; exploded to scalar rows (the harness can't sort array

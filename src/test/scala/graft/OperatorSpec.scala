@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 class OperatorSpec extends SparkSpec {
 
+  test("wav decode: sine RMS and zero-crossing rate, chunk walking, fallback") {
+    // 1-channel 16-bit PCM, 8000 Hz, 0.1 s of a 400 Hz sine at 0.5 FS
+    val sr = 8000; val n = 800; val freq = 400.0; val amp = 0.5
+    val data = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(x => (x & 0xff).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sr) ++
+      le32(sr * 2) ++ le16(2) ++ le16(16)
+    // a LIST chunk before data proves the walker skips unknown chunks
+    val list = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+    val dataCk = "data".getBytes ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ list ++ dataCk
+    val wav = "RIFF".getBytes ++ le32(body.length) ++ body
+    val f = graft.operators.Multimodal.decodeWav(wav).get
+    assert(math.abs(f(0) - amp / math.sqrt(2)) < 0.01, s"RMS ${f(0)}")
+    // 400 Hz over 0.1 s = 40 periods = ~80 zero crossings over 799 steps
+    assert(math.abs(f(1) - 80.0 / 799) < 0.01, s"ZCR ${f(1)}")
+    assert(math.abs(f(3) - amp) < 0.01, s"peak ${f(3)}")
+    // envelope: steady sine, every segment RMS near the global RMS
+    (4 until 16).foreach(k => assert(math.abs(f(k) - f(0)) < 0.05, s"seg $k ${f(k)}"))
+    // truncated data chunk falls back to the stub
+    val bad = wav.take(wav.length - 100)
+    assert(graft.operators.Multimodal.decode(bad, "wav").toSeq ==
+      graft.operators.Multimodal.decodeStub(bad).toSeq)
+  }
+
   test("ppm decode: real pixels through the featurize stage, stub fallback for the rest") {
     import spark.implicits._
     // 4x2 P6: row 0 = pure red, green, blue, white; row 1 = black x4
