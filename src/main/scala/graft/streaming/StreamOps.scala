@@ -54,6 +54,18 @@ object StreamOps {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static dimension enrichment: every micro-batch joins against
+    * the (broadcast-small) static dimension — stateless, no watermark
+    * needed, the streaming analog of q_join_broadcast_dim. Left join so
+    * unknown keys flow through with NULL attributes (an inner join would
+    * silently drop them — a data-loss bug in an enrichment stage); the
+    * dim snapshot is fixed per query start, so slowly-changing dims are
+    * refreshed by restarting or by a foreachBatch re-read.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Gap-based sessionization via session_window
     * (stream twin of q_evt_session_30min).
     *

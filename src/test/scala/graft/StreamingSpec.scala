@@ -50,6 +50,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_enrich: stream-static left join keeps unknown keys, broadcast plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val withUnknown = base :+ Ev(7, ts("2024-01-01 03:30:00"), 99, "view", 1.0)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      withUnknown.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table("enrich")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier")))
+      .toMap
+    assert(out.size == withUnknown.size, "left join must keep every stream row")
+    assert(out(1L).contains("gold") && out(3L).contains("silver"))
+    assert(out(7L).isEmpty, "unknown key must flow through with NULL attributes")
+  }
+
   test("s_stream_fanout: one input, two aggregate sinks per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
