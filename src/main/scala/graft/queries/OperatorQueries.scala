@@ -74,6 +74,17 @@ object OperatorQueries extends QueryPack {
     "s_topk_per_key" -> ((s, dir) =>
       TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3)),
 
+    // the same task through the CUSTOM WHOLE-OPERATOR path: logical node
+    // + planner strategy + partial/final physical execs, the exchange
+    // carrying only the map-side-pruned candidates (CustomPlanSpec
+    // proves result equality, plan shape, and the shuffle-row bound)
+    "s_topk_custom_plan" -> ((s, dir) =>
+      graft.plans.GraftTopK.perKey(
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_custkey", "o_orderkey")),
+
     // df-cutoff n-gram Jaccard — the 100 TB guard against viral shingles
     // making the candidate join quadratic; identical to the exact twin
     // whenever every shared shingle's df <= cutoff (ScalaTest-proven)
