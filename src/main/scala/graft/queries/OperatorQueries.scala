@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator, ZOrderLayout}
+import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Compaction, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator, ZOrderLayout}
 import org.apache.spark.sql.functions._
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
@@ -175,6 +175,21 @@ object OperatorQueries extends QueryPack {
         .select(round((element_at(col("features"), 2) * 4000).cast("double"), 1).as("est_hz"))
         .groupBy("est_hz").agg(count(lit(1)).as("n_media"))
         .orderBy("est_hz")
+    }),
+
+    // small-file compaction (the OPTIMIZE-style operational pass):
+    // fragment one day of events into 24 tiny files, compact, report the
+    // file counts + bytes rewritten; invariants proven in LayoutSpec
+    "s_layout_compact" -> ((s, dir) => {
+      import s.implicits._
+      val day = Tables.events(s, dir)
+        .filter(col("ts") >= "2024-01-01" && col("ts") < "2024-01-02")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      day.repartition(24).write.mode("overwrite").parquet(base)
+      val (before, after, bytes) = Compaction.compact(s, base)
+      Seq((before, after, bytes, day.count()))
+        .toDF("files_before", "files_after", "bytes_compacted", "n_rows")
     }),
 
     // Spark 4.1's built-in approx_top_k (DataSketches frequent-items) —

@@ -89,4 +89,36 @@ class EdgeCaseSpec extends SparkSpec {
     val boundary = Multimodal.sampleFramesStub(Array.ofDim[Byte](320), frameSize = 64, stride = 256)
     assert(boundary.length == 2, "frame at offset 256 (256+64=320) must be sampled")
   }
+
+  test("round-5 operators on degenerate inputs: empty, singleton, k overflow") {
+    import spark.implicits._
+    // PageRank: empty edge list -> empty ranks, no crash
+    assert(graft.operators.PageRank.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    // PageRank: one self-loop — all mass on the single node
+    val self = graft.operators.PageRank.run(Seq((7L, 7L)).toDF("src", "dst"))
+      .collect()
+    assert(self.length == 1 && math.abs(self(0).getDouble(1) - 1.0) < 1e-9)
+    // zvalue: bits=1 keeps only the low bit of each dimension
+    val z = Seq((3L, 2L)).toDF("a", "b")
+      .select(graft.operators.ZOrderLayout.zvalue(col("a"), col("b"), bits = 1))
+      .head().getLong(0)
+    assert(z == 1L, s"bits=1 of (3,2) must be 0b01, got $z")
+    // GraftTopK: k larger than any group -> every row survives
+    val small = Seq((1L, 10L, 5.0), (1L, 11L, 3.0), (2L, 12L, 9.0))
+      .toDF("k", "id", "v")
+    assert(graft.plans.GraftTopK.perKey(small, "k", "v", "id", 100).count() == 3)
+    // GraftTopK: null order values rank last but are kept when k allows
+    val withNull = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(7.0)))
+      .toDF("k", "id", "v")
+    val top2 = graft.plans.GraftTopK.perKey(withNull, "k", "v", "id", 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top2 == Set(1L, 3L), s"nulls must lose to real values: $top2")
+    // BPE: "aa"x3 ties (a,a) with (a,</w>) at 3; lexicographic tiebreak
+    // on the right symbol picks (a,</w>) ('<' sorts before 'a')
+    val m = graft.operators.BpeTrainer.train(
+      Seq((1L, "aa aa aa")).toDF("doc_id", "text"), numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq(("a", "</w>")))
+  }
 }

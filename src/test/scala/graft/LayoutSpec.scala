@@ -51,4 +51,33 @@ class LayoutSpec extends SparkSpec {
     // total row counts are layout-invariant
     assert(lin.count() == 256L * 256 && zo.count() == 256L * 256)
   }
+
+  test("compaction: small files merge, big files untouched, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 20 tiny files + 1 "big" one (threshold tuned so only the 20 qualify)
+    (0 until 20000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val bigDf = (100000 until 200000).map(i => (i.toLong, "x" * 50)).toDF("id", "s")
+    bigDf.coalesce(1).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val expected = before.agg(count(lit(1)), sum("id")).head()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizes = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    val bigSize = sizes.max
+    val (nBefore, nAfter, bytes) = graft.operators.Compaction.compact(
+      spark, dir, smallBytes = bigSize, targetBytes = 1L << 30)
+    assert(nBefore == 21 && nAfter == 2, s"$nBefore -> $nAfter")
+    assert(bytes > 0)
+    // the big file survived verbatim; all rows and values intact
+    assert(sizes.contains(bigSize), "right-sized file must not be rewritten")
+    val after = spark.read.parquet(dir).agg(count(lit(1)), sum("id")).head()
+    assert(after == expected, s"data changed: $after vs $expected")
+    // idempotent: a second pass finds nothing to do
+    val (b2, a2, z) = graft.operators.Compaction.compact(
+      spark, dir, smallBytes = bigSize, targetBytes = 1L << 30)
+    assert(b2 == a2 && z == 0L, "second pass must be a no-op")
+  }
 }
