@@ -12,14 +12,15 @@ object Bench {
     "q_evt_tumbling_hourly", // b_events
     "q_sim_cosine_topk",     // cosine HOF baseline
     "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_curate_fuzzy",
     "q_tpch_q3",
     "s_dedup_minhash",
-    "s_dedup_simhash",
     "s_dedup_ngram_dfcut",
-    "s_dedup_embed_ann",
-    "s_sim_ann_lsh",
-    "s_sim_ann_ivf",
-    "s_topk_per_key")
+    "s_sim_ann_ivfpq",
+    "s_graph_pagerank",
+    "s_layout_zorder",
+    "s_topk_custom_plan")
 
   private def fmt(v: Double): String = f"$v%.3f"
 

@@ -341,6 +341,17 @@ object AnalyticsQueries extends QueryPack {
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
     }),
 
+    // SCD2 dimension maintenance (Kimball type-2): customers whose
+    // lifetime order value crosses the threshold get a second version
+    // effective at their latest order date — validity ranges
+    // [valid_from, valid_to), is_current on the open row. One aggregate
+    // + left join + union, the exact incremental-merge shape a warehouse
+    // runs nightly; both engines execute the SAME SQL text.
+    "q_scd2_dim" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(Scd2Sql)
+    }),
+
     // exact triangle counting on the nation-level trade graph — the
     // oracle-checked graph-analytics twin of s_graph_pagerank. The edge
     // table (distinct undirected nation pairs, bounded by |nations|²) is
@@ -374,7 +385,23 @@ object AnalyticsQueries extends QueryPack {
     })
   )
 
+  /** Dialect-shared SCD2 text (runs verbatim in Spark AND DuckDB). */
+  private val Scd2Sql =
+    """WITH chg AS (
+      |  SELECT o_custkey AS c_custkey, MAX(CAST(o_orderdate AS DATE)) AS chg_date
+      |  FROM orders GROUP BY 1
+      |  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 4000000)
+      |SELECT c.c_custkey, c.c_mktsegment AS segment,
+      |  DATE '1992-01-01' AS valid_from,
+      |  COALESCE(g.chg_date, DATE '9999-12-31') AS valid_to,
+      |  g.c_custkey IS NULL AS is_current
+      |FROM customer c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+      |UNION ALL
+      |SELECT c_custkey, 'PREMIUM', chg_date, DATE '9999-12-31', TRUE FROM chg
+      |ORDER BY c_custkey, valid_from, is_current""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_scd2_dim" -> Scd2Sql,
     "q_subq_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
