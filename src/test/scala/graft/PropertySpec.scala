@@ -9,6 +9,63 @@ import scala.util.Random
   */
 class PropertySpec extends SparkSpec {
 
+  test("zvalue quadrant locality: equal high z-bits iff same quadrant (seeded random)") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val zs = pts.toDF("a", "b")
+      .select(graft.operators.ZOrderLayout.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    pts.zip(zs).foreach { case ((a, b), z) =>
+      // top 2 z-bits = the (a,b) half-plane bits at depth 1
+      assert(((z >> 30) & 1) == ((a >> 15) & 1), s"a-bit mismatch for ($a,$b)")
+      assert(((z >> 31) & 1) == ((b >> 15) & 1), s"b-bit mismatch for ($a,$b)")
+    }
+  }
+
+  test("bpe: replaying the learned merges never produces an unknown adjacent pair") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val words = Seq.fill(300)(
+      Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString)
+    val text = words.mkString(" ")
+    val merges = graft.operators.BpeTrainer
+      .train(Seq((1L, text)).toDF("doc_id", "text"), numMerges = 20)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    // apply merges in rank order to every word; each merge must fire at
+    // least once across the corpus (it was counted from this corpus)
+    var tokenized = words.map(w => w.map(_.toString).toVector :+ "</w>")
+    merges.foreach { case (l, r) =>
+      var fired = false
+      tokenized = tokenized.map { syms =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); fired = true; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      assert(fired, s"merge ($l,$r) never fired on its own training corpus")
+    }
+  }
+
+  test("custom top-k == window formulation on seeded random data with duplicate values") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // duplicate-heavy values stress the tie-break path
+    val rows = Seq.tabulate(5000)(i => (rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(20).toDouble))
+    val df = rows.toDF("k", "id", "v").repartition(13)
+    val got = graft.plans.GraftTopK.perKey(df, "k", "v", "id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   private def trials(n: Int)(body: Random => Unit): Unit =
     (0 until n).foreach(i => body(new Random(42L + i)))
 
