@@ -40,6 +40,23 @@ object WindowQueries extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // gaps-and-islands: per-user consecutive-active-day streaks via the
+    // classic daynum − row_number() island key (constant within a run of
+    // consecutive days, jumps across a gap); one shuffle on user_id,
+    // streak rows keyed by their (unique per user) start date
+    "q_win_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .withColumn("grp",
+          datediff(col("day"), lit("1992-01-01")) - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("streak_start"), count(lit(1)).as("streak_len"))
+        .select(col("user_id"), col("streak_start"), col("streak_len"))
+        .orderBy("user_id", "streak_start")
+    }),
+
     // LOCF gap-fill (last observation carried forward): a sparse reading
     // (every 3rd event keeps its value — deterministic construction) is
     // filled per user from the latest earlier observation via
@@ -142,6 +159,19 @@ object WindowQueries extends QueryPack {
         |  lead(event_type) OVER w AS next_type
         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |        date_diff('day', DATE '1992-01-01', day)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d)
+        |SELECT user_id, MIN(day) AS streak_start,
+        |  CAST(COUNT(*) AS BIGINT) AS streak_len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin,
 
     "q_win_locf" ->
       """WITH ev AS (SELECT user_id, event_id,

@@ -34,4 +34,26 @@ class ScaleSpec extends SparkSpec {
         .setScale(2), s"sum not linear for ${p.getString(0)}")
     }
   }
+
+  test("custom top-k under extreme key skew: bounded shuffle, exact result") {
+    import spark.implicits._
+    // 100k rows, 99% on ONE key — the shape that melts a window sort's
+    // single hot partition; the partial phase caps the hot key's shuffle
+    // contribution at k rows per input partition
+    val rows = Seq.tabulate(100000) { i =>
+      val k = if (i % 100 == 0) (i / 100 % 50).toLong + 1 else 0L
+      (k, i.toLong, (i % 9973).toDouble)
+    }
+    val df = rows.toDF("k", "id", "v").repartition(16)
+    val got = graft.plans.GraftTopK.perKey(df, "k", "v", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(org.apache.spark.sql.functions.col("v").desc,
+        org.apache.spark.sql.functions.col("id"))
+    val want = df.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"skewed top-k diverged: ${got.size} vs ${want.size}")
+  }
 }
