@@ -134,6 +134,25 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "offset_days")),
 
+    // conversion lag: each user's first view and the first purchase at or
+    // after it, lag in exact integer microseconds — the sequential-
+    // pattern measure a growth team reads next to the funnel; two keyed
+    // aggregates + one user-keyed join, no windows
+    "q_evt_conversion_lag" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy("user_id", "v_us").agg(min("us").as("p_us"))
+        .select(col("user_id"), col("v_us"), col("p_us"),
+          (col("p_us") - col("v_us")).as("lag_us"))
+        .orderBy("user_id")
+    }),
+
     // first-order Markov transition matrix over per-user event sequences:
     // lead() over the (µs, event_id) total order (the q_evt_paths
     // ordering), then transition counts and row-normalized probabilities
@@ -251,6 +270,18 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_evt_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1)
+        |SELECT ev.user_id, fv.v_us, MIN(ev.us) AS p_us,
+        |  MIN(ev.us) - fv.v_us AS lag_us
+        |FROM ev JOIN fv ON ev.user_id = fv.user_id
+        |WHERE ev.event_type = 'purchase' AND ev.us >= fv.v_us
+        |GROUP BY ev.user_id, fv.v_us
+        |ORDER BY ev.user_id""".stripMargin,
 
     "q_evt_markov" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
