@@ -134,6 +134,27 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "offset_days")),
 
+    // DAU / trailing-7-day WAU / stickiness per day. Scale shape: each
+    // (user, active day) row EXPLODES to the 7 report days it supports —
+    // equi-keyed shuffles only, never a day-range join (the range join
+    // re-scans the activity table per report day; the explode is the
+    // standard contribution-table formulation). Report days are
+    // restricted to days with any activity (dau inner join).
+    "q_evt_dau_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // conversion lag: each user's first view and the first purchase at or
     // after it, lag in exact integer microseconds — the sequential-
     // pattern measure a growth team reads next to the funnel; two keyed
@@ -270,6 +291,20 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_evt_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |            FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT ud.user_id, CAST(g.d AS DATE) AS day
+        |            FROM ud, unnest(generate_series(ud.day, ud.day + INTERVAL 6 DAY,
+        |                                            INTERVAL 1 DAY)) AS g(d)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "q_evt_conversion_lag" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Breadth beyond the SURVEY.md §2 core: statistical aggregates, bitwise
@@ -67,6 +68,24 @@ object MiscQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // deterministic MODE: most frequent order priority per market
+    // segment, ties broken lexicographically — hand-rolled as count +
+    // rank window because native mode() tie-breaks are engine-defined
+    // (the same reason argmax above packs its ordering key)
+    "q_agg_mode" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      Tables.t(s, dir, "orders")
+        .join(broadcast(Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_prio"), col("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
     // typed Dataset pipeline: case-class filter/map, same Catalyst plan
     "q_typed_orders" -> ((s, dir) => {
       import s.implicits._
@@ -116,6 +135,16 @@ object MiscQueries extends QueryPack {
         |  arg_min(c.c_acctbal, c.ord) AS low_bal
         |FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH pc AS (
+        |  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM pc)
+        |SELECT c_mktsegment, o_orderpriority AS mode_prio, cnt
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q_typed_orders" ->
       """SELECT o_orderkey, o_orderpriority AS prio,
