@@ -134,6 +134,18 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "offset_days")),
 
+    // hour-of-week seasonality matrix: (ISO weekday, hour) cell counts +
+    // decimal-exact value sums — weekday numbering pinned to ISO
+    // (Spark weekday() is 0=Monday, DuckDB isodow 1=Monday; +1 aligns)
+    "q_evt_seasonality" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((weekday(col("ts").cast("timestamp")) + 1).as("iso_dow"),
+          hour(col("ts").cast("timestamp")).as("hr"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_value"))
+        .orderBy("iso_dow", "hr")),
+
     // DAU / trailing-7-day WAU / stickiness per day. Scale shape: each
     // (user, active day) row EXPLODES to the 7 report days it supports —
     // equi-keyed shuffles only, never a day-range join (the range join
@@ -291,6 +303,14 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM act JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_evt_seasonality" ->
+      """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS iso_dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+        |  COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hr""".stripMargin,
 
     "q_evt_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -88,6 +88,29 @@ object JoinQueries extends QueryPack {
         .orderBy("order_year")
     }),
 
+    // interval OVERLAP join: each nation's 20-day promo window vs each
+    // order's 7-day fulfillment window — equi-key (nationkey) carries the
+    // join, the two-sided interval predicate rides as the residual, so
+    // the plan stays a broadcast hash join, never a cartesian (the
+    // production shape for calendar-window joins; at 100 TB bucket both
+    // sides by day to bound the residual's fan-in)
+    "q_join_interval_overlap" -> ((s, dir) => {
+      val promo = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          expr("date_add(DATE '1995-01-01', CAST(n_nationkey * 10 AS INT))").as("p_start"))
+        .withColumn("p_end", expr("date_add(p_start, 20)"))
+      val o = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+      val c = Tables.t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(promo),
+          col("c_nationkey") === col("n_nationkey") &&
+            col("od") < col("p_end") && col("p_start") < expr("date_add(od, 7)"))
+        .groupBy("n_name", "p_start")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
     "q_join_cross" -> ((s, dir) => {
       val r = Tables.t(s, dir, "region")
       val n = Tables.t(s, dir, "nation")
@@ -196,6 +219,20 @@ object JoinQueries extends QueryPack {
     "q_join_anti" ->
       """SELECT COUNT(*) AS cnt FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin,
+
+    "q_join_interval_overlap" ->
+      """WITH promo AS (
+        |  SELECT n_nationkey, n_name,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 10 AS INT) AS p_start,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 10 + 20 AS INT) AS p_end
+        |  FROM nation)
+        |SELECT p.n_name, p.p_start, COUNT(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN promo p ON c.c_nationkey = p.n_nationkey
+        |  AND CAST(o.o_orderdate AS DATE) < p.p_end
+        |  AND p.p_start < CAST(o.o_orderdate AS DATE) + 7
+        |GROUP BY p.n_name, p.p_start ORDER BY p.n_name""".stripMargin,
 
     "q_join_theta_range" ->
       """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year, COUNT(*) AS cnt
