@@ -175,6 +175,31 @@ object JoinQueries extends QueryPack {
         .filter(col("rn") === 1)
         .select("probe_ts", "user_id", "event_id", "ts", "event_type")
         .orderBy("probe_ts", "user_id")
+    }),
+
+    // NEAREST-event as-of variant (either direction): rank per (probe,
+    // user) by exact integer |Δµs| with event_id tie-break. At 100 TB
+    // the cross of probes×events becomes the union of each side's
+    // backward/forward sorted-merge candidate (2 rows per key), same
+    // semantics — here the probe side is 3 rows and broadcasts.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val probes = s.range(1).select(explode(expr(
+        "array(to_timestamp_ntz('2024-01-08 00:00:00')," +
+          " to_timestamp_ntz('2024-01-15 12:00:00')," +
+          " to_timestamp_ntz('2024-01-25 06:30:00'))")).as("probe_ts"))
+        .withColumn("p_us", unix_micros(col("probe_ts").cast("timestamp")))
+      val w = Window.partitionBy(col("probe_ts"), col("user_id"))
+        .orderBy(abs(col("us") - col("p_us")), col("event_id"))
+      broadcast(probes).crossJoin(ev)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_ts"), col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), abs(col("us") - col("p_us")).as("delta_us"))
+        .orderBy("probe_ts", "user_id")
     })
   )
 
@@ -272,6 +297,22 @@ object JoinQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY p.probe_ts, e.user_id
         |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM probes p JOIN ev e ON e.ts <= p.probe_ts) sub
+        |WHERE rn = 1 ORDER BY probe_ts, user_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH probes AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+        |                                     (TIMESTAMP '2024-01-15 12:00:00'),
+        |                                     (TIMESTAMP '2024-01-25 06:30:00')) AS t(probe_ts)),
+        |ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |       FROM events WHERE user_id < 50)
+        |SELECT probe_ts, user_id, event_id, ts, event_type, delta_us FROM (
+        |  SELECT p.probe_ts, e.user_id, e.event_id, e.ts, e.event_type,
+        |         abs(e.us - epoch_us(p.probe_ts)) AS delta_us,
+        |         row_number() OVER (PARTITION BY p.probe_ts, e.user_id
+        |                            ORDER BY abs(e.us - epoch_us(p.probe_ts)),
+        |                                     e.event_id) AS rn
+        |  FROM probes p CROSS JOIN ev e) sub
         |WHERE rn = 1 ORDER BY probe_ts, user_id""".stripMargin
   )
 }
