@@ -352,6 +352,16 @@ object AnalyticsQueries extends QueryPack {
       s.sql(Scd2Sql)
     }),
 
+    // data-quality audit (the dbt-test analog): constraint checks as
+    // DATA — key uniqueness, referential integrity orphans, value-range
+    // and enum-domain violations, all in one pass per table, zero
+    // expected everywhere on this corpus; the SAME SQL text runs in both
+    // engines. The shape a pipeline gate runs nightly before publishing.
+    "q_quality_checks" -> ((s, dir) => {
+      graft.Sql.registerViews(s, dir)
+      s.sql(QualitySql)
+    }),
+
     // exact triangle counting on the nation-level trade graph — the
     // oracle-checked graph-analytics twin of s_graph_pagerank. The edge
     // table (distinct undirected nation pairs, bounded by |nations|²) is
@@ -385,6 +395,36 @@ object AnalyticsQueries extends QueryPack {
     })
   )
 
+  /** Dialect-shared data-quality audit (runs verbatim in Spark AND DuckDB). */
+  private val QualitySql =
+    """SELECT 'customer.pk_unique' AS check_name,
+      |  CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations
+      |FROM customer
+      |UNION ALL
+      |SELECT 'orders.pk_unique',
+      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'orders.fk_customer', CAST(COUNT(*) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey IS NULL
+      |UNION ALL
+      |SELECT 'lineitem.fk_orders', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IS NULL
+      |UNION ALL
+      |SELECT 'lineitem.qty_range', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      |UNION ALL
+      |SELECT 'lineitem.discount_range', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+      |UNION ALL
+      |SELECT 'orders.status_domain', CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+      |UNION ALL
+      |SELECT 'events.ts_not_null', CAST(COUNT(*) AS BIGINT)
+      |FROM events WHERE ts IS NULL
+      |ORDER BY check_name""".stripMargin
+
   /** Dialect-shared SCD2 text (runs verbatim in Spark AND DuckDB). */
   private val Scd2Sql =
     """WITH chg AS (
@@ -402,6 +442,7 @@ object AnalyticsQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_scd2_dim" -> Scd2Sql,
+    "q_quality_checks" -> QualitySql,
     "q_subq_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
