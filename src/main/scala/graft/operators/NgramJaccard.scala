@@ -67,23 +67,31 @@ object NgramJaccard {
     }
     // posting lists instead of a self-join: ONE shuffle of the shingle
     // table builds sorted per-shingle (doc, n_sh) lists, and the (a < b)
-    // candidate pairs expand inside a projection — the round-2 shape
+    // candidate pairs stream out of generators below — the round-2 shape
     // (df-filter join + self-join on shingle) shuffled the same table
     // three times. The per-group buffer is O(df): bounded by `dfCutoff`
-    // when set; in the exact variant a viral shingle makes the list (and
-    // its df² pairs) large — the identical pair volume the self-join
-    // would stream, which is exactly why the cutoff exists at scale.
+    // when set; in the exact variant a viral shingle still streams df²
+    // pair ROWS (the identical volume the self-join would stream, which
+    // is exactly why the cutoff exists at scale) but never df² in one
+    // allocation.
     val lists = sh.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(dfFilter)
     // sizes are functionally dependent on the ids, so grouping by all four
-    // keys counts exactly the (a_id, b_id) intersections
-    val inter = lists.select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('p', a, 'q', b))))"))
-        .as("p"))
-      .groupBy(col("p.p.doc_id").as("a_id"), col("p.q.doc_id").as("b_id"),
-        col("p.p.n_sh").as("a_n"), col("p.q.n_sh").as("b_n"))
+    // keys counts exactly the (a_id, b_id) intersections.
+    //
+    // Pairs STREAM through two generators instead of materializing all
+    // C(df,2) structs in one array value: posexplode picks each `a` with
+    // its index, then the second explode walks `a`'s tail slice. Per-row
+    // allocation is the O(df) slice, never the df² flatten — one viral
+    // shingle in the exact variant streams its pair volume (like the old
+    // self-join did) rather than building it as a single row and OOMing
+    // the executor.
+    val inter = lists
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
       .agg(count(lit(1)).as("inter"))
     val out = inter
       .filter(col("inter") * threshDen >= (col("a_n") + col("b_n") - col("inter")) * threshNum)

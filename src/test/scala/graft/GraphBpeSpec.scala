@@ -52,6 +52,23 @@ class GraphBpeSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"rank mass drifted: $total")
   }
 
+  test("pagerank: ε-exit stops early on a fast-mixing graph, cap on a slow one") {
+    import spark.implicits._
+    // complete graph with self-loops: the uniform prior IS the fixed
+    // point, so round 1 moves nothing and the exit fires immediately
+    val k = (1L to 4L).flatMap(a => (1L to 4L).map(b => (a, b)))
+    val (ranks, rounds) = PageRank.runCounted(
+      k.toDF("src", "dst"), iters = 40, tol = 1e-12)
+    assert(rounds === 1, s"uniform fixed point must exit after round 1, ran $rounds")
+    ranks.collect().foreach(r => assert(math.abs(r.getDouble(1) - 0.25) < 1e-12))
+    // 2-cycle plus a feeder: the −1 walk eigenvalue survives damping as
+    // a period-2 oscillation (movement decays ≈ d per round from ~0.57),
+    // so ε=1e-9 can never fire in 5 rounds — the cap stays binding
+    val (_, r2) = PageRank.runCounted(
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst"), iters = 5, tol = 1e-9)
+    assert(r2 === 5, s"oscillating graph must run to the cap, ran $r2")
+  }
+
   test("pagerank: zero iterations returns the uniform prior") {
     import spark.implicits._
     val got = PageRank.run(g.toDF("src", "dst"), iters = 0)

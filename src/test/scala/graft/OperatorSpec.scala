@@ -290,6 +290,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ngram viral shingle: df≈2k pair volume streams, bounded per-row") {
+    import spark.implicits._
+    // 2000 docs all sharing ONE boilerplate shingle (plus per-doc unique
+    // tail) → C(2000,2) ≈ 2M candidate pairs from a single posting list.
+    // The pre-fix shape flattened all of them into ONE array value
+    // (~2M structs in a single row buffer — the executor-OOM scale bug);
+    // the streaming two-level explode materializes O(df) per row, so
+    // this completes in seconds. Every cross pair has J = 1/5 < 1/2;
+    // docs 0 and 1 are planted identical (J = 1) and must be the only
+    // survivors at threshold 1/2.
+    val viral = (0L until 2000L).map { i =>
+      val tail = if (i <= 1) "dupa dupb" else s"u${i}a u${i}b"
+      (i, s"common1 common2 common3 $tail")
+    }.toDF("doc_id", "text")
+    val out = NgramJaccard.pairs(viral, threshNum = 1, threshDen = 2, sorted = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)),
+      s"expected only the planted duplicate pair, got ${out.length} rows")
+  }
+
   test("components: chains, cliques and singleton-free labeling") {
     import spark.implicits._
     // component A: 10-node chain 0-1-2-…-9 (worst-case diameter for
