@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * Shape: plan from FILE METADATA ONLY (one listing — no data read to
   * decide), rewrite ONLY the files below `smallBytes` into
   * ceil(total/targetBytes) files, leave the already-right-sized files
-  * untouched, and commit by atomic directory swap: new files land in a
-  * `.compact-tmp` sibling, then small originals are deleted and the
-  * compacted files moved in. The rewrite itself is one
+  * untouched, and commit in two steps biased toward duplication over
+  * loss: new files land in a `.compact-tmp` sibling, are MOVED into the
+  * directory first (rename return values checked), and the small
+  * originals are deleted last — a crash mid-commit leaves a reader
+  * seeing some rows twice, never missing them (a table format's
+  * manifest swap is what would make this atomic; plain-directory
+  * parquet has no such primitive). The rewrite itself is one
   * `spark.read.parquet(smallFiles).repartition(n).write` — fully
   * parallel, no shuffle beyond the explicit repartition.
   *
@@ -40,13 +44,18 @@ object Compaction {
     spark.read.parquet(small.map(_.getPath.toString): _*)
       .repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    // commit: drop the small originals, move the compacted files in
-    small.foreach(f => fs.delete(f.getPath, false))
+    // commit order: move the compacted files IN first, delete the small
+    // originals LAST. A crash mid-commit then leaves readers seeing
+    // duplicate rows transiently (move done, deletes pending) — never
+    // missing data, which the delete-first order risked (rows visible
+    // only under the hidden `.compact-tmp`, which parquet readers skip).
     val moved = fs.listStatus(tmp).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     moved.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new Path(dir, s"compacted-$i-${f.getPath.getName}"))
+      val dst = new Path(dir, s"compacted-$i-${f.getPath.getName}")
+      require(fs.rename(f.getPath, dst), s"rename ${f.getPath} -> $dst failed")
     }
+    small.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
     val after = files.size - small.size + moved.size
     (files.size.toLong, after.toLong, totalSmall)

@@ -124,12 +124,17 @@ object Multimodal {
     var channels = 0; var bits = 0; var dataOff = -1; var dataLen = 0L
     while (pos + 8 <= bytes.length) {
       val id = tag(pos); val len = u32(pos + 4)
+      // hostile/corrupt chunk length: len is u32-as-Long, so validate in
+      // Long space BEFORE any use — a value like 0xFFFFFFF8 truncated to
+      // Int was a zero/negative advance (infinite loop or backwards walk
+      // out of the documented None-on-malformed contract)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
       if (id == "fmt " && pos + 24 <= bytes.length) {
         if (u16(pos + 8) != 1) return None // PCM only
         channels = u16(pos + 10)
         bits = u16(pos + 22)
       } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      pos += (8 + len + (len & 1)).toInt // chunks are word-aligned
     }
     if (channels < 1 || bits != 16 || dataOff < 0 ||
       dataOff + dataLen > bytes.length) return None

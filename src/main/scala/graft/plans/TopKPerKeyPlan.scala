@@ -133,6 +133,19 @@ object GraftTopK {
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    // the exec evaluates ord/tie through java.lang.Number — Spark's
+    // Decimal is NOT a Number, and strings/intervals would MatchError
+    // per-row at execution. Fail fast at plan time with the contract:
+    // numeric-primitive ord/tie only (long ord also loses precision past
+    // 2^53 in the double compare — the same numeric-only contract).
+    import org.apache.spark.sql.types._
+    val numericPrimitive: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    for ((role, a) <- Seq("ord" -> attr(ordCol), "tie" -> attr(tieCol)))
+      require(numericPrimitive.contains(a.dataType),
+        s"TopKPerKey $role column '${a.name}' must be a numeric primitive " +
+          s"(byte/short/int/long/float/double), got ${a.dataType.simpleString}; " +
+          "cast DECIMAL explicitly if double ordering precision is acceptable")
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
       TopKPerKeyLogical(attr(keyCol), attr(ordCol), attr(tieCol), k, lp))
   }

@@ -75,6 +75,22 @@ object FnQueries extends QueryPack {
         .orderBy(col("k").asc_nulls_first)
         .limit(10)),
 
+    // MAP-typed path (closes SURVEY §2.7's last test-only row): lift the
+    // props JSON into a real MapType via str_to_map, then exercise map
+    // access, map_keys and size under an aggregate — all codegen'd
+    // built-ins, no UDF. DuckDB twin builds the same MAP with
+    // map(list, list) (its m[k] yields a LIST — index [1]).
+    "q_fn_map" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("m",
+          expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(m['k'] AS BIGINT)")).as("sum_k"),
+          max(size(col("m")).cast("long")).as("max_size"),
+          min(expr("map_keys(m)[0]")).as("min_key"))
+        .orderBy("event_type")),
+
     // semi-structured VARIANT path (Spark 4): parse once into the binary
     // variant encoding, extract typed fields with variant_get — the
     // schema-on-read shape for heterogeneous event payloads (at 100 TB
@@ -162,6 +178,20 @@ object FnQueries extends QueryPack {
     "q_fn_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY k NULLS FIRST LIMIT 10""".stripMargin,
+
+    "q_fn_map" ->
+      """WITH lifted AS (
+        |  SELECT event_type,
+        |    map(list_transform(string_split(regexp_replace(props, '[{}" ]', '', 'g'), ','),
+        |          x -> string_split(x, ':')[1]),
+        |        list_transform(string_split(regexp_replace(props, '[{}" ]', '', 'g'), ','),
+        |          x -> string_split(x, ':')[2])) AS m
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(m['k'][1] AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(cardinality(m)) AS BIGINT) AS max_size,
+        |  MIN(map_keys(m)[1]) AS min_key
+        |FROM lifted GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_fn_variant" ->
       """SELECT event_type, COUNT(*) AS n,

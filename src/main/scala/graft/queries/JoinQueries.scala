@@ -177,11 +177,19 @@ object JoinQueries extends QueryPack {
         .orderBy("probe_ts", "user_id")
     }),
 
-    // NEAREST-event as-of variant (either direction): rank per (probe,
-    // user) by exact integer |Δµs| with event_id tie-break. At 100 TB
-    // the cross of probes×events becomes the union of each side's
-    // backward/forward sorted-merge candidate (2 rows per key), same
-    // semantics — here the probe side is 3 rows and broadcasts.
+    // NEAREST-event as-of variant (either direction): pick per (probe,
+    // user) the event minimizing exact integer |Δµs| (event_id
+    // tie-break) via the TopKPerKey custom plan at k=1 — map-side
+    // per-key heaps prune to ONE candidate per (probe, user) per
+    // partition before the exchange, and nothing ever sorts the
+    // probes×events candidate stream (the round-5 row_number window
+    // sorted all of it per key — the flagged 100× bottleneck; min_by
+    // with a struct ordering was tried and falls back to SortAggregate,
+    // which re-sorts the same stream by group key). ord = −|Δµs| (top-1
+    // by max ord = nearest; |Δµs| ≤ ~2.6e12 is double-exact), tie =
+    // event_id ascending. The packed group key is exact here (user_id
+    // < 50 by the query's filter, 3 distinct probes); a hash-derived
+    // key would risk silent collisions. The 3-row probe side broadcasts.
     "q_join_asof_nearest" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 50)
@@ -192,11 +200,10 @@ object JoinQueries extends QueryPack {
           " to_timestamp_ntz('2024-01-15 12:00:00')," +
           " to_timestamp_ntz('2024-01-25 06:30:00'))")).as("probe_ts"))
         .withColumn("p_us", unix_micros(col("probe_ts").cast("timestamp")))
-      val w = Window.partitionBy(col("probe_ts"), col("user_id"))
-        .orderBy(abs(col("us") - col("p_us")), col("event_id"))
-      broadcast(probes).crossJoin(ev)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val cand = broadcast(probes).crossJoin(ev)
+        .withColumn("grp", col("p_us") * 1000 + col("user_id"))
+        .withColumn("neg_d", -abs(col("us") - col("p_us")).cast("double"))
+      graft.plans.GraftTopK.perKey(cand, "grp", "neg_d", "event_id", 1)
         .select(col("probe_ts"), col("user_id"), col("event_id"), col("ts"),
           col("event_type"), abs(col("us") - col("p_us")).as("delta_us"))
         .orderBy("probe_ts", "user_id")

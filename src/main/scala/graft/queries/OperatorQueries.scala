@@ -195,8 +195,10 @@ object OperatorQueries extends QueryPack {
       val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
       day.repartition(24).write.mode("overwrite").parquet(base)
       val (before, after, bytes) = Compaction.compact(s, base)
-      Seq((before, after, bytes, day.count()))
+      val out = Seq((before, after, bytes, day.count()))
         .toDF("files_before", "files_after", "bytes_compacted", "n_rows")
+      rmTree(base) // counts are driver-side; don't leak the scratch dir
+      out
     }),
 
     // Spark 4.1's built-in approx_top_k (DataSketches frequent-items) —
@@ -255,10 +257,84 @@ object OperatorQueries extends QueryPack {
             countDistinct(when(col("dn") < 64, col("f")))).head()
         Seq((layout, "cust_slice", r.getLong(0)), (layout, "date_slice", r.getLong(1)))
       }
-      (locality("linear") ++ locality("zorder"))
+      val out = (locality("linear") ++ locality("zorder"))
         .toDF("layout", "slice", "files_touched")
+      // result rows are driver-side Seqs by now — the parquet scratch can
+      // go before returning (repeated bench/verify runs were leaking a
+      // rewritten year of orders into /tmp per invocation)
+      rmTree(base)
+      out
+    }),
+
+    // MERGE INTO (upsert + delete + insert in one pass) as the reusable
+    // snapshot-maintenance operator: the customer snapshot merged with a
+    // CDC batch derived from 1997H1 order revenue — refreshed balances
+    // for active customers, tombstones above the churn threshold,
+    // synthetic new accounts below it. Exact-oracle-checked (full-outer
+    // merge is SQL-expressible); idempotent replay proven in MergeSpec.
+    "q_merge_upsert" -> ((s, dir) => {
+      val cust = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+      val rev = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("rev"))
+      val updates = rev.join(cust, col("k") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          lit("REFRESHED").as("c_mktsegment"), col("rev").as("acctbal"),
+          (col("rev") > 400000).as("_tomb"))
+      val inserts = rev.filter(col("rev") > 350000 && col("rev") <= 400000)
+        .select((col("k") + 10000000L).as("c_custkey"),
+          concat(lit("New Customer#"), col("k").cast("string")).as("c_name"),
+          lit("FRESH").as("c_mktsegment"), col("rev").as("acctbal"),
+          lit(false).as("_tomb"))
+      graft.operators.MergeInto.merge(
+          cust, updates.unionByName(inserts), Seq("c_custkey"), Some("_tomb"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("acctbal").cast("double").as("acctbal"))
+        .orderBy("c_custkey")
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  private def rmTree(dir: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(dir)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer),
+        |rev AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY o_custkey),
+        |batch AS (
+        |  SELECT c.c_custkey, c.c_name, 'REFRESHED' AS c_mktsegment,
+        |         r.rev AS acctbal, r.rev > 400000 AS tomb
+        |  FROM rev r JOIN cust c ON c.c_custkey = r.k
+        |  UNION ALL
+        |  SELECT r.k + 10000000, 'New Customer#' || CAST(r.k AS VARCHAR),
+        |         'FRESH', r.rev, FALSE
+        |  FROM rev r WHERE r.rev > 350000 AND r.rev <= 400000)
+        |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+        |       COALESCE(b.c_name, c.c_name) AS c_name,
+        |       COALESCE(b.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+        |       CAST(COALESCE(b.acctbal, c.acctbal) AS DOUBLE) AS acctbal
+        |FROM cust c FULL JOIN batch b ON c.c_custkey = b.c_custkey
+        |WHERE b.c_custkey IS NULL OR NOT b.tomb
+        |ORDER BY c_custkey""".stripMargin)
 }

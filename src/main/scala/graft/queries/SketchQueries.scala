@@ -61,6 +61,25 @@ object SketchQueries extends QueryPack {
           count(lit(1)).as("n_days"))
         .orderBy("event_type")),
 
+    // mergeable QUANTILE-sketch rollup — the percentile analog of
+    // s_agg_hll_union: daily BHYT histograms (operators.QuantileSketch)
+    // union into monthly p50/p90/p99 per event_type without re-touching
+    // raw data; deterministic, exact below bin capacity, error-bounded
+    // in QuantileSketchSpec. Estimation is a declarative `aggregate`
+    // walk over the bin array — no UDF after the sketch aggregate.
+    "s_agg_quantile_union" -> ((s, dir) => {
+      import graft.operators.QuantileSketch
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(QuantileSketch.sketchAgg(col("value").cast("double")).as("daily_sketch"))
+        .groupBy("event_type")
+        .agg(QuantileSketch.unionAgg(col("daily_sketch")).as("sk"),
+          count(lit(1)).as("n_days"))
+        .select(Seq(col("event_type"), col("n_days")) ++
+          QuantileSketch.estimateCols(col("sk"), Seq(0.5, 0.9, 0.99)): _*)
+        .orderBy("event_type")
+    }),
+
     // skew-salted two-phase aggregation over the stream table
     "s_agg_salted" -> ((s, dir) =>
       graft.operators.SaltedAgg.countSum(

@@ -26,6 +26,20 @@ class CustomPlanSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey: non-numeric ord/tie fail fast at plan time, not per-row") {
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal(2.5), 3L)).toDF("k", "d", "t")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GraftTopK.perKey(df, "k", "d", "t", 1)
+    }
+    assert(e.getMessage.contains("numeric primitive") &&
+      e.getMessage.contains("decimal"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.GraftTopK.perKey(df.withColumn("s", lit("x")), "k", "t", "s", 1)
+    }
+    assert(e2.getMessage.contains("'s'"), e2.getMessage)
+  }
+
   test("TopKPerKey plan: partial below the exchange, final above it") {
     val df = GraftTopK.perKey(
       Tables.t(spark, sfDir, "orders")

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.MergeInto
+import org.apache.spark.sql.functions._
+
+/** MergeInto semantics: the three MERGE clauses row-for-row on a hand
+  * table, idempotent replay (the verdict's acceptance test), degenerate
+  * inputs, and the type-2 variant's close/open/fresh/untouched split.
+  */
+class MergeSpec extends SparkSpec {
+
+  private def snap = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+  }
+
+  private def batch = {
+    import spark.implicits._
+    Seq((2L, "b2", 21.0, false), // matched → update
+        (3L, "c", 30.0, true),   // matched → delete
+        (4L, "d", 40.0, false))  // not matched → insert
+      .toDF("id", "name", "v", "del")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("merge: update, delete, insert and carry-through in one pass") {
+    val m = MergeInto.merge(snap, batch, Seq("id"), Some("del"))
+    assert(rows(m) == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("merge: replaying the same batch is a no-op (idempotent)") {
+    val once = MergeInto.merge(snap, batch, Seq("id"), Some("del"))
+    val twice = MergeInto.merge(once, batch, Seq("id"), Some("del"))
+    assert(rows(twice) == rows(once))
+  }
+
+  test("merge: empty batch returns the snapshot; empty snapshot inserts the batch") {
+    val m0 = MergeInto.merge(snap, batch.limit(0), Seq("id"), Some("del"))
+    assert(rows(m0) == rows(snap))
+    val m1 = MergeInto.merge(snap.limit(0), batch, Seq("id"), Some("del"))
+    assert(rows(m1) == Seq((2L, "b2", 21.0), (4L, "d", 40.0)),
+      "tombstones for absent keys must not insert")
+  }
+
+  test("merge: no tombstone column means pure upsert") {
+    val m = MergeInto.merge(snap, batch.drop("del"), Seq("id"))
+    assert(rows(m) == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("mergeScd2: changed keys close+reopen, unchanged and history pass through, new keys insert") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00"), Some(ts("2024-03-01 00:00:00")), false),
+      (1L, "plat", ts("2024-03-01 00:00:00"), None, true),  // will change → close+open
+      (2L, "base", ts("2024-01-01 00:00:00"), None, true))  // unchanged
+      .toDF("id", "tier", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "diamond", ts("2024-06-01 00:00:00")),
+      (2L, "base", ts("2024-06-01 00:00:00")),              // same attrs → no-op
+      (9L, "fresh", ts("2024-06-01 00:00:00")))             // new key
+      .toDF("id", "tier", "valid_from")
+    val got = MergeInto.mergeScd2(dim, updates, Seq("id"), Seq("tier"))
+      .orderBy("id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00"), Some(ts("2024-03-01 00:00:00")), false),
+      (1L, "plat", ts("2024-03-01 00:00:00"), Some(ts("2024-06-01 00:00:00")), false),
+      (1L, "diamond", ts("2024-06-01 00:00:00"), None, true),
+      (2L, "base", ts("2024-01-01 00:00:00"), None, true),
+      (9L, "fresh", ts("2024-06-01 00:00:00"), None, true)))
+  }
+
+  test("mergeScd2: replaying the same update batch is a no-op") {
+    import spark.implicits._
+    val dim = Seq((1L, "plat", ts("2024-03-01 00:00:00"),
+      None: Option[java.sql.Timestamp], true))
+      .toDF("id", "tier", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "diamond", ts("2024-06-01 00:00:00")))
+      .toDF("id", "tier", "valid_from")
+    val once = MergeInto.mergeScd2(dim, updates, Seq("id"), Seq("tier"))
+    val twice = MergeInto.mergeScd2(once, updates, Seq("id"), Seq("tier"))
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id", "valid_from").collect().toSeq
+    assert(norm(twice) == norm(once))
+  }
+}

@@ -38,6 +38,16 @@ class OperatorSpec extends SparkSpec {
     val bad = wav.take(wav.length - 100)
     assert(graft.operators.Multimodal.decode(bad, "wav").toSeq ==
       graft.operators.Multimodal.decodeStub(bad).toSeq)
+    // hostile chunk lengths must yield None (never hang or walk
+    // backwards): 0xFFFFFFF8 truncated to Int was a ZERO advance —
+    // an executor-task infinite loop — and 0xFFFFFFF0 walked pos
+    // backwards out of the buffer
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFF0, 0x7FFFFFFF)) {
+      val hostile = "RIFF".getBytes ++ le32(body.length) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ le32(evil) ++ fmt ++ dataCk
+      assert(graft.operators.Multimodal.decodeWav(hostile).isEmpty,
+        f"chunk len 0x$evil%08x must be rejected")
+    }
   }
 
   test("ppm decode: real pixels through the featurize stage, stub fallback for the rest") {

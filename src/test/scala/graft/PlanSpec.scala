@@ -19,6 +19,28 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
+  test("PLANS_r6.json: covers every query; sampled digests still match") {
+    val path = java.nio.file.Paths.get("PLANS_r6.json")
+    assert(java.nio.file.Files.exists(path),
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r6.json`")
+    val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val missing = SparkEntry.queries.keySet -- entries.keySet
+    assert(missing.isEmpty, s"queries missing from the digest: ${missing.mkString(", ")}")
+    // recompute a sample — a strategy flip in a signature query fails
+    // HERE even if no dedicated shape test covers it; regenerate the
+    // artifact when the change is intentional
+    for (q <- Seq("q_scan_filter_project", "q_join_broadcast_dim", "q_join_asof_nearest")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val now = graft.PlanDigest.digest(df.queryExecution.executedPlan.toString)
+      val want = """"(\w+)":(\d+)""".r.findAllMatchIn(entries(q))
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+      assert(now == want, s"plan drift on $q: committed $want, now $now")
+    }
+  }
+
   test("filters and projection push into the parquet scan") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
@@ -30,6 +52,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_join_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("asof-nearest runs the TopKPerKey plan — no sort of the candidate stream") {
+    // AQE's toString prints the Initial Plan too — count nodes only in
+    // the executed Final Plan section
+    val p = plan("q_join_asof_nearest").split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"nearest-event must not rank via a window:\n$p")
+    // partial+final custom exec: one candidate per (probe,user) leaves
+    // each map partition via the per-key heap; the probes×events stream
+    // is never sorted (min_by/min-of-struct would SortAggregate) — the
+    // only Sort allowed is the final presentation ORDER BY
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      s"expected partial+final TopKPerKeyExec:\n$p")
+    assert(!p.contains("SortAggregate"), s"candidate stream must not sort-agg:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 1, s"candidate stream must not sort:\n$p")
   }
 
   test("global top-k fuses into TakeOrderedAndProject (no global sort)") {
