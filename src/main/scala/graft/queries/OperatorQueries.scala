@@ -111,6 +111,12 @@ object OperatorQueries extends QueryPack {
     "s_embed_pca" -> ((s, dir) =>
       graft.operators.EmbedPca.project(Tables.t(s, dir, "embeddings"))),
 
+    // int8 scalar quantization of the embedding column (4× memory/IO
+    // before ANN): per-label reconstruction-error summary; half-step
+    // error bound proven in EmbedQuantizeSpec
+    "s_embed_quantize" -> ((s, dir) =>
+      graft.operators.EmbedQuantize.summary(Tables.t(s, dir, "embeddings"))),
+
     // damped PageRank over the supplier↔customer co-trade graph (both
     // directions of every distinct trading pair; node ids = custkey·2 /
     // suppkey·2+1 to keep the bipartite id spaces disjoint). Exact ranks
@@ -130,14 +136,16 @@ object OperatorQueries extends QueryPack {
         .distinct()
       val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(trade.select(col("supp").as("src"), col("cust").as("dst")))
-      // ε-exit armed but NOT the binding limit here: the co-trade graph
-      // is bipartite (every edge crosses cust↔supp), so the walk's −1
+      // ε-exit deliberately DISARMED here: the co-trade graph is
+      // bipartite (every edge crosses cust↔supp), so the walk's −1
       // eigenvalue survives as a damped period-2 oscillation and L1
       // movement decays at exactly 0.85×/round (measured: 1.42, 1.20,
-      // 1.02, … — never the fast mix a near-clique would give). The
-      // 6-round cap defines the query; tol protects the fast-mixing case
-      // and costs one rank-table-sized action per round.
-      PageRank.run(edges, iters = 6, tol = 1e-9)
+      // 1.02, … — reaching any useful ε would take ~130 rounds, never
+      // the fast mix a near-clique gives). Arming tol on a graph where
+      // it provably can't fire only adds a movement action per round
+      // (measured ~+0.5 s over 6 rounds); the capability is spec-proven
+      // in GraphBpeSpec on both graph classes.
+      PageRank.run(edges, iters = 6)
         .orderBy(col("rank").desc, col("id")).limit(100)
         .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
     }),

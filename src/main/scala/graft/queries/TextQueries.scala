@@ -99,10 +99,35 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_distinct"),
           count(when(col("c") === 1, 1)).as("n_hapax"),
           round(max("c").cast("double") / sum("c"), 6).as("top1_share"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // fixed-size overlapping token chunking (size 16, stride 12) — the
+    // pretraining/RAG context-window splitter: one generator row per
+    // chunk start, the slice+join happens inside the projection, no
+    // shuffle until the presentation sort. At 100 TB this is map-only
+    // per document — chunking never crosses document boundaries.
+    "q_text_chunk" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(12))).as("s"))
+        .select(col("doc_id"),
+          (col("s") / 12).cast("long").as("chunk_id"),
+          least(lit(16), size(col("toks")) - col("s")).cast("long").as("chunk_len"),
+          concat_ws(" ", slice(col("toks"), col("s") + 1, lit(16))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT t.doc_id, CAST(u.s / 12 AS BIGINT) AS chunk_id,
+        |  CAST(least(16, len(t.toks) - u.s) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(t.toks, u.s + 1, u.s + 16), ' ') AS chunk_text
+        |FROM t, unnest(range(0, CAST(len(t.toks) AS BIGINT), 12)) AS u(s)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_hapax" ->
       """WITH tc AS (
         |  SELECT lang, token, COUNT(*) AS c

@@ -46,6 +46,23 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
 
+  /** Per-hour mergeable quantile sketches over the value stream
+    * (s_stream_quantile): the state store holds one ≤k-bin BHYT
+    * histogram per (window, event_type) — micro-batches fold in via the
+    * sketch's own merge, so state is O(k) per key no matter how many
+    * rows stream through, and the emitted sketch column is the SAME
+    * encoding the batch rollup (s_agg_quantile_union) re-aggregates.
+    * Below k distinct values the sketch is an exact histogram, which is
+    * what makes the batch ≡ stream spec exact rather than approximate.
+    */
+  def quantileSketchHourly(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.operators.QuantileSketch
+        .sketchAgg(col("value").cast("double"), k).as("sk"))
+      .select(Seq(col("window.start").as("hour"), col("event_type")) ++
+        graft.operators.QuantileSketch.estimateCols(col("sk"), Seq(0.5, 0.9)): _*)
+
   /** Exactly-once-style dedup on event_id under at-least-once replay
     * (s_stream_dedup; reference analog: idempotent KV updates).
     */

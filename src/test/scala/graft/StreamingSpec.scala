@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_quantile: per-hour sketch quantiles equal batch, any batch split") {
+    import spark.implicits._
+    // ≤k distinct values per (hour, type) → the sketch is an exact
+    // histogram and therefore ORDER-INDEPENDENT: every micro-batch split
+    // must produce bitwise-equal estimates to the one-shot batch run
+    val batchResult = StreamOps.quantileSketchHourly(base.toDF())
+    for ((split, i) <- Seq(Seq(base), base.grouped(2).toSeq, base.map(Seq(_))).zipWithIndex) {
+      val streamed = runComplete(StreamOps.quantileSketchHourly(_), split, s"qsk$i")
+      assert(sortedRows(streamed, "hour", "event_type") ==
+        sortedRows(batchResult, "hour", "event_type"), s"split #$i diverged")
+    }
+    // sanity on the values themselves: the 00:00 view hour holds {1.0, 2.0}
+    val p = batchResult.filter(col("hour") === ts("2024-01-01 00:00:00"))
+      .select("p50", "p90").head()
+    assert(p.getDouble(0) === 1.5 && p.getDouble(1) === 2.0, p.toString)
+  }
+
   test("s_stream_enrich: stream-static left join keeps unknown keys, broadcast plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
