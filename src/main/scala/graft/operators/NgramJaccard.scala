@@ -98,6 +98,11 @@ object NgramJaccard {
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /
           (col("a_n") + col("b_n") - col("inter")), 6).as("jaccard"))
+    // plain orderBy: the range exchange's sampling pass only re-runs the
+    // post-shuffle final aggregate under AQE (the expensive shingle
+    // stages are already materialized stage-by-stage), so a
+    // repartition(1)+sortWithinPartitions "optimization" measured as
+    // pure noise — don't redo it
     if (sorted) out.orderBy("a_id", "b_id") else out
   }
 }
