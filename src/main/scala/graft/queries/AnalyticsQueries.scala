@@ -341,6 +341,19 @@ object AnalyticsQueries extends QueryPack {
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
     }),
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop): hop-count
+    // reachability from nation 0 along each region's rank-adjacent
+    // nation chain — the iterate-until-fixpoint SQL surface DuckDB's
+    // q_dedup_components oracle already uses, now exercised in BOTH
+    // engines from the SAME text. The recursion's per-step work is one
+    // tiny broadcast join (edges ≤ 2·|nation|); walks may oscillate on
+    // the undirected chain, so the hop bound terminates it and the
+    // outer MIN collapses walks to shortest distances.
+    "q_recursive_reach" -> ((s, dir) => {
+      views(s, dir)
+      s.sql(RecursiveReachSql)
+    }),
+
     // SCD2 dimension maintenance (Kimball type-2): customers whose
     // lifetime order value crosses the threshold get a second version
     // effective at their latest order date — validity ranges
@@ -426,6 +439,30 @@ object AnalyticsQueries extends QueryPack {
       |ORDER BY check_name""".stripMargin
 
   /** Dialect-shared SCD2 text (runs verbatim in Spark AND DuckDB). */
+  /** Dialect-shared recursive reachability (runs verbatim in Spark AND
+    * DuckDB — both speak `WITH RECURSIVE name(cols) AS (anchor UNION ALL
+    * step)`).
+    */
+  private val RecursiveReachSql =
+    """WITH RECURSIVE ranked AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey,
+      |         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rnk
+      |  FROM nation),
+      |edges AS (
+      |  SELECT a.k AS src, b.k AS dst
+      |  FROM ranked a JOIN ranked b
+      |    ON a.n_regionkey = b.n_regionkey AND abs(a.rnk - b.rnk) = 1),
+      |reach(nationkey, hops) AS (
+      |  SELECT CAST(0 AS BIGINT) AS nationkey, CAST(0 AS BIGINT) AS hops
+      |  UNION ALL
+      |  SELECT e.dst, r.hops + 1
+      |  FROM reach r JOIN edges e ON e.src = r.nationkey
+      |  WHERE r.hops < 8)
+      |SELECT n.n_name, CAST(MIN(r.hops) AS BIGINT) AS hops
+      |FROM reach r JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = r.nationkey
+      |GROUP BY n.n_name
+      |ORDER BY hops, n_name""".stripMargin
+
   private val Scd2Sql =
     """WITH chg AS (
       |  SELECT o_custkey AS c_custkey, MAX(CAST(o_orderdate AS DATE)) AS chg_date
@@ -442,6 +479,7 @@ object AnalyticsQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_scd2_dim" -> Scd2Sql,
+    "q_recursive_reach" -> RecursiveReachSql,
     "q_quality_checks" -> QualitySql,
     "q_subq_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders o

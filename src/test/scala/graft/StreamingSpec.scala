@@ -67,6 +67,36 @@ class StreamingSpec extends SparkSpec {
     assert(p.getDouble(0) === 1.5 && p.getDouble(1) === 2.0, p.toString)
   }
 
+  test("s_stream_visits: transformWithState per-user numbering equals batch row_number") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store backend
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchTwin = base.toDF()
+        .withColumn("visit_no", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts", "event_id")))
+        .select("event_id", "user_id", "visit_no")
+      for ((split, i) <- Seq(Seq(base), base.grouped(2).toSeq, base.map(Seq(_))).zipWithIndex) {
+        val input = MemoryStream[Ev]
+        val q = graft.streaming.VisitCounter.numberVisits(input.toDF())
+          .writeStream.format("memory").queryName(s"visits$i")
+          .outputMode("update").start()
+        try split.foreach { b => input.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        assert(sortedRows(spark.table(s"visits$i"), "event_id") ==
+          sortedRows(batchTwin, "event_id"), s"split #$i diverged")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("s_stream_enrich: stream-static left join keeps unknown keys, broadcast plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
