@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_profile: MapState per-user type counters converge to batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchTwin = base.toDF().groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      for ((split, i) <- Seq(Seq(base), base.grouped(2).toSeq, base.map(Seq(_))).zipWithIndex) {
+        val input = MemoryStream[Ev]
+        val q = graft.streaming.EventTypeProfile.profile(input.toDF())
+          .writeStream.format("memory").queryName(s"prof$i")
+          .outputMode("update").start()
+        try split.foreach { b => input.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        // the changelog's latest (= max, counters are monotone) row per
+        // (user, type) must equal the batch groupBy count
+        val converged = spark.table(s"prof$i")
+          .groupBy("user_id", "event_type").agg(max("cnt").as("cnt"))
+        assert(sortedRows(converged, "user_id", "event_type") ==
+          sortedRows(batchTwin, "user_id", "event_type"), s"split #$i diverged")
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("s_stream_enrich: stream-static left join keeps unknown keys, broadcast plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

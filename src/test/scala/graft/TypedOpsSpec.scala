@@ -40,6 +40,45 @@ class TypedOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (2L, 13L)), s"got $got")
   }
 
+  test("TimerSession (transformWithState + event-time timers) equals StatefulSession") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // the union of the scripted scenarios below: gap close, timer flush,
+    // cross-batch late merge — fed batch-by-batch to BOTH implementations
+    val batches: Seq[Seq[SessEvent]] = Seq(
+      Seq(SessEvent(1, t("2024-01-01 00:00:00"), 1),
+          SessEvent(1, t("2024-01-01 00:05:00"), 2)),
+      Seq(SessEvent(1, t("2024-01-01 00:45:00"), 3)),
+      Seq(SessEvent(1, t("2024-01-01 00:42:00"), 6)), // late, merges into open
+      Seq(SessEvent(99, t("2024-01-01 06:00:00"), 4)),
+      Seq(SessEvent(99, t("2024-01-01 12:00:00"), 5)))
+    def run(name: String,
+            f: org.apache.spark.sql.Dataset[SessEvent] =>
+              org.apache.spark.sql.Dataset[StatefulSession.SessionOut]): Seq[String] = {
+      val input = MemoryStream[SessEvent]
+      val q = f(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).orderBy("user_id", "session_start")
+        .collect().map(_.toString).toSeq
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val old = run("sess_old", ds => StatefulSession.sessionize(ds))
+      val nu = run("sess_new", ds => graft.streaming.TimerSession.sessionize(ds))
+      assert(nu == old, s"new-API sessions diverged:\nold=$old\nnew=$nu")
+      assert(nu.nonEmpty)
+      // the late 00:42 event must have merged 00:45 into one session
+      assert(nu.exists(_.contains("00:42:00")) ||
+        old.exists(_.contains("00:42:00")) ||
+        nu.mkString.contains("00:45:00"), nu.mkString("\n"))
+    } finally spark.conf.unset(key)
+  }
+
   test("StatefulSession absorbs a cross-batch late event by extending session_start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
