@@ -65,6 +65,80 @@ object MergeInto {
       .select(dataCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
+  /** Partition-scoped copy-on-write MERGE against a dir-partitioned
+    * parquet snapshot — the file-level form of [[merge]] (what Delta/
+    * Iceberg's COW path does behind a manifest, expressed on plain
+    * `partitionCol=value` directories):
+    *
+    *   1. resolve affected partitions = source rows' partition values ∪
+    *      partitions currently holding a matched key (ONE column-pruned
+    *      scan of (keys, partition) joined to the batch's keys — at
+    *      100 TB this reads two skinny columns, not the table);
+    *   2. run the row-level [[merge]] on ONLY those partitions' rows
+    *      (partition-pruned scan — `.explain` shows PartitionFilters);
+    *   3. rewrite just those partition directories; every other
+    *      partition's files are untouched bytes.
+    *
+    * Rows may move BETWEEN partitions (an update that changes the
+    * partition value lands in its new partition; its old home is in the
+    * affected set via step 1, so the stale copy is rewritten away).
+    * Commit per partition is write-tmp-then-swap; like [[Compaction]]
+    * the crash window duplicates rather than loses (tmp cleanup on
+    * every entry).
+    *
+    * Returns (partitions_total, partitions_rewritten).
+    */
+  def mergeFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 source: DataFrame, keys: Seq[String], partitionCol: String,
+                 tombstoneCol: Option[String] = None): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep any tmp dirs a crashed previous merge left behind
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
+      .foreach(p => fs.delete(p.getPath, true))
+    val target = spark.read.parquet(dir)
+    val srcData = tombstoneCol.map(source.drop(_)).getOrElse(source)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // step 1: affected partition values (skinny scan + batch partitions)
+    val affected = target
+      .join(srcKeys, keys, "left_semi")
+      .select(col(partitionCol).cast("string"))
+      .union(srcData.select(col(partitionCol).cast("string")))
+      .distinct().collect().map(_.getString(0)).toSet
+    val allParts = fs.listStatus(root)
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol=")).toSet
+    if (affected.isEmpty) return (allParts.size.toLong, 0L)
+    // step 2: merge only the affected slice (partition-pruned scan)
+    val slice = target.filter(col(partitionCol).cast("string").isin(affected.toSeq: _*))
+    val merged = merge(slice, source, keys, tombstoneCol)
+    // step 3: rewrite affected partition dirs. Same commit bias as
+    // Compaction — move the NEW files in first, delete the OLD files
+    // last, so a crash mid-commit shows readers duplicate rows, never
+    // missing ones (plain directories have no atomic swap).
+    val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
+    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    affected.foreach { v =>
+      val dst = new Path(root, s"$partitionCol=$v")
+      val src = new Path(tmp, s"$partitionCol=$v")
+      val oldFiles =
+        if (fs.exists(dst)) fs.listStatus(dst).filter(_.isFile).toSeq
+        else { fs.mkdirs(dst); Seq.empty }
+      if (fs.exists(src))
+        fs.listStatus(src).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val to = new Path(dst, s"merged-${f.getPath.getName}")
+            require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
+          }
+      oldFiles.foreach(f => fs.delete(f.getPath, false))
+      // a partition can vanish entirely (all rows tombstoned or moved)
+      if (fs.listStatus(dst).isEmpty) fs.delete(dst, true)
+    }
+    fs.delete(tmp, true)
+    (allParts.union(affected).size.toLong, affected.size.toLong)
+  }
+
   /** Kimball type-2 merge: close the current version of every key whose
     * tracked attributes changed and open a new one — the reusable form
     * of q_scd2_dim. `dim` must carry (`keys`, tracked attributes,

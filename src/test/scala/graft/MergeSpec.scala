@@ -50,6 +50,50 @@ class MergeSpec extends SparkSpec {
     assert(rows(m) == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("mergeFiles: copy-on-write rewrites only affected partitions; moves, deletes, inserts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    try {
+      Seq((1L, "d1", 10.0), (2L, "d2", 20.0), (3L, "d3", 30.0), (4L, "d4", 40.0))
+        .toDF("id", "day", "v")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      def files(day: String) = {
+        val d = new java.io.File(s"$dir/day=$day")
+        if (!d.exists) Map.empty[String, Long]
+        else d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+      }
+      val d4Before = files("d4")
+      assert(d4Before.nonEmpty)
+      // update in place (1), tombstone d2's only row (2), MOVE 3 from d3
+      // to d1, insert 5 into d1 — d4 must not be touched
+      val batch = Seq(
+        (1L, "d1", 11.0, false), (2L, "d2", 20.0, true),
+        (3L, "d1", 33.0, false), (5L, "d1", 50.0, false))
+        .toDF("id", "day", "v", "del")
+      val (total, rewritten) = MergeInto.mergeFiles(
+        spark, dir, batch, Seq("id"), "day", Some("del"))
+      assert(total == 4 && rewritten == 3, s"($total, $rewritten)")
+      val got = spark.read.parquet(dir).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 11.0, "d1"), (3L, 33.0, "d1"), (4L, 40.0, "d4"),
+        (5L, 50.0, "d1")), got.toString)
+      // vanished partitions are gone; the untouched one is bytes-identical
+      assert(files("d2").isEmpty && files("d3").isEmpty)
+      assert(files("d4") == d4Before, "untouched partition was rewritten")
+      // replay: content idempotent (2 stays deleted, values unchanged)
+      MergeInto.mergeFiles(spark, dir, batch, Seq("id"), "day", Some("del"))
+      val again = spark.read.parquet(dir).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(again == got, "replay must be a content no-op")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("mergeScd2: changed keys close+reopen, unchanged and history pass through, new keys insert") {
