@@ -94,11 +94,26 @@ object MergeInto {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcData0 = tombstoneCol.map(source.drop(_)).getOrElse(source)
+    // bootstrap: no snapshot yet → the batch (minus tombstoned keys) IS
+    // the snapshot; lets a streaming upsert sink start from nothing
+    if (!fs.exists(root) ||
+        !fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$partitionCol="))) {
+      val live = tombstoneCol match {
+        case Some(t) => source.filter(!coalesce(col(t).cast("boolean"), lit(false)))
+          .drop(t)
+        case None => source
+      }
+      live.write.partitionBy(partitionCol).mode("overwrite").parquet(dir)
+      val n = fs.listStatus(root)
+        .count(_.getPath.getName.startsWith(s"$partitionCol="))
+      return (n.toLong, n.toLong)
+    }
     // sweep any tmp dirs a crashed previous merge left behind
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
       .foreach(p => fs.delete(p.getPath, true))
     val target = spark.read.parquet(dir)
-    val srcData = tombstoneCol.map(source.drop(_)).getOrElse(source)
+    val srcData = srcData0
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // step 1: affected partition values (skinny scan + batch partitions)
     val affected = target

@@ -457,7 +457,7 @@ object AnalyticsQueries extends QueryPack {
       |  UNION ALL
       |  SELECT e.dst, r.hops + 1
       |  FROM reach r JOIN edges e ON e.src = r.nationkey
-      |  WHERE r.hops < 8)
+      |  WHERE r.hops < 4)
       |SELECT n.n_name, CAST(MIN(r.hops) AS BIGINT) AS hops
       |FROM reach r JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = r.nationkey
       |GROUP BY n.n_name

@@ -48,6 +48,35 @@ class StateStoreSpec extends SparkSpec {
     assert(rocks.nonEmpty)
   }
 
+  test("state reader: the statestore data source exposes a live aggregation's state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // run a keyed count with a checkpoint, then read the store back with
+    // the `statestore` data source — the ops/debug surface for "what is
+    // this stateful query actually holding" (per-key inspection, skew
+    // hunts, state-size audits) without touching the running query
+    val dir = java.nio.file.Files.createTempDirectory("graft_statereader")
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Ev]
+    val q = input.toDF().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("state_src")
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    try {
+      input.addData(Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 00:01:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 00:02:00"), 2, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"), col("value.count").as("cnt"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(state == Seq(("click", 1L), ("view", 2L)),
+      s"state reader saw $state")
+  }
+
   test("stream-stream interval join: purchases pick up clicks from the prior hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -12,6 +12,35 @@ import java.nio.file.Files
   */
 class StreamRecoverySpec extends SparkSpec {
 
+  test("UpsertSink: CDC stream maintains a partitioned snapshot via COW merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_upsert")
+    val snap = dir.resolve("snap").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = graft.streaming.UpsertSink.start(
+      input.toDF().toDF("id", "day", "v", "seq", "del"),
+      snap, Seq("id"), "day", "seq", ckpt, Some("del"))
+    try {
+      // bootstrap batch
+      input.addData(Seq((1L, "d1", 10.0, 1L, false), (2L, "d2", 20.0, 2L, false)))
+      q.processAllAvailable()
+      // two changes to key 1 in ONE batch → latest (seq 4) wins; new key 3
+      input.addData(Seq((1L, "d1", 11.0, 3L, false),
+        (1L, "d1", 12.0, 4L, false), (3L, "d3", 30.0, 5L, false)))
+      q.processAllAvailable()
+      // tombstone wipes d2's only row → partition disappears
+      input.addData(Seq((2L, "d2", 0.0, 6L, true)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(snap).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 12.0, "d1"), (3L, 30.0, "d3")), got.toString)
+    assert(!new java.io.File(s"$snap/day=d2").exists, "tombstoned partition must vanish")
+  }
+
   test("file-stream aggregation survives stop/restart via checkpoint") {
     val dir = Files.createTempDirectory("graft_recover")
     val in = Files.createDirectory(dir.resolve("in")).toString
