@@ -1,0 +1,25 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+/** The one recursive-delete used everywhere a query or sink cleans its
+  * scratch directories — previously five near-identical walk-and-delete
+  * copies (ServingSink ×2, PartitionedServingSink, OperatorQueries,
+  * MergeSpec); a fix here (symlinks, retries) now propagates.
+  */
+object Fs {
+
+  /** Delete `dir` recursively (children before parents); missing paths
+    * are a no-op. Walk streams are closed; deletions are best-effort
+    * idempotent (`deleteIfExists`).
+    */
+  def rmTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val tree = Files.walk(dir)
+      try tree.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally tree.close()
+    }
+
+  def rmTree(dir: String): Unit = rmTree(java.nio.file.Paths.get(dir))
+}

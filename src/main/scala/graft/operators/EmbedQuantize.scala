@@ -28,19 +28,26 @@ object EmbedQuantize {
       .groupBy("dim")
       .agg(min("v").as("lo"), max("v").as("hi"))
 
-  /** Input rows plus `codes` (ARRAY<INT> in 0..255) and `decoded`
-    * (ARRAY<DOUBLE>) — encode and reconstruction in one declarative
-    * projection against the broadcast codebook.
+  /** The 1-row broadcastable codebook (`_lo`, `_w` d-element arrays) —
+    * built once, shareable between [[quantize]] and any bound math.
     */
-  def quantize(vecs: DataFrame, embCol: String = "embedding"): DataFrame = {
-    // d-element codebook arrays via a 1-row broadcast (sort_array keeps
-    // the struct's dim order = array index)
-    val cb = stats(vecs, embCol)
+  def codebook(vecs: DataFrame, embCol: String = "embedding"): DataFrame =
+    // sort_array keeps the struct's dim order = array index
+    stats(vecs, embCol)
       .agg(sort_array(collect_list(struct(col("dim"), col("lo"), col("hi")))).as("s"))
       .select(expr("transform(s, x -> x.lo)").as("_lo"),
         // degenerate dims (hi == lo) quantize to code 0 and decode to lo
         // exactly — guard the divide, not the data
         expr("transform(s, x -> greatest(x.hi - x.lo, cast(1e-300 as double)))").as("_w"))
+
+  /** Input rows plus `codes` (ARRAY<INT> in 0..255) and `decoded`
+    * (ARRAY<DOUBLE>) — encode and reconstruction in one declarative
+    * projection against the broadcast codebook (built here if the
+    * caller doesn't pass one).
+    */
+  def quantize(vecs: DataFrame, embCol: String = "embedding",
+               cb0: Option[DataFrame] = None): DataFrame = {
+    val cb = cb0.getOrElse(codebook(vecs, embCol))
     val enc: Column = expr(
       s"transform($embCol, (v, i) -> " +
         "cast(round((cast(v as double) - _lo[i]) / _w[i] * 255) as int))")
@@ -57,11 +64,14 @@ object EmbedQuantize {
     * per-dim half-step bound (err_vs_bound ≤ 1 + fp-slop everywhere).
     */
   def summary(vecs: DataFrame, embCol: String = "embedding"): DataFrame = {
-    val q = quantize(vecs, embCol)
+    // ONE stats pass: the codebook feeds both the quantizer and the
+    // worst-dim half-step bound (it already holds every hi − lo as _w)
+    val cb = codebook(vecs, embCol)
+    val q = quantize(vecs, embCol, Some(cb))
     val absErr = expr(
       s"zip_with($embCol, decoded, (a, b) -> abs(cast(a as double) - b))")
-    val halfStep = stats(vecs, embCol)
-      .agg(max((col("hi") - col("lo")) / 255 / 2).as("bound"))
+    val halfStep = cb.select(
+      (expr("array_max(_w)") / 255 / 2).as("bound"))
     q.select(col("label"), absErr.as("e"))
       .select(col("label"),
         expr("aggregate(e, cast(0 as double), (m, x) -> greatest(m, x))").as("vec_max"),

@@ -92,17 +92,29 @@ object MergeInto {
                  source: DataFrame, keys: Seq[String], partitionCol: String,
                  tombstoneCol: Option[String] = None): (Long, Long) = {
     import org.apache.hadoop.fs.Path
+    // the partition column IS a directory name, so it is canonicalized
+    // to its STRING form throughout (snapshot included): directory
+    // names are built with Spark's own path escaping so values with
+    // ':', ' ', '%', '/' round-trip, and partition-type inference is
+    // disabled on the read so a string '01' doesn't come back as int 1
+    // (either mismatch silently dropped or duplicated rows before).
+    // NULL partition values are rejected up front — a null has no
+    // canonical 'col=value' home.
+    def esc(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+    val canonical = source.withColumn(partitionCol, col(partitionCol).cast("string"))
+    require(canonical.filter(col(partitionCol).isNull).isEmpty,
+      s"mergeFiles: NULL $partitionCol values are not supported")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val srcData0 = tombstoneCol.map(source.drop(_)).getOrElse(source)
     // bootstrap: no snapshot yet → the batch (minus tombstoned keys) IS
     // the snapshot; lets a streaming upsert sink start from nothing
     if (!fs.exists(root) ||
         !fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$partitionCol="))) {
       val live = tombstoneCol match {
-        case Some(t) => source.filter(!coalesce(col(t).cast("boolean"), lit(false)))
-          .drop(t)
-        case None => source
+        case Some(t) => canonical
+          .filter(!coalesce(col(t).cast("boolean"), lit(false))).drop(t)
+        case None => canonical
       }
       live.write.partitionBy(partitionCol).mode("overwrite").parquet(dir)
       val n = fs.listStatus(root)
@@ -112,22 +124,26 @@ object MergeInto {
     // sweep any tmp dirs a crashed previous merge left behind
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
       .foreach(p => fs.delete(p.getPath, true))
+    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val infPrev = spark.conf.get(infKey)
+    spark.conf.set(infKey, "false")
+    try {
     val target = spark.read.parquet(dir)
-    val srcData = srcData0
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val srcData = tombstoneCol.map(canonical.drop(_)).getOrElse(canonical)
+    val srcKeys = canonical.select(keys.map(col): _*).distinct()
     // step 1: affected partition values (skinny scan + batch partitions)
     val affected = target
       .join(srcKeys, keys, "left_semi")
-      .select(col(partitionCol).cast("string"))
-      .union(srcData.select(col(partitionCol).cast("string")))
+      .select(col(partitionCol))
+      .union(srcData.select(col(partitionCol)))
       .distinct().collect().map(_.getString(0)).toSet
     val allParts = fs.listStatus(root)
       .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
       .map(_.getPath.getName.stripPrefix(s"$partitionCol=")).toSet
     if (affected.isEmpty) return (allParts.size.toLong, 0L)
     // step 2: merge only the affected slice (partition-pruned scan)
-    val slice = target.filter(col(partitionCol).cast("string").isin(affected.toSeq: _*))
-    val merged = merge(slice, source, keys, tombstoneCol)
+    val slice = target.filter(col(partitionCol).isin(affected.toSeq: _*))
+    val merged = merge(slice, canonical, keys, tombstoneCol)
     // step 3: rewrite affected partition dirs. Same commit bias as
     // Compaction — move the NEW files in first, delete the OLD files
     // last, so a crash mid-commit shows readers duplicate rows, never
@@ -135,8 +151,8 @@ object MergeInto {
     val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     affected.foreach { v =>
-      val dst = new Path(root, s"$partitionCol=$v")
-      val src = new Path(tmp, s"$partitionCol=$v")
+      val dst = new Path(root, s"$partitionCol=${esc(v)}")
+      val src = new Path(tmp, s"$partitionCol=${esc(v)}")
       val oldFiles =
         if (fs.exists(dst)) fs.listStatus(dst).filter(_.isFile).toSeq
         else { fs.mkdirs(dst); Seq.empty }
@@ -151,7 +167,8 @@ object MergeInto {
       if (fs.listStatus(dst).isEmpty) fs.delete(dst, true)
     }
     fs.delete(tmp, true)
-    (allParts.union(affected).size.toLong, affected.size.toLong)
+    (allParts.union(affected.map(esc)).size.toLong, affected.size.toLong)
+    } finally spark.conf.set(infKey, infPrev)
   }
 
   /** Kimball type-2 merge: close the current version of every key whose

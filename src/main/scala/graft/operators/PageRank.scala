@@ -132,8 +132,10 @@ object PageRank {
       ranks = next.select(col("id"), col("rank"))
       it += 1
       if (tol > 0.0) {
-        // rank-table-sized scan of in-memory checkpoint blocks — cheap
-        val moved = next.agg(sum(abs(col("rank") - col("prev"))))
+        // rank-table-sized scan of in-memory checkpoint blocks — cheap;
+        // coalesce: sum over ZERO rows (empty graph) is null, and the
+        // old tol=0 path tolerated empty input without error
+        val moved = next.agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)))
           .first().getDouble(0)
         converged = moved < tol
         dbg(f"round $it moved $moved%.3e")

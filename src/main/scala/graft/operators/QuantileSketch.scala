@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * `k` (centroid, weight) bins, insert adds a unit bin and merges the
   * two CLOSEST adjacent centroids when over capacity; union concatenates
   * and compacts the same way. Chosen over t-digest/KLL deliberately:
-  *   - fully deterministic (no random compaction like KLL; ties break on
-  *     the lower index), so specs can pin results, not just bounds;
+  *   - deterministic compaction (no random sampling like KLL; ties
+  *     break on the lower index) — NOTE this makes the sketch a pure
+  *     function of its MERGE ORDER, not of the data set: above capacity
+  *     a distributed aggregate's bins can differ run-to-run with
+  *     partial-merge order (estimates stay within the error bound);
+  *     below capacity no lossy merge fires and the result is fully
+  *     order-independent — which is why the bitwise specs and the
+  *     streaming twin pin that regime, and why this stays an `s_*`
+  *     rows-check query rather than a hash-matched oracle;
   *   - EXACT below capacity: while total distinct values ≤ k no merge
   *     ever fires, bins are the true histogram, and union is exactly
   *     associative bit-for-bit (QuantileSketchSpec proves both);

@@ -307,15 +307,7 @@ object OperatorQueries extends QueryPack {
     })
   )
 
-  private def rmTree(dir: String): Unit = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    val root = Path.of(dir)
-    if (Files.exists(root)) {
-      val all = Files.walk(root).iterator().asScala.toSeq
-      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-    }
-  }
+  private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
     "q_merge_upsert" ->

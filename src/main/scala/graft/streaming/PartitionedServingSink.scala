@@ -149,11 +149,7 @@ object PartitionedServingSink {
     */
   private def gc(storeDir: String, prevCommitted: Long,
                  prevManifest: Map[String, Long]): Unit = {
-    def deleteTree(p: Path): Unit = {
-      val tree = Files.walk(p)
-      try tree.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-      finally tree.close()
-    }
+    def deleteTree(p: Path): Unit = graft.Fs.rmTree(p)
     Seq("counts_per_user", "uniques_hourly").foreach { table =>
       val tDir = Paths.get(storeDir, table)
       if (Files.isDirectory(tDir)) {

@@ -128,10 +128,7 @@ object ServingSink {
             val n = p.getFileName.toString
             if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
                 n.drop(1).toLong < prev) {
-              val tree = Files.walk(p)
-              try tree.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => Files.delete(f))
-              finally tree.close()
+              graft.Fs.rmTree(p)
             }
           } finally listing.close()
         }
@@ -161,10 +158,7 @@ object ServingSink {
         } finally rejListing.close()
         vs.sortBy(-_.getFileName.toString.drop(1).toLong)
           .drop(rejectsRetain).foreach { p =>
-            val tree = Files.walk(p)
-            try tree.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => Files.delete(f))
-            finally tree.close()
+            graft.Fs.rmTree(p)
           }
       }
     } finally { batch.unpersist(); () }

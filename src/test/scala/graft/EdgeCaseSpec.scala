@@ -92,9 +92,13 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("round-5 operators on degenerate inputs: empty, singleton, k overflow") {
     import spark.implicits._
-    // PageRank: empty edge list -> empty ranks, no crash
+    // PageRank: empty edge list -> empty ranks, no crash — with AND
+    // without the ε-exit (the movement aggregate over zero rows is null;
+    // regression: tol>0 NPE'd where tol=0 returned empty)
     assert(graft.operators.PageRank.run(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    assert(graft.operators.PageRank.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 3, tol = 1e-6).count() == 0)
     // PageRank: one self-loop — all mass on the single node
     val self = graft.operators.PageRank.run(Seq((7L, 7L)).toDF("src", "dst"))
       .collect()

@@ -86,12 +86,36 @@ class MergeSpec extends SparkSpec {
       val again = spark.read.parquet(dir).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
       assert(again == got, "replay must be a content no-op")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.Fs.rmTree(dir)
+  }
+
+  test("mergeFiles: partition values with ':', ' ', '%' and leading zeros round-trip; null rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow_esc").toString
+    try {
+      // '01' must NOT come back as int 1; the timestamp-like value needs
+      // path escaping — both were silent row-droppers before the fix
+      Seq((1L, "01", 1.0), (2L, "2024-01-01 00:30:00", 2.0), (3L, "a%b", 3.0))
+        .toDF("id", "day", "v")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      val batch = Seq((1L, "01", 11.0, false), (2L, "2024-01-01 00:30:00", 22.0, false),
+        (3L, "a%b", 33.0, true), (4L, "x:y", 44.0, false))
+        .toDF("id", "day", "v", "del")
+      val (_, rewritten) = MergeInto.mergeFiles(
+        spark, dir, batch, Seq("id"), "day", Some("del"))
+      assert(rewritten == 4, s"rewritten $rewritten")
+      val got = spark.read.parquet(dir).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 11.0, "01"), (2L, 22.0, "2024-01-01 00:30:00"),
+        (4L, 44.0, "x:y")), got.toString)
+      // null partition value → fail fast, not silent loss
+      val e = intercept[IllegalArgumentException] {
+        MergeInto.mergeFiles(spark, dir,
+          Seq((9L, null: String, 9.0, false)).toDF("id", "day", "v", "del"),
+          Seq("id"), "day", Some("del"))
+      }
+      assert(e.getMessage.contains("NULL"), e.getMessage)
+    } finally graft.Fs.rmTree(dir)
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
