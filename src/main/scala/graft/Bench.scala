@@ -24,11 +24,18 @@ object Bench {
 
   private def fmt(v: Double): String = f"$v%.3f"
 
-  private def jsonLine(total: Double, entries: Seq[(String, Double)],
+  /** `value` stays the COLD total (comparable round-over-round with
+    * r1–r6); `queries` carries the WARM (second-run) per-query time —
+    * the number host-load noise can't fake (VERDICT r6: four rounds of
+    * warm-vs-driver adjudication because single cold runs carry ±2-3×
+    * noise). `warm_total` sums the warm times.
+    */
+  private def jsonLine(total: Double, warmTotal: Double,
+                       entries: Seq[(String, Double)],
                        sfDir: String, n: Int): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"queries are warm (2nd run); value is cold total","warm_total":${fmt(warmTotal)},"queries":$qs,"sf":"$sfDir","n_queries":$n}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,22 +69,29 @@ object Bench {
     // Local-iteration filter (same shape as Verify's): comma-separated
     // names or substrings. The driver never sets this.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // cold/warm pair per query, same JVM, no cache clear inside the pair
+    // (TimeQ's exact protocol — warm numbers are what TIMEQ_r{4,6}.md
+    // compare against); cache clears BETWEEN queries so operators'
+    // intra-query persists don't charge later queries for earlier ones'
+    // storage (the clear itself is outside both timed windows)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(o => o.contains(name) || o.exists(name.contains)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // measure each query from a clean cache state: operators cache
-      // intermediates for intra-query reuse, and letting those pile up
-      // across 100+ queries charges later queries for earlier ones'
-      // storage (the cache drop itself is outside the timed window)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = once()
       spark.catalog.clearCache()
-      name -> dt
+      (name, cold, warm)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val full = jsonLine(total, results, sfDir, results.length)
+    val total = results.map(_._2).sum
+    val warmTotal = results.map(_._3).sum
+    val warmEntries = results.map { case (n, _, w) => n -> w }
+    val full = jsonLine(total, warmTotal, warmEntries, sfDir, results.length)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -95,8 +109,8 @@ object Bench {
     // than that window and gets decapitated (BENCH_r01/r02 "parsed": null),
     // so the last line must be one that always fits whole.
     println(full)
-    val byName = results.toMap
-    val compact = jsonLine(total,
+    val byName = warmEntries.toMap
+    val compact = jsonLine(total, warmTotal,
       headline.flatMap(q => byName.get(q).map(q -> _)), sfDir, results.length)
     println(compact)
   }

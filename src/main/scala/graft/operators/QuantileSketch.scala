@@ -152,6 +152,7 @@ object QuantileSketch {
 
   /** Union pre-built sketches (an ARRAY<DOUBLE> column) into one. */
   class HistUnionAgg(k: Int) extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+    require(k >= 2, s"need at least 2 bins, got $k") // else compact() indexes past ws
     override def zero: Array[Double] = Array.emptyDoubleArray
     override def reduce(buf: Array[Double], s: Array[Double]): Array[Double] =
       compact(mergeBins(buf, s), k)
