@@ -44,6 +44,144 @@ object BpeTrainer {
       .toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Id emitted for a symbol outside the vocab (a character the alphabet
+    * never saw) — callers filter or keep it as an explicit OOV marker.
+    */
+  val UnkId: Int = -1
+
+  /** The corpus' base alphabet: distinct single characters plus
+    * [[EndOfWord]], sorted. One distributed distinct over exploded
+    * characters — output is bounded by the charset, not the corpus, so
+    * the collect is safe at any scale.
+    */
+  def alphabet(docs: DataFrame, textCol: String = "text"): Array[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(split(regexp_replace(col(textCol), " ", ""), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().as[String].collect()
+    (chars.toVector :+ EndOfWord).distinct.sorted.toArray
+  }
+
+  /** Deterministic token-id assignment: alphabet symbols first (sorted,
+    * ids 0..), then each merge's output symbol in rank order — the
+    * standard vocab-file layout, a pure function of (merges, alphabet).
+    */
+  def vocab(merges: Array[(String, String)], alphabet: Array[String]): Map[String, Int] = {
+    val m = mutable.LinkedHashMap.empty[String, Int]
+    alphabet.sorted.foreach(s => if (!m.contains(s)) m.update(s, m.size))
+    merges.foreach { case (l, r) =>
+      val s = l + r; if (!m.contains(s)) m.update(s, m.size)
+    }
+    m.toMap
+  }
+
+  /** Tokenizer APPLY — the pass a pretraining pipeline runs over all
+    * 100 TB. Scale shape: the merge table and vocab are a few thousand
+    * entries → collected once and BROADCAST; the corpus is then encoded
+    * in ONE map-only pass (no shuffle — PlanSpec proves the plan has no
+    * Exchange), with per-partition word-TYPE memoization so the Zipf
+    * head hits a hash lookup instead of the merge loop (the same
+    * types-not-tokens economics that make [[train]]'s histogram small).
+    *
+    * Returns (`idCol`, token_ids ARRAY<INT>, n_tokens) — ids per
+    * [[vocab]]; characters outside `alphabet` become [[UnkId]].
+    */
+  def encode(docs: DataFrame, merges: DataFrame, alphabet: Array[String],
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = merges.orderBy("rank")
+      .select("left", "right").as[(String, String)].collect()
+    val ranks: Map[(String, String), Int] = ms.zipWithIndex.toMap
+    val vb = vocab(ms, alphabet)
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    val bVocab = spark.sparkContext.broadcast(vb)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bRanks.value; val vc = bVocab.value
+        // word-type memo, bounded so an adversarial all-unique partition
+        // can't hold the heap (Zipf: the bound is never hit on text)
+        val memo = mutable.HashMap.empty[String, Array[Int]]
+        def ids(w: String): Array[Int] = {
+          val enc = encodeWord(w, rk).map(s => vc.getOrElse(s, UnkId))
+          if (memo.size < (1 << 20)) memo.update(w, enc)
+          enc
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElse(w, ids(w))).toArray
+          (id, toks, toks.length.toLong)
+        }
+      }.toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Inverse of [[encode]] given the same (merges, alphabet): token ids →
+    * text with words rejoined by single spaces ([[UnkId]] renders as
+    * U+FFFD). decode(encode(docs)) equals the space-normalized corpus —
+    * proven end-to-end in GraphBpeSpec.
+    */
+  def decode(encoded: DataFrame, merges: DataFrame, alphabet: Array[String],
+             idCol: String = "doc_id"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = merges.orderBy("rank")
+      .select("left", "right").as[(String, String)].collect()
+    val inv: Array[String] = {
+      val vb = vocab(ms, alphabet)
+      val arr = new Array[String](vb.size)
+      vb.foreach { case (s, i) => arr(i) = s }
+      arr
+    }
+    val bInv = spark.sparkContext.broadcast(inv)
+    encoded.select(col(idCol).cast("long"), col("token_ids"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, ids) =>
+        val inv = bInv.value
+        val sb = new StringBuilder
+        ids.foreach { i =>
+          sb.append(if (i >= 0 && i < inv.length) inv(i) else "�")
+        }
+        (id, sb.result().replace(EndOfWord, " ").stripSuffix(" "))
+      }.toDF(idCol, "text")
+  }
+
+  /** Greedy lowest-rank-first merge application to one word — the
+    * standard BPE apply loop, equivalent to replaying [[train]]'s merge
+    * sequence (each round merges every adjacent occurrence of the
+    * lowest-ranked pair present).
+    */
+  private[operators] def encodeWord(w: String,
+                                    ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = (w.map(_.toString) :+ EndOfWord).toArray
+    var continue = syms.length >= 2
+    while (continue) {
+      var best = Int.MaxValue; var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0 || best == Int.MaxValue) continue = false
+      else {
+        val l = syms(bi); val rt = syms(bi + 1)
+        val b = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rt) {
+            b += (l + rt); j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms
+  }
+
   /** Driver-side merge loop over a word histogram: greedy
     * most-frequent-adjacent-pair, weighted by word count.
     */

@@ -157,6 +157,40 @@ object OperatorQueries extends QueryPack {
     "s_text_bpe" -> ((s, dir) =>
       BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)),
 
+    // tokenizer APPLY — the pass a pretraining pipeline runs on the full
+    // corpus: merges+vocab broadcast, ONE map-only encode scan (PlanSpec
+    // proves no Exchange), word-type memo inside each partition;
+    // train→encode→decode round-trip proven in GraphBpeSpec
+    "s_text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val merges = BpeTrainer.train(docs, numMerges = 64)
+      // ids flatten to CSV for the dump: array-typed output columns crash
+      // the driver's pandas row sort (see scripts/check_oracle.py header)
+      BpeTrainer.encode(docs, merges, BpeTrainer.alphabet(docs))
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(",", col("token_ids")).as("tokens_csv"))
+        .orderBy("doc_id")
+    }),
+
+    // the context-window splitter over REAL tokenizer output (r6 verdict:
+    // q_text_chunk chunks whitespace tokens; this is the same stride-12/
+    // window-16 shape over BPE token ids — tokenizer trained on the full
+    // corpus, chunked slice bounded like its whitespace twin)
+    "s_text_chunk_bpe" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val merges = BpeTrainer.train(docs, numMerges = 64)
+      BpeTrainer.encode(docs.filter(col("doc_id") < 100), merges,
+          BpeTrainer.alphabet(docs))
+        .select(col("doc_id"), col("token_ids"),
+          explode(sequence(lit(0),
+            greatest(size(col("token_ids")) - 1, lit(0)), lit(12))).as("st"))
+        .select(col("doc_id"),
+          (col("st") / 12).cast("long").as("chunk_id"),
+          least(lit(16), size(col("token_ids")) - col("st")).cast("long").as("chunk_len"),
+          concat_ws(",", slice(col("token_ids"), col("st") + 1, lit(16))).as("chunk_csv"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // REAL audio decode in-pipeline: one synthesized PCM tone per
     // document (frequency a pure function of doc_id), parsed by the
     // actual RIFF/WAV walker — RMS / zero-crossing / envelope features;

@@ -131,6 +131,47 @@ class GraphBpeSpec extends SparkSpec {
     assert(merges.toSeq == want, s"got ${merges.toSeq}")
   }
 
+  test("bpe encode: classic example segments and round-trips end-to-end") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, numMerges = 5)
+    val ab = BpeTrainer.alphabet(corpus)
+    // alphabet = </w> d e i l n o r s t w (ids 0..10), then merges:
+    // es=11 est=12 est</w>=13 lo=14 low=15 — hand-applying the 5 merges:
+    // lowest → [low, est</w>]; newest → [n, e, w, est</w>]; low → [low, </w>]
+    val enc = BpeTrainer.encode(
+        Seq((7L, "lowest newest low")).toDF("doc_id", "text"), merges, ab)
+      .collect()
+    assert(enc.length == 1)
+    assert(enc(0).getAs[scala.collection.Seq[Int]]("token_ids").toList ==
+      Seq(15, 13, 5, 2, 10, 13, 15, 0), s"got ${enc(0).getAs[scala.collection.Seq[Int]]("token_ids").toList}")
+    assert(enc(0).getAs[Long]("n_tokens") == 8L)
+    // round-trip: decode(encode(docs)) == space-normalized corpus text
+    val docs = Seq((1L, text), (2L, "low  newest   widest"), (3L, "lower"))
+      .toDF("doc_id", "text")
+    val back = BpeTrainer.decode(BpeTrainer.encode(docs, merges, ab), merges, ab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach { r =>
+      val want = r.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(back(r.getLong(0)) == want,
+        s"round-trip mismatch on doc ${r.getLong(0)}: ${back(r.getLong(0))}")
+    }
+  }
+
+  test("bpe encode: out-of-alphabet characters become UnkId") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, numMerges = 2)
+    // alphabet withholds 'z' → each 'z' occurrence must surface as UnkId
+    val ids = BpeTrainer.encode(Seq((1L, "az")).toDF("doc_id", "text"),
+        merges, BpeTrainer.alphabet(corpus))
+      .collect()(0).getAs[scala.collection.Seq[Int]]("token_ids").toList
+    assert(ids.contains(BpeTrainer.UnkId), s"expected an UNK id in $ids")
+    assert(ids.count(_ == BpeTrainer.UnkId) == 1)
+  }
+
   test("bpe: stops when the best pair drops below minCount; empty corpus is empty") {
     import spark.implicits._
     // every word unique → every pair count 1 < minCount=2 → zero merges

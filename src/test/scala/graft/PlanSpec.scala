@@ -172,6 +172,22 @@ class PlanSpec extends SparkSpec {
       s"only the output range sort may exchange:\n$phys")
   }
 
+  test("bpe encode is map-only: broadcast merges, one corpus scan, no exchange") {
+    // the tokenizer-apply pass runs over all 100 TB — it must be a pure
+    // map (merge ranks + vocab ride the closure as broadcasts), never a
+    // shuffle; the training job's exchanges happen in their own queries
+    // before encode's plan is built
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val merges = graft.operators.BpeTrainer.train(docs, numMerges = 16)
+    val enc = graft.operators.BpeTrainer.encode(
+      docs, merges, graft.operators.BpeTrainer.alphabet(docs))
+    val p = finalPlan(enc)
+    assert(!p.contains("Exchange") && !p.contains("Repartition"),
+      s"encode must not shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"encode reads the corpus exactly once:\n$p")
+  }
+
   test("pivot: map-side partial aggregates, shuffles bounded by group keys") {
     val p = finalSection(plan("q_agg_pivot"))
     // Spark's relational pivot is two aggregate phases — (day, type) count,
