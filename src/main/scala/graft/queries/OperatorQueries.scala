@@ -105,6 +105,13 @@ object OperatorQueries extends QueryPack {
     "s_dedup_embed_ann" -> ((s, dir) =>
       AnnLsh.nearDupPairs(s, Tables.t(s, dir, "embeddings"))),
 
+    // SemDeDup cluster-then-prune: k-means cells via AnnIvf, exact cosine
+    // ONLY within a cell, drop the higher id of each pair ≥0.4 — no
+    // cross-cluster pair ever materializes (proven in SemDedupSpec);
+    // recall/precision vs the exact q_dedup_embed_cosine twin also there
+    "s_dedup_semantic" -> ((s, dir) =>
+      graft.operators.SemDedup.decisions(s, Tables.t(s, dir, "embeddings"))),
+
     // PCA embedding compression (Spark ML, no UDFs in the bridge) — the
     // "shrink the vectors before the index" step; variance-retention and
     // norm-contraction proven in EmbedPcaSpec
