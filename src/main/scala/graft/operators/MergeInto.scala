@@ -65,70 +65,210 @@ object MergeInto {
       .select(dataCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
-  /** Partition-scoped copy-on-write MERGE against a dir-partitioned
-    * parquet snapshot — the file-level form of [[merge]] (what Delta/
-    * Iceberg's COW path does behind a manifest, expressed on plain
-    * `partitionCol=value` directories):
+  // ---------------------------------------------------------------------
+  // Versioned file-level merge: manifest per version, atomic publish,
+  // snapshot-isolated readers, time travel, vacuum.
+  // ---------------------------------------------------------------------
+
+  private val ManifestDir = "_graft_manifest"
+  private val ManifestRe = """v(\d+)\.manifest""".r
+
+  private def esc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession,
+                  p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed snapshot version, -1 if the dir has no manifest.
+    * The newest complete manifest IS the commit pointer: manifests are
+    * written tmp-then-rename, so a half-written one is never visible
+    * under its final name — the rename is the atomic "flip".
+    */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val mDir = new Path(dir, ManifestDir)
+    val fs = hfs(spark, mDir)
+    if (!fs.exists(mDir)) -1L
+    else fs.listStatus(mDir).map(_.getPath.getName)
+      .collect { case ManifestRe(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** (schema, relative data-file paths) of a committed version. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           version: Long): (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(dir, ManifestDir), s"v$version.manifest")
+    val fs = hfs(spark, p)
+    require(fs.exists(p), s"snapshot version $version does not exist under $dir")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(lines.head.stripPrefix("schema\t"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (schema, lines.tail.map(_.stripPrefix("file\t")))
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            version: Long,
+                            schema: org.apache.spark.sql.types.StructType,
+                            files: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mDir = new Path(dir, ManifestDir)
+    val fs = hfs(spark, mDir)
+    fs.mkdirs(mDir)
+    val tmp = new Path(mDir, s".v$version-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (s"schema\t${schema.json}" +: files.sorted.map("file\t" + _))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(mDir, s"v$version.manifest")
+    require(fs.rename(tmp, dst), s"manifest commit $tmp -> $dst failed")
+  }
+
+  /** Read a committed snapshot version (default: latest) — the ONLY read
+    * path that sees exactly one consistent version: the file list comes
+    * from the manifest, so files an in-flight or crashed merge has
+    * already moved in are invisible until their manifest commits, and
+    * the previous version keeps reading its own files while (and after)
+    * the next one commits. The manifest carries the schema, so the
+    * partition column comes back STRING-typed with no reliance on
+    * session-wide partition-type-inference state.
+    *
+    * A dir without a manifest (never merged) falls back to a plain
+    * parquet read.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    if (v < 0) return spark.read.parquet(dir)
+    val (schema, files) = readManifest(spark, dir, v)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", dir).schema(schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Delete data files no retained manifest references and manifests
+    * older than the newest `retain` versions; returns the number of data
+    * files deleted. `retain >= 1`; retain=2 (the [[mergeFiles]] default)
+    * keeps the previous version readable for in-flight readers and
+    * one-step time travel. Single-writer, like the merge itself.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+             retain: Int = 2): Long = {
+    import org.apache.hadoop.fs.Path
+    require(retain >= 1, s"must retain at least the current version, got $retain")
+    val root = new Path(dir)
+    val fs = hfs(spark, root)
+    val mDir = new Path(root, ManifestDir)
+    if (!fs.exists(mDir)) return 0L
+    val versions = fs.listStatus(mDir).map(_.getPath.getName)
+      .collect { case ManifestRe(n) => n.toLong }.sorted.reverse
+    val keep = versions.take(retain)
+    val referenced: Set[String] =
+      keep.flatMap(v => readManifest(spark, dir, v)._2).toSet
+    var deleted = 0L
+    // sweep stray merge scratch dirs, then unreferenced data files
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
+      .foreach(p => fs.delete(p.getPath, true))
+    fs.listStatus(root)
+      .filter(p => p.isDirectory && p.getPath.getName.contains("="))
+      .foreach { pd =>
+        fs.listStatus(pd.getPath).filter(_.isFile).foreach { f =>
+          val rel = s"${pd.getPath.getName}/${f.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            fs.delete(f.getPath, false); deleted += 1
+          }
+        }
+        if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
+      }
+    versions.drop(retain).foreach(v =>
+      fs.delete(new Path(mDir, s"v$v.manifest"), false))
+    deleted
+  }
+
+  /** Partition-scoped copy-on-write MERGE against a parquet snapshot —
+    * the file-level form of [[merge]], now with the Delta/Iceberg-style
+    * commit protocol the row semantics always deserved:
     *
     *   1. resolve affected partitions = source rows' partition values ∪
     *      partitions currently holding a matched key (ONE column-pruned
     *      scan of (keys, partition) joined to the batch's keys — at
     *      100 TB this reads two skinny columns, not the table);
     *   2. run the row-level [[merge]] on ONLY those partitions' rows
-    *      (partition-pruned scan — `.explain` shows PartitionFilters);
-    *   3. rewrite just those partition directories; every other
-    *      partition's files are untouched bytes.
+    *      (partition-pruned via the manifest's file list);
+    *   3. write the merged slice as NEW files in the affected partition
+    *      dirs (old files untouched — bytes of every retained version
+    *      are immutable), carry unaffected partitions' manifest entries
+    *      forward, and publish manifest v(N+1) with one atomic rename.
     *
-    * Rows may move BETWEEN partitions (an update that changes the
-    * partition value lands in its new partition; its old home is in the
-    * affected set via step 1, so the stale copy is rewritten away).
-    * Commit per partition is write-tmp-then-swap; like [[Compaction]]
-    * the crash window duplicates rather than loses (tmp cleanup on
-    * every entry).
+    * Crash at ANY point before the manifest rename leaves only
+    * unreferenced files: readers (and the replayed merge) still resolve
+    * version N, so a replay produces the same content with NO duplicate
+    * rows — the multi-partition commit window is closed, and
+    * [[vacuum]] (run automatically with `retainVersions`) sweeps the
+    * orphans. Rows may move BETWEEN partitions (the old home is in the
+    * affected set via step 1). A legacy plain `partitionCol=value` tree
+    * is adopted as version 0 on first contact; an empty dir bootstraps
+    * from the batch. Partition values are canonicalized to STRING and
+    * path-escaped ('01', ':', ' ', '%' round-trip); NULL partition
+    * values are rejected (no canonical `col=value` home).
     *
-    * Returns (partitions_total, partitions_rewritten).
+    * Returns (partitions_live, partitions_rewritten): live = partitions
+    * with at least one row AFTER the merge, rewritten = affected count
+    * (including partitions that vanished).
     */
   def mergeFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                  source: DataFrame, keys: Seq[String], partitionCol: String,
-                 tombstoneCol: Option[String] = None): (Long, Long) = {
+                 tombstoneCol: Option[String] = None,
+                 retainVersions: Int = 2): (Long, Long) = {
     import org.apache.hadoop.fs.Path
-    // the partition column IS a directory name, so it is canonicalized
-    // to its STRING form throughout (snapshot included): directory
-    // names are built with Spark's own path escaping so values with
-    // ':', ' ', '%', '/' round-trip, and partition-type inference is
-    // disabled on the read so a string '01' doesn't come back as int 1
-    // (either mismatch silently dropped or duplicated rows before).
-    // NULL partition values are rejected up front — a null has no
-    // canonical 'col=value' home.
-    def esc(v: String): String =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+    def partOf(rel: String) = rel.takeWhile(_ != '/')
+    def liveParts(files: Seq[String]) = files.map(partOf).distinct.size.toLong
     val canonical = source.withColumn(partitionCol, col(partitionCol).cast("string"))
     require(canonical.filter(col(partitionCol).isNull).isEmpty,
       s"mergeFiles: NULL $partitionCol values are not supported")
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap: no snapshot yet → the batch (minus tombstoned keys) IS
-    // the snapshot; lets a streaming upsert sink start from nothing
-    if (!fs.exists(root) ||
-        !fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$partitionCol="))) {
+    val fs = hfs(spark, root)
+    def relFiles(): Seq[String] = fs.listStatus(root)
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap(pd => fs.listStatus(pd.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${pd.getPath.getName}/${f.getPath.getName}")).toSeq
+    var cur = currentVersion(spark, dir)
+    if (cur < 0 && fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$partitionCol="))) {
+      // adopt a legacy un-manifested tree as v0: schema = one data file's
+      // schema (no partition dirs in the path → nothing to infer) plus
+      // the STRING partition column
+      val files = relFiles()
+      val dataSchema = spark.read.parquet(s"$dir/${files.head}").schema
+      writeManifest(spark, dir, 0L,
+        dataSchema.add(partitionCol, org.apache.spark.sql.types.StringType),
+        files)
+      cur = 0L
+    }
+    if (cur < 0) {
+      // bootstrap: the batch (minus tombstoned keys) IS version 0 —
+      // lets a streaming upsert sink start from nothing
       val live = tombstoneCol match {
         case Some(t) => canonical
           .filter(!coalesce(col(t).cast("boolean"), lit(false))).drop(t)
         case None => canonical
       }
       live.write.partitionBy(partitionCol).mode("overwrite").parquet(dir)
-      val n = fs.listStatus(root)
-        .count(_.getPath.getName.startsWith(s"$partitionCol="))
-      return (n.toLong, n.toLong)
+      val files = relFiles()
+      val dataSchema = live.drop(partitionCol).schema
+      writeManifest(spark, dir, 0L,
+        dataSchema.add(partitionCol, org.apache.spark.sql.types.StringType), files)
+      return (liveParts(files), liveParts(files))
     }
-    // sweep any tmp dirs a crashed previous merge left behind
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
-      .foreach(p => fs.delete(p.getPath, true))
-    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val infPrev = spark.conf.get(infKey)
-    spark.conf.set(infKey, "false")
-    try {
-    val target = spark.read.parquet(dir)
+    val (schema, curFiles) = readManifest(spark, dir, cur)
+    val target = readSnapshot(spark, dir, Some(cur))
     val srcData = tombstoneCol.map(canonical.drop(_)).getOrElse(canonical)
     val srcKeys = canonical.select(keys.map(col): _*).distinct()
     // step 1: affected partition values (skinny scan + batch partitions)
@@ -137,38 +277,37 @@ object MergeInto {
       .select(col(partitionCol))
       .union(srcData.select(col(partitionCol)))
       .distinct().collect().map(_.getString(0)).toSet
-    val allParts = fs.listStatus(root)
-      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
-      .map(_.getPath.getName.stripPrefix(s"$partitionCol=")).toSet
-    if (affected.isEmpty) return (allParts.size.toLong, 0L)
-    // step 2: merge only the affected slice (partition-pruned scan)
+    if (affected.isEmpty) return (liveParts(curFiles), 0L)
+    val affectedDirs = affected.map(v => s"$partitionCol=${esc(v)}")
+    // step 2: merge only the affected slice
     val slice = target.filter(col(partitionCol).isin(affected.toSeq: _*))
     val merged = merge(slice, canonical, keys, tombstoneCol)
-    // step 3: rewrite affected partition dirs. Same commit bias as
-    // Compaction — move the NEW files in first, delete the OLD files
-    // last, so a crash mid-commit shows readers duplicate rows, never
-    // missing ones (plain directories have no atomic swap).
+    // step 3: new files in, old files untouched, one-rename publish
+    val next = cur + 1
     val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    val moved = Seq.newBuilder[String]
     affected.foreach { v =>
-      val dst = new Path(root, s"$partitionCol=${esc(v)}")
-      val src = new Path(tmp, s"$partitionCol=${esc(v)}")
-      val oldFiles =
-        if (fs.exists(dst)) fs.listStatus(dst).filter(_.isFile).toSeq
-        else { fs.mkdirs(dst); Seq.empty }
-      if (fs.exists(src))
-        fs.listStatus(src).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val dstDir = new Path(root, s"$partitionCol=${esc(v)}")
+      val srcDir = new Path(tmp, s"$partitionCol=${esc(v)}")
+      if (fs.exists(srcDir)) {
+        fs.mkdirs(dstDir)
+        fs.listStatus(srcDir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
-            val to = new Path(dst, s"merged-${f.getPath.getName}")
+            val name = s"v$next-${f.getPath.getName}"
+            val to = new Path(dstDir, name)
             require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
+            moved += s"${dstDir.getName}/$name"
           }
-      oldFiles.foreach(f => fs.delete(f.getPath, false))
-      // a partition can vanish entirely (all rows tombstoned or moved)
-      if (fs.listStatus(dst).isEmpty) fs.delete(dst, true)
+      }
     }
     fs.delete(tmp, true)
-    (allParts.union(affected.map(esc)).size.toLong, affected.size.toLong)
-    } finally spark.conf.set(infKey, infPrev)
+    val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
+    val newFiles = carried ++ moved.result()
+    writeManifest(spark, dir, next, schema, newFiles) // THE commit point
+    vacuum(spark, dir, retainVersions)
+    (liveParts(newFiles), affected.size.toLong)
   }
 
   /** Kimball type-2 merge: close the current version of every key whose

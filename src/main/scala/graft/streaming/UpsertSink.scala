@@ -11,11 +11,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactly-once EFFECT from at-least-once delivery: foreachBatch can
   * replay a batch after a failure, and the merge is content-idempotent
-  * (source-wins on match, deletes stay deleted — MergeSpec), so a
-  * replayed batch rewrites the same partitions to the same bytes-level
-  * content. Only the batch's affected partitions are touched per
-  * trigger (mergeFiles' copy-on-write), so steady-state cost tracks the
-  * CDC rate, not the snapshot size — the property that matters when the
+  * (source-wins on match, deletes stay deleted — MergeSpec) AND commits
+  * atomically (one manifest rename publishes the whole multi-partition
+  * version; a crash at any earlier point leaves only unreferenced files
+  * that readers never see — MergeSpec's orphan test), so a replayed
+  * batch re-derives the same snapshot content with no duplicate rows.
+  * Readers use MergeInto.readSnapshot to resolve the committed version.
+  * Only the batch's affected partitions are touched per trigger
+  * (mergeFiles' copy-on-write), so steady-state cost tracks the CDC
+  * rate, not the snapshot size — the property that matters when the
   * snapshot is 100 TB and a trigger carries a few thousand rows.
   *
   * Within a batch, several changes to ONE key collapse to the latest by

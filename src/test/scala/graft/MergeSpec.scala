@@ -71,21 +71,26 @@ class MergeSpec extends SparkSpec {
         (1L, "d1", 11.0, false), (2L, "d2", 20.0, true),
         (3L, "d1", 33.0, false), (5L, "d1", 50.0, false))
         .toDF("id", "day", "v", "del")
-      val (total, rewritten) = MergeInto.mergeFiles(
+      val (live, rewritten) = MergeInto.mergeFiles(
         spark, dir, batch, Seq("id"), "day", Some("del"))
-      assert(total == 4 && rewritten == 3, s"($total, $rewritten)")
-      val got = spark.read.parquet(dir).orderBy("id")
+      assert(live == 2 && rewritten == 3, s"($live, $rewritten)")
+      val got = MergeInto.readSnapshot(spark, dir).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
       assert(got == Seq((1L, 11.0, "d1"), (3L, 33.0, "d1"), (4L, 40.0, "d4"),
         (5L, 50.0, "d1")), got.toString)
-      // vanished partitions are gone; the untouched one is bytes-identical
-      assert(files("d2").isEmpty && files("d3").isEmpty)
+      // the untouched partition is bytes-identical (its files are never
+      // rewritten, only re-referenced by the next manifest)
       assert(files("d4") == d4Before, "untouched partition was rewritten")
-      // replay: content idempotent (2 stays deleted, values unchanged)
+      // replay: content idempotent (2 stays deleted, values unchanged);
+      // the replay's auto-vacuum (retain=2) drops v0, so the vanished
+      // partitions' last files go with it
       MergeInto.mergeFiles(spark, dir, batch, Seq("id"), "day", Some("del"))
-      val again = spark.read.parquet(dir).orderBy("id")
+      val again = MergeInto.readSnapshot(spark, dir).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
       assert(again == got, "replay must be a content no-op")
+      assert(files("d2").isEmpty && files("d3").isEmpty,
+        "vanished partitions must clear once their last referencing version ages out")
+      assert(files("d4") == d4Before)
     } finally graft.Fs.rmTree(dir)
   }
 
@@ -104,7 +109,7 @@ class MergeSpec extends SparkSpec {
       val (_, rewritten) = MergeInto.mergeFiles(
         spark, dir, batch, Seq("id"), "day", Some("del"))
       assert(rewritten == 4, s"rewritten $rewritten")
-      val got = spark.read.parquet(dir).orderBy("id")
+      val got = MergeInto.readSnapshot(spark, dir).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
       assert(got == Seq((1L, 11.0, "01"), (2L, 22.0, "2024-01-01 00:30:00"),
         (4L, 44.0, "x:y")), got.toString)
@@ -119,6 +124,55 @@ class MergeSpec extends SparkSpec {
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("mergeFiles: atomic commit — v(N−1) reads consistently during/after N; orphans invisible; vacuum converges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      // v0 via bootstrap
+      MergeInto.mergeFiles(spark,
+        dir, Seq((1L, "d1", 10.0), (2L, "d2", 20.0)).toDF("id", "day", "v"),
+        Seq("id"), "day")
+      assert(MergeInto.currentVersion(spark, dir) == 0L)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      val v0Want = Seq((1L, 10.0, "d1"), (2L, 20.0, "d2"))
+      // an in-flight reader resolves v0 BEFORE the next merge commits...
+      val inFlight = MergeInto.readSnapshot(spark, dir)
+      MergeInto.mergeFiles(spark,
+        dir, Seq((1L, "d1", 11.0), (3L, "d3", 30.0)).toDF("id", "day", "v"),
+        Seq("id"), "day")
+      assert(MergeInto.currentVersion(spark, dir) == 1L)
+      // ...and still sees the complete old version after v1 commits
+      assert(rows(inFlight) == v0Want, "in-flight v0 reader saw v1's merge")
+      val v1Want = Seq((1L, 11.0, "d1"), (2L, 20.0, "d2"), (3L, 30.0, "d3"))
+      assert(rows(MergeInto.readSnapshot(spark, dir)) == v1Want)
+      // explicit time travel
+      assert(rows(MergeInto.readSnapshot(spark, dir, Some(0L))) == v0Want)
+      // a crashed merge's already-moved file (no manifest commit) is
+      // INVISIBLE to readers and healed by replay — the round-6 ADVICE
+      // crash-duplicate window is closed by construction
+      val d1 = new java.io.File(s"$dir/day=d1")
+      val src = d1.listFiles.filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        d1.toPath.resolve("v99-part-orphan.parquet"))
+      assert(rows(MergeInto.readSnapshot(spark, dir)) == v1Want,
+        "unreferenced file leaked into the snapshot read")
+      MergeInto.mergeFiles(spark,
+        dir, Seq((1L, "d1", 11.0), (3L, "d3", 30.0)).toDF("id", "day", "v"),
+        Seq("id"), "day")
+      assert(rows(MergeInto.readSnapshot(spark, dir)) == v1Want,
+        "replay over a crashed commit must not duplicate rows")
+      // vacuum to a single version: orphan + old versions swept, plain
+      // dir read and snapshot read now agree
+      MergeInto.vacuum(spark, dir, retain = 1)
+      assert(!d1.listFiles.exists(_.getName == "v99-part-orphan.parquet"))
+      assert(rows(spark.read.parquet(dir)) == v1Want)
+      val e = intercept[IllegalArgumentException](
+        MergeInto.readSnapshot(spark, dir, Some(0L)).collect())
+      assert(e.getMessage.contains("version"), e.getMessage)
+    } finally graft.Fs.rmTree(dir)
+  }
 
   test("mergeScd2: changed keys close+reopen, unchanged and history pass through, new keys insert") {
     import spark.implicits._

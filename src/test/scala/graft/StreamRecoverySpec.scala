@@ -35,10 +35,15 @@ class StreamRecoverySpec extends SparkSpec {
       input.addData(Seq((2L, "d2", 0.0, 6L, true)))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(snap).orderBy("id")
+    val got = graft.operators.MergeInto.readSnapshot(spark, snap).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
     assert(got == Seq((1L, 12.0, "d1"), (3L, 30.0, "d3")), got.toString)
+    // the sink rides the versioned commit path: the tombstoned partition
+    // leaves the current snapshot immediately and its files clear once
+    // no retained version references them
+    graft.operators.MergeInto.vacuum(spark, snap, retain = 1)
     assert(!new java.io.File(s"$snap/day=d2").exists, "tombstoned partition must vanish")
+    assert(spark.read.parquet(snap).count() == 2)
   }
 
   test("file-stream aggregation survives stop/restart via checkpoint") {
