@@ -130,10 +130,20 @@ object AnnIvf {
     val centroidsDf = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.toSeq, c.map(x => x * x).sum)
     }.toSeq.toDF("list_id", "c", "c_normsq")
-    // nearest-centroid assignment as one projection: argmin_i dist² of the
-    // UNIT vector via the lexicographic min of (score_i, i) structs, where
-    // score_i = |c_i|² - 2·(v·c_i)/|v| (the constant 1 from |v̂|² drops).
-    // Ties break to the lowest list id — same first-min rule as training.
+    (assign(embeddings, centroids), centroidsDf)
+  }
+
+  /** Nearest-centroid assignment as ONE projection: argmin_i dist² of
+    * the UNIT vector via the lexicographic min of (score_i, i) structs,
+    * where score_i = |c_i|² - 2·(v·c_i)/|v| (the constant 1 from |v̂|²
+    * drops). Ties break to the lowest list id — same first-min rule as
+    * training. Shared by [[buildIndex]] and AnnIndexStore.append (the
+    * incremental-add path assigns NEW vectors against PERSISTED
+    * centroids with exactly this geometry).
+    */
+  private[operators] def assign(embeddings: DataFrame,
+                                centroids: Array[Array[Double]]): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val nrm = sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
     val scored: Column = array(centroids.zipWithIndex.map { case (c, i) =>
       val normSq = c.map(x => x * x).sum
@@ -143,9 +153,8 @@ object AnnIvf {
           + normSq).as("s"),
         lit(i).as("i"))
     }: _*)
-    val assigned = embeddings.withColumn("e_nrm", nrm)
+    embeddings.withColumn("e_nrm", nrm)
       .select(col("vec_id"), array_min(scored).getField("i").as("list_id"))
-    (assigned, centroidsDf)
   }
 
   /** Approximate top-k cosine neighbors searching nprobe inverted lists.

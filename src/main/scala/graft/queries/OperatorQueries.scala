@@ -39,6 +39,26 @@ object OperatorQueries extends QueryPack {
       graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"),
         nlist = 16, nprobe = 6)),
 
+    // persisted-index ANN: train+save once, append new vectors against
+    // the frozen centroids, serve the search from disk with the probed
+    // cells partition-pruning the lists scan; search-after-reload ≡
+    // fresh build proven in AnnStoreSpec
+    "s_sim_ann_store" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_annstore").toString
+      graft.operators.AnnIndexStore.save(s, emb, base)
+      graft.operators.AnnIndexStore.append(s,
+        emb.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), base)
+      val rows = graft.operators.AnnIndexStore
+        .searchTopK(s, base, emb.filter(col("vec_id") < 10))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      rmTree(base) // results are driver-side; don't leak the scratch dir
+      rows.toDF("probe_id", "neighbor_id", "sim", "rn")
+    }),
+
     // multimodal binary-column featurize (stubbed decode, real plumbing)
     "s_mm_features" -> ((s, dir) => Multimodal.featureStats(s, dir)),
 
