@@ -23,14 +23,24 @@ import org.apache.spark.sql.functions._
 object TokenPacker {
 
   /** (doc_id, n_tokens, bin) for every document, bin-packed in doc_id
-    * order against `budget` tokens per bin.
+    * order against `budget` tokens per bin, counting whitespace tokens.
+    * For REAL tokenizer counts, pack [[BpeTrainer.encode]]'s output via
+    * [[packCounts]] — same math, tokenizer-true budgets.
     */
-  def packContiguous(docs: DataFrame, budget: Long, partitions: Int = 32): DataFrame = {
+  def packContiguous(docs: DataFrame, budget: Long, partitions: Int = 32): DataFrame =
+    packCounts(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget, partitions)
+
+  /** [[packContiguous]] over precomputed (doc_id, n_tokens) counts —
+    * the entry point for packing against actual tokenizer output.
+    */
+  def packCounts(counts: DataFrame, budget: Long, partitions: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val spark = docs.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    val rdd = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val rdd = counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .rdd.map(r => (r.getLong(0), r.getLong(1)))

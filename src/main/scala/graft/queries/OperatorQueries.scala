@@ -199,6 +199,18 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // sequence packing against REAL tokenizer budgets: BPE-encode the
+    // corpus (map-only), pack the resulting token counts — the q_pack_
+    // contiguous math fed by the tokenizer instead of whitespace counts
+    "s_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val merges = BpeTrainer.train(docs, numMerges = 64)
+      graft.operators.TokenPacker.packCounts(
+        BpeTrainer.encode(docs, merges, BpeTrainer.alphabet(docs))
+          .select(col("doc_id"), col("n_tokens")),
+        budget = 4096)
+    }),
+
     // the context-window splitter over REAL tokenizer output (r6 verdict:
     // q_text_chunk chunks whitespace tokens; this is the same stride-12/
     // window-16 shape over BPE token ids — tokenizer trained on the full

@@ -172,6 +172,24 @@ class GraphBpeSpec extends SparkSpec {
     assert(ids.count(_ == BpeTrainer.UnkId) == 1)
   }
 
+  test("bpe counts pack: bins follow the exact prefix-sum over encoded token counts") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 50)
+    val merges = BpeTrainer.train(docs, numMerges = 16)
+    val counts = BpeTrainer.encode(docs, merges, BpeTrainer.alphabet(docs))
+      .select(col("doc_id"), col("n_tokens"))
+    val got = graft.operators.TokenPacker.packCounts(counts, budget = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val local = counts.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var run = 0L
+    val want = local.map { case (id, nt) =>
+      val bin = run / 500; run += nt; (id, nt, bin)
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._3).distinct.length > 1, "test should span multiple bins")
+  }
+
   test("bpe: stops when the best pair drops below minCount; empty corpus is empty") {
     import spark.implicits._
     // every word unique → every pair count 1 < minCount=2 → zero merges
