@@ -152,6 +152,58 @@ object MergeInto {
       .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Change-data-feed between two committed versions: every row-level
+    * change `fromVersion` → `toVersion` as (keys…, `change` ∈
+    * insert|update|delete, `before` STRUCT, `after` STRUCT). Rows equal
+    * in both versions are not emitted; `diffSnapshots(dir, v, v)` is
+    * empty by construction.
+    *
+    * Scale shape — cost tracks the CHANGE volume, not the snapshot
+    * size: data files are immutable and [[mergeFiles]] rewrites
+    * partitions WHOLESALE (untouched partitions' manifest entries are
+    * carried forward verbatim), so a partition's file set is either
+    * identical between the two manifests or disjoint. Rows in files
+    * referenced by BOTH manifests cannot differ and are skipped without
+    * being read: the diff scans ONLY the symmetric difference of the
+    * two file lists (MergeSpec proves via `inputFiles` that carried
+    * files never enter the plan). Diffing adjacent versions of a 100 TB
+    * snapshot after a one-partition merge reads that partition twice,
+    * nothing else. Unchanged rows inside a rewritten partition cancel
+    * through the null-safe struct-equality filter after the full-outer
+    * join on the keys.
+    */
+  def diffSnapshots(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    fromVersion: Long, toVersion: Long,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    val (schemaF, filesF) = readManifest(spark, dir, fromVersion)
+    val (schemaT, filesT) = readManifest(spark, dir, toVersion)
+    require(schemaF.fieldNames.sameElements(schemaT.fieldNames),
+      s"schema changed between v$fromVersion and v$toVersion — diff undefined")
+    val fSet = filesF.toSet
+    val tSet = filesT.toSet
+    def read(schema: org.apache.spark.sql.types.StructType,
+             files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dir).schema(schema)
+        .parquet(files.map(f => s"$dir/$f"): _*)
+    val cols = schemaT.fieldNames.toSeq
+    val b = read(schemaF, filesF.filterNot(tSet))
+      .select(keys.map(col) :+ struct(cols.map(col): _*).as("_b"): _*)
+    val a = read(schemaT, filesT.filterNot(fSet))
+      .select(keys.map(col) :+ struct(cols.map(col): _*).as("_a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change",
+        when(col("_b").isNull, lit("insert"))
+          .when(col("_a").isNull, lit("delete"))
+          .when(!(col("_b") <=> col("_a")), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change") :+
+        col("_b").as("before") :+ col("_a").as("after"): _*)
+  }
+
   /** Delete data files no retained manifest references and manifests
     * older than the newest `retain` versions; returns the number of data
     * files deleted. `retain >= 1`; retain=2 (the [[mergeFiles]] default)
@@ -279,9 +331,15 @@ object MergeInto {
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return (liveParts(curFiles), 0L)
     val affectedDirs = affected.map(v => s"$partitionCol=${esc(v)}")
-    // step 2: merge only the affected slice
+    // step 2: merge only the affected slice. The result is cast back to
+    // the manifest schema (target-schema-wins, as in SQL MERGE): source
+    // expressions routinely widen types (DECIMAL(18,2)+1 → (19,2), which
+    // parquet encodes as FIXED_LEN_BYTE_ARRAY instead of INT64) and a
+    // silent widening would make v(N+1)'s files unreadable under the
+    // manifest's pinned schema.
     val slice = target.filter(col(partitionCol).isin(affected.toSeq: _*))
     val merged = merge(slice, canonical, keys, tombstoneCol)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     // step 3: new files in, old files untouched, one-rename publish
     val next = cur + 1
     val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")

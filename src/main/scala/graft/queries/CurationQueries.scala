@@ -100,6 +100,41 @@ object CurationQueries extends QueryPack {
     "q_select_budget" -> ((s, dir) =>
       TokenPacker.selectBudget(Tables.t(s, dir, "documents"), budget = 20000L)),
 
+    // ---- DSIR-style importance weighting (Xie et al., "Data Selection
+    // for Language Models via Importance Resampling", 2023) ----
+    // score(doc) = mean over token positions of ln(p_target / p_raw)
+    // with add-1-smoothed unigram models — target = the English slice,
+    // raw = the whole corpus; positive = "looks like the target
+    // distribution", the resampling weight the paper importance-samples
+    // by. Shape: both unigram models are TYPE tables (vocab-sized, not
+    // corpus-sized) joined into ONE broadcast log-ratio dim; the token
+    // stream then joins it map-side and reduces per doc — the corpus is
+    // scanned once and never shuffles (same discipline as
+    // q_text_perplexity, plan-proven there).
+    "q_select_dsir" -> ((s, dir) => {
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+      val tfr = toks.groupBy("token").agg(count(lit(1)).as("cr"))
+      val tft = toks.filter(col("lang") === "en")
+        .groupBy("token").agg(count(lit(1)).as("ct"))
+      // vocab size and corpus totals reduce from the type table
+      val consts = tfr.agg(sum("cr").cast("double").as("nr"),
+        count(lit(1)).cast("double").as("v"))
+        .crossJoin(toks.filter(col("lang") === "en")
+          .agg(count(lit(1)).cast("double").as("nt")))
+      val lr = tfr.join(tft, Seq("token"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("token"),
+          (log((coalesce(col("ct"), lit(0L)).cast("double") + 1) / (col("nt") + col("v"))) -
+            log((col("cr").cast("double") + 1) / (col("nr") + col("v")))).as("lr"))
+      toks.join(broadcast(lr), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("lr")), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- stratified sampling: exact per-language quota, hash-ordered ----
     // row_number over (lang, hash-bucket) gives each stratum its own
     // deterministic pseudo-random order, then a fixed quota — exact
@@ -183,6 +218,25 @@ object CurationQueries extends QueryPack {
          |WHERE $bucketSql < permille
          |GROUP BY source, permille
          |ORDER BY source""".stripMargin,
+
+    "q_select_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tfr AS (SELECT token, COUNT(*) AS cr FROM toks GROUP BY 1),
+        |tft AS (SELECT token, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+        |consts AS (SELECT
+        |    (SELECT CAST(SUM(cr) AS DOUBLE) FROM tfr) AS nr,
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM tfr) AS v,
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks WHERE lang = 'en') AS nt),
+        |lr AS (SELECT tfr.token,
+        |         ln((CAST(COALESCE(tft.ct, 0) AS DOUBLE) + 1) / (c.nt + c.v)) -
+        |         ln((CAST(tfr.cr AS DOUBLE) + 1) / (c.nr + c.v)) AS lr
+        |       FROM tfr LEFT JOIN tft ON tfr.token = tft.token
+        |       CROSS JOIN consts c)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(lr.lr), 6) AS dsir_score
+        |FROM toks t JOIN lr ON t.token = lr.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH st AS (

@@ -265,6 +265,67 @@ object OperatorQueries extends QueryPack {
         .orderBy("est_hz")
     }),
 
+    // change-data-feed over the versioned snapshot: bootstrap an orders
+    // slice as v0, merge a deterministic CDC batch (updates + inserts +
+    // tombstones), read the v0→v1 row-level diff. The diff scans ONLY
+    // the symmetric difference of the two manifests' file lists (cost
+    // tracks change volume, not snapshot size) — proven via inputFiles
+    // in MergeSpec.
+    "s_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus")
+      val batch = snap.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", col("price") + 1)
+        .withColumn("del", col("o_orderkey") % 30 === 0)
+        .unionByName(snap.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("price"))
+          .withColumn("del", lit(false)))
+      graft.operators.MergeInto.mergeFiles(s, base, batch,
+        Seq("o_orderkey"), "o_orderstatus",
+        tombstoneCol = Some("del"), retainVersions = 3)
+      val rows = graft.operators.MergeInto
+        .diffSnapshots(s, base, 0L, 1L, Seq("o_orderkey"))
+        .groupBy("change").agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      rmTree(base) // counts are driver-side; don't leak the scratch dir
+      rows.toDF("change", "n_rows").orderBy("change")
+    }),
+
+    // time travel over the manifest store: v0 bootstrap + two merges,
+    // every version read back AFTER later versions committed — the
+    // retained manifests keep each version's exact file list readable
+    "s_snapshot_history" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_hist").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 4)
+      graft.operators.MergeInto.mergeFiles(s, base,
+        snap.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("price", col("price") + 1),
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 4)
+      graft.operators.MergeInto.mergeFiles(s, base,
+        snap.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("del", lit(true)),
+        Seq("o_orderkey"), "o_orderstatus",
+        tombstoneCol = Some("del"), retainVersions = 4)
+      val rows = (0L to graft.operators.MergeInto.currentVersion(s, base))
+        .map { v =>
+          val snap_v = graft.operators.MergeInto.readSnapshot(s, base, Some(v))
+          (v, snap_v.count(), snap_v.inputFiles.length.toLong)
+        }
+      rmTree(base)
+      rows.toDF("version", "n_rows", "n_files").orderBy("version")
+    }),
+
     // small-file compaction (the OPTIMIZE-style operational pass):
     // fragment one day of events into 24 tiny files, compact, report the
     // file counts + bytes rewritten; invariants proven in LayoutSpec

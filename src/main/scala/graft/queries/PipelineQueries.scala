@@ -159,6 +159,32 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // ---- leakage-safe train/valid/test split ----
+    // the eval-integrity primitive: hash-split at CLUSTER granularity,
+    // not document granularity, so near-duplicates can never straddle
+    // splits (a val doc with a train near-twin silently inflates eval).
+    // Near-dup clusters via the shared pair graph; singleton docs are
+    // their own cluster; split = md5 bucket of the CLUSTER id (13/2/1
+    // sixteenths ≈ 81/12/6). One pair join + one label propagation +
+    // one broadcast-ish left join of labels back to the corpus — the
+    // labels table is |docs-in-pairs| ≪ corpus at 100 TB.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val labels = graft.operators.DedupClusters.components(
+        graft.operators.NgramJaccard.pairs(docs, sorted = false))
+      val ch = substring(md5(col("cluster_id").cast("string")), 1, 1)
+      val bucket = when(ch.between("0", "9"), ascii(ch) - 48)
+        .otherwise(ascii(ch) - 87)
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(bucket < 13, "train").when(bucket < 15, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned
     // with the exact-topk twin; threshold compares the UNROUNDED sim (cross-
@@ -252,6 +278,32 @@ object PipelineQueries extends QueryPack {
         |  LEAST(src, MIN(dst)) AS cluster_id,
         |  (src = LEAST(src, MIN(dst))) AS keep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+        |           FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        |b AS (SELECT doc_id, cluster_id,
+        |        substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) AS ch
+        |      FROM lab),
+        |bk AS (SELECT doc_id, cluster_id,
+        |         CASE WHEN ch BETWEEN '0' AND '9' THEN ascii(ch) - 48
+        |              ELSE ascii(ch) - 87 END AS bucket
+        |       FROM b)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bucket < 13 THEN 'train'
+        |       WHEN bucket < 15 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -90,6 +90,45 @@ object TextQueries extends QueryPack {
     // vocabulary-distribution profile per language: hapax legomena count
     // and the Zipf head share — two stacked aggregates over the exploded
     // token table, no joins
+    // ---- PII detection + redaction (the compliance pass every corpus
+    // runs before training) ----
+    // deterministic PII is synthesized into the text IN BOTH ENGINES
+    // (the parquet fixture has none), then detected and redacted with
+    // backslash-free regexes that parse identically in Java regex and
+    // RE2: emails → <EMAIL>, IPv4 → <IP>, phone-shaped digits →
+    // <PHONE>. Map-only per doc (scan → project); the md5 of the
+    // redacted text makes the oracle verify the REPLACEMENT byte-for-
+    // byte, not just the counts. Redaction order: email (may contain
+    // dots+digits) → IP → phone.
+    "q_text_pii" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val phoneRe = "[0-9]{3}[-][0-9]{4}"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(".1"))).otherwise(""))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(aug, '$emailRe', 0)")).cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(aug, '$ipRe', 0)")).cast("long").as("n_ips"),
+          size(expr(s"regexp_extract_all(aug, '$phoneRe', 0)")).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>")),
+            lit(phoneRe), lit("<PHONE>"))).as("redacted_md5"))
+        .filter(col("n_emails") + col("n_ips") + col("n_phones") > 0)
+        .orderBy("doc_id")
+    }),
+
     "q_text_hapax" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -120,6 +159,33 @@ object TextQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_pii" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0
+        |     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0
+        |     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0
+        |     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |          || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1'
+        |     ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{3}[-][0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}[-][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug
+        |WHERE len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}'))
+        |    + len(regexp_extract_all(aug, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+        |    + len(regexp_extract_all(aug, '[0-9]{3}[-][0-9]{4}')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 100)

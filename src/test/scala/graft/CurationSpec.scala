@@ -20,6 +20,22 @@ class CurationSpec extends SparkSpec {
     assert(m("n_long") == rows.count(_.getLong(tokIdx) >= 100).toLong)
   }
 
+  test("q_split_leakage: near-dup pairs never straddle splits; every doc assigned exactly once") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val split = graft.queries.PipelineQueries.queries("q_split_leakage")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.operators.NgramJaccard.pairs(docs, sorted = false)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) straddles splits ${split(a)}/${split(b)}")
+    }
+    assert(split.size == docs.count(), "every doc gets exactly one assignment")
+    // all three splits materialize on the fixture (hash is spread enough)
+    assert(split.values.toSet == Set("train", "valid", "test"), split.values.toSet.toString)
+  }
+
   test("TokenPacker == global window cumsum, invariant to partition width") {
     val docs = Tables.t(spark, sfDir, "documents")
     val w = Window.orderBy("doc_id")

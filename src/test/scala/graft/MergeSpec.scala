@@ -174,6 +174,68 @@ class MergeSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("diffSnapshots: row-level CDF equals the batch effect; identical rewrites cancel; carried files never read; diff(v,v) empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_spec").toString
+    try {
+      MergeInto.mergeFiles(spark, dir,
+        Seq((1L, "d1", 10.0), (2L, "d2", 20.0), (3L, "d3", 30.0), (4L, "d4", 40.0))
+          .toDF("id", "day", "v"), Seq("id"), "day")
+      val batch = Seq(
+        (1L, "d1", 11.0, false), // update
+        (2L, "d2", 20.0, true),  // delete
+        (5L, "d1", 50.0, false), // insert
+        (3L, "d3", 30.0, false)) // matched with IDENTICAL content
+        .toDF("id", "day", "v", "del")
+      MergeInto.mergeFiles(spark, dir, batch, Seq("id"), "day", Some("del"),
+        retainVersions = 2)
+      val diff = MergeInto.diffSnapshots(spark, dir, 0L, 1L, Seq("id"))
+      val got = diff
+        .select(col("id"), col("change"),
+          col("before.v").as("bv"), col("after.v").as("av"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+      // row 3's partition WAS rewritten (its key matched) but the row is
+      // byte-identical — the struct-equality filter cancels it
+      assert(got == Seq(
+        (1L, "update", Some(10.0), Some(11.0)),
+        (2L, "delete", Some(20.0), None),
+        (5L, "insert", None, Some(50.0))), got.toString)
+      // the 100 TB property: partition d4 was untouched, its file is
+      // carried by BOTH manifests, and it must enter NEITHER side of the
+      // diff's scan (diff cost tracks change volume, not snapshot size)
+      val d4files = new java.io.File(s"$dir/day=d4").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(d4files.nonEmpty)
+      assert(diff.inputFiles.forall(f => !d4files.exists(f.contains)),
+        "carried (unchanged) file entered the diff scan")
+      assert(MergeInto.diffSnapshots(spark, dir, 1L, 1L, Seq("id")).isEmpty)
+    } finally graft.Fs.rmTree(dir)
+  }
+
+  test("mergeFiles: widened source types cast back to the manifest schema (target-schema-wins)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow_schema").toString
+    try {
+      val base = Seq((1L, "d1", BigDecimal("10.00")), (2L, "d2", BigDecimal("20.00")))
+        .toDF("id", "day", "v")
+        .select(col("id"), col("day"), col("v").cast("decimal(18,2)").as("v"))
+      MergeInto.mergeFiles(spark, dir, base, Seq("id"), "day")
+      // DECIMAL(18,2) + 1 widens to (19,2) — parquet would switch from
+      // INT64 to FIXED_LEN_BYTE_ARRAY and break reads under the pinned
+      // manifest schema if the merge didn't cast back
+      MergeInto.mergeFiles(spark, dir,
+        base.filter(col("id") === 1L).withColumn("v", col("v") + 1),
+        Seq("id"), "day")
+      val snap = MergeInto.readSnapshot(spark, dir)
+      assert(snap.schema("v").dataType.simpleString == "decimal(18,2)")
+      val got = snap.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toSeq
+      assert(got == Seq((1L, "11.00"), (2L, "20.00")), got.toString)
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("mergeScd2: changed keys close+reopen, unchanged and history pass through, new keys insert") {
     import spark.implicits._
     val dim = Seq(
