@@ -76,6 +76,9 @@ object MergeInto {
   private def esc(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
+  private def unesc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
   private def hfs(spark: org.apache.spark.sql.SparkSession,
                   p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -342,10 +345,31 @@ object MergeInto {
       .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     // step 3: new files in, old files untouched, one-rename publish
     val next = cur + 1
+    val moved = moveIn(spark, root, merged, partitionCol, affected, next)
+    val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
+    val newFiles = carried ++ moved
+    writeManifest(spark, dir, next, schema, newFiles) // THE commit point
+    vacuum(spark, dir, retainVersions)
+    (liveParts(newFiles), affected.size.toLong)
+  }
+
+  /** Write `df` partitioned by `partitionCol` into a scratch dir, move
+    * its data files into the live partition dirs under version-prefixed
+    * names, and return the moved files' manifest-relative paths. Shared
+    * pre-commit machinery for [[mergeFiles]] and [[compactSnapshot]]:
+    * until the caller's manifest rename, every moved file is an
+    * unreferenced orphan that readers (and [[vacuum]]) handle.
+    */
+  private def moveIn(spark: org.apache.spark.sql.SparkSession,
+                     root: org.apache.hadoop.fs.Path, df: DataFrame,
+                     partitionCol: String, values: Set[String],
+                     next: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(spark, root)
     val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
-    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     val moved = Seq.newBuilder[String]
-    affected.foreach { v =>
+    values.foreach { v =>
       val dstDir = new Path(root, s"$partitionCol=${esc(v)}")
       val srcDir = new Path(tmp, s"$partitionCol=${esc(v)}")
       if (fs.exists(srcDir)) {
@@ -361,11 +385,56 @@ object MergeInto {
       }
     }
     fs.delete(tmp, true)
+    moved.result()
+  }
+
+  /** Small-file compaction as a NEW snapshot version — the OPTIMIZE-style
+    * operational pass over the versioned store ([[Compaction]] is the
+    * un-versioned form). Partitions referencing more than
+    * `maxFilesPerPartition` data files are rewritten into one file each
+    * (`repartition(partitionCol)` → one shuffle task owns each partition
+    * value); every other partition's manifest entries carry forward
+    * verbatim, so cost tracks the FRAGMENTED fraction, not snapshot
+    * size. Content is row-identical by construction: the slice is read
+    * under the manifest's pinned schema and written back with no casts,
+    * filters, or merges — only the file layout changes.
+    *
+    * Publishes exactly like [[mergeFiles]]: new files move in first, ONE
+    * manifest rename commits v(N+1), a crash at any point leaves only
+    * unreferenced orphans, and readers of version N (still retained)
+    * keep their own file list — compaction never blocks or corrupts a
+    * concurrent time-travel read.
+    *
+    * Returns (partitions_compacted, files_removed).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      partitionCol: String, maxFilesPerPartition: Int = 1,
+                      retainVersions: Int = 2): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"no committed snapshot under $dir — nothing to compact")
+    val (schema, curFiles) = readManifest(spark, dir, cur)
+    def partOf(rel: String) = rel.takeWhile(_ != '/')
+    val byPart = curFiles.groupBy(partOf)
+    val affectedDirs = byPart.collect {
+      case (d, fsOfD) if fsOfD.size > maxFilesPerPartition => d
+    }.toSet
+    if (affectedDirs.isEmpty) return (0L, 0L)
+    val affectedVals =
+      affectedDirs.map(d => unesc(d.stripPrefix(s"$partitionCol=")))
+    val slice = readSnapshot(spark, dir, Some(cur))
+      .filter(col(partitionCol).isin(affectedVals.toSeq: _*))
+      .repartition(col(partitionCol))
+    val next = cur + 1
+    val root = new Path(dir)
+    val moved = moveIn(spark, root, slice, partitionCol, affectedVals, next)
     val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
-    val newFiles = carried ++ moved.result()
-    writeManifest(spark, dir, next, schema, newFiles) // THE commit point
+    writeManifest(spark, dir, next, schema, carried ++ moved) // commit point
     vacuum(spark, dir, retainVersions)
-    (liveParts(newFiles), affected.size.toLong)
+    val oldCount = affectedDirs.toSeq.map(byPart(_).size).sum.toLong
+    (affectedDirs.size.toLong, oldCount - moved.size)
   }
 
   /** Kimball type-2 merge: close the current version of every key whose

@@ -326,6 +326,32 @@ object OperatorQueries extends QueryPack {
       rows.toDF("version", "n_rows", "n_files").orderBy("version")
     }),
 
+    // versioned small-file compaction: bootstrap a deliberately
+    // fragmented snapshot (repartition(8) → 8 files per status
+    // partition), compact to one file each as a NEW manifest version,
+    // report per-version (rows, files) — rows must be invariant, files
+    // collapse to the partition count. Layout-only invariants proven in
+    // MergeSpec; this entry pins the end-to-end shape on real data.
+    "s_snapshot_compact" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_csnap").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .repartition(8)
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 3)
+      graft.operators.MergeInto.compactSnapshot(s, base, "o_orderstatus",
+        retainVersions = 3)
+      val rows = (0L to graft.operators.MergeInto.currentVersion(s, base))
+        .map { v =>
+          val snap_v = graft.operators.MergeInto.readSnapshot(s, base, Some(v))
+          (v, snap_v.count(), snap_v.inputFiles.length.toLong)
+        }
+      rmTree(base)
+      rows.toDF("version", "n_rows", "n_files").orderBy("version")
+    }),
+
     // small-file compaction (the OPTIMIZE-style operational pass):
     // fragment one day of events into 24 tiny files, compact, report the
     // file counts + bytes rewritten; invariants proven in LayoutSpec

@@ -214,6 +214,49 @@ class MergeSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("compactSnapshot: fragmented partitions collapse to one file; content identical; untouched files carried; time travel intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csnap_spec").toString
+    try {
+      // 'd:1' fragments into 8 files via repartition(8) and needs path
+      // escaping (exercises the dir-name → value unescape); 'd2' holds a
+      // single row → single file → must be carried, not rewritten
+      val frag = ((1L to 16L).map(i => (i, "d:1", i * 1.0)) :+ ((100L, "d2", 1.0)))
+        .toDF("id", "day", "v")
+        .repartition(8)
+      MergeInto.mergeFiles(spark, dir, frag, Seq("id"), "day", retainVersions = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      def files(day: String) = {
+        val d = new java.io.File(s"$dir/day=$day")
+        if (!d.exists) Map.empty[String, Long]
+        else d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+      }
+      val want = rows(MergeInto.readSnapshot(spark, dir))
+      val d1Before = files("d%3A1").size
+      val d2Before = files("d2")
+      assert(d1Before > 1, s"setup must fragment d:1, got $d1Before file(s)")
+      assert(d2Before.size == 1, s"setup wants a single-file d2, got ${d2Before.size}")
+      val (nParts, nRemoved) = MergeInto.compactSnapshot(
+        spark, dir, "day", retainVersions = 3)
+      assert(nParts == 1L, s"only d:1 needed compaction, got $nParts")
+      assert(nRemoved == d1Before - 1, s"removed $nRemoved of $d1Before")
+      assert(MergeInto.currentVersion(spark, dir) == 1L)
+      val compacted = MergeInto.readSnapshot(spark, dir)
+      assert(rows(compacted) == want, "compaction changed snapshot content")
+      assert(compacted.inputFiles.length == 2,
+        s"want one file per partition, got ${compacted.inputFiles.length}")
+      assert(files("d2") == d2Before, "single-file partition was rewritten")
+      // v0 (retained) still reads the pre-compaction layout
+      val v0 = MergeInto.readSnapshot(spark, dir, Some(0L))
+      assert(rows(v0) == want && v0.inputFiles.length == d1Before + 1)
+      // already-compact snapshot → metadata-only no-op, no new version
+      assert(MergeInto.compactSnapshot(spark, dir, "day") == (0L, 0L))
+      assert(MergeInto.currentVersion(spark, dir) == 1L)
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("mergeFiles: widened source types cast back to the manifest schema (target-schema-wins)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cow_schema").toString
