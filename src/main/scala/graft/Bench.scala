@@ -29,13 +29,29 @@ object Bench {
     * the number host-load noise can't fake (VERDICT r6: four rounds of
     * warm-vs-driver adjudication because single cold runs carry ±2-3×
     * noise). `warm_total` sums the warm times.
+    *
+    * Round-8 (VERDICT r7 item 2): a failing query can no longer masquerade
+    * as a 50 ms success — its `queries` value is the string "err", it is
+    * EXCLUDED from both totals, and the line carries `n_failed` plus an
+    * `errors` name→message map.
     */
   private def jsonLine(total: Double, warmTotal: Double,
-                       entries: Seq[(String, Double)],
-                       sfDir: String, n: Int): String = {
-    val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"queries are warm (2nd run); value is cold total","warm_total":${fmt(warmTotal)},"queries":$qs,"sf":"$sfDir","n_queries":$n}"""
+                       entries: Seq[(String, Either[String, Double])],
+                       errors: Seq[(String, String)],
+                       sfDir: String, n: Int, withErrors: Boolean): String = {
+    val qs = entries.map {
+      case (k, Right(v)) => "\"" + k + "\":" + fmt(v)
+      case (k, Left(_))  => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val esc = (s: String) => s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val errField =
+      if (!withErrors) ""
+      else errors.map { case (k, m) => "\"" + k + "\":\"" + esc(m) + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"queries are warm (2nd run); value is cold total; failed queries are 'err' and excluded from totals","warm_total":${fmt(warmTotal)},"n_failed":${errors.size}$errField,"queries":$qs,"sf":"$sfDir","n_queries":$n}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,20 +94,25 @@ object Bench {
       .filter { case (name, _) =>
         only.forall(o => o.contains(name) || o.exists(name.contains)) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left((e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).linesIterator.mkString(" ").take(200))
+        }
       }
       val cold = once()
-      val warm = once()
+      val warm = if (cold.isRight) once() else cold
       spark.catalog.clearCache()
       (name, cold, warm)
     }
-    val total = results.map(_._2).sum
-    val warmTotal = results.map(_._3).sum
+    val total = results.flatMap(_._2.toOption).sum
+    val warmTotal = results.flatMap(_._3.toOption).sum
     val warmEntries = results.map { case (n, _, w) => n -> w }
-    val full = jsonLine(total, warmTotal, warmEntries, sfDir, results.length)
+    val errors = results.collect { case (n, _, Left(m)) => n -> m }
+    val full = jsonLine(total, warmTotal, warmEntries, errors, sfDir,
+      results.length, withErrors = true)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -111,7 +132,8 @@ object Bench {
     println(full)
     val byName = warmEntries.toMap
     val compact = jsonLine(total, warmTotal,
-      headline.flatMap(q => byName.get(q).map(q -> _)), sfDir, results.length)
+      headline.flatMap(q => byName.get(q).map(q -> _)), errors, sfDir,
+      results.length, withErrors = false)
     println(compact)
   }
 }

@@ -167,11 +167,15 @@ object PipelineQueries extends QueryPack {
     // their own cluster; split = md5 bucket of the CLUSTER id (13/2/1
     // sixteenths ≈ 81/12/6). One pair join + one label propagation +
     // one broadcast-ish left join of labels back to the corpus — the
-    // labels table is |docs-in-pairs| ≪ corpus at 100 TB.
+    // labels table is |docs-in-pairs| ≪ corpus at 100 TB. df-cutoff 50
+    // (same valve as q_curate_fuzzy, mirrored in the oracle CTE) bounds a
+    // viral shingle's pair fan-out to cutoff² — without it this is the one
+    // df² scale-killer in the repo (VERDICT r7 item 6).
     "q_split_leakage" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
       val labels = graft.operators.DedupClusters.components(
-        graft.operators.NgramJaccard.pairs(docs, sorted = false))
+        graft.operators.NgramJaccard.pairs(docs, dfCutoff = Some(50L),
+          sorted = false))
       val ch = substring(md5(col("cluster_id").cast("string")), 1, 1)
       val bucket = when(ch.between("0", "9"), ascii(ch) - 48)
         .otherwise(ascii(ch) - 87)
@@ -280,7 +284,7 @@ object PipelineQueries extends QueryPack {
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_split_leakage" ->
-      s"""WITH RECURSIVE $ngramPairsCtes,
+      s"""WITH RECURSIVE ${ngramPairsCtesFor("documents", Some(50L))},
         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
         |          UNION ALL
         |          SELECT b_id, a_id FROM pairs),

@@ -38,17 +38,25 @@ class OracleMirrorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("events loader regression: micros truncation matches DuckDB semantics") {
-    // SURVEY.md §5.3.6 — would have caught the /1000 double-rounding bug:
-    // integer-div micros must reconstruct every raw nano value's prefix.
-    // SQL `div` truncates toward zero (Scala `/` semantics) — identical to
-    // floor for the post-epoch timestamps this data guarantees; a pre-epoch
-    // corpus would need an explicit floor-div formulation in the loader.
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").select(col("ts").as("ns"))
+  test("events loader regression: ts arrives as exact micros TIMESTAMP_NTZ") {
+    // SURVEY.md §5.3.6 — schema-adaptive twin of the adaptive loader. On a
+    // NANOS layout (nanosAsLong → BIGINT) it would have caught the /1000
+    // double-rounding bug: integer-div micros must reconstruct every raw
+    // nano value's prefix. On the current MICROS layout the loader must be
+    // a value-exact identity. SQL `div` truncates toward zero — identical
+    // to floor for the post-epoch timestamps this data guarantees.
+    import org.apache.spark.sql.functions.unix_micros
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val viaLoader = Tables.events(spark, sfDir)
-      .select(org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp")).as("us"))
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"))
       .collect().map(_.getLong(0)).sorted
-    val expected = raw.collect().map(_.getLong(0) / 1000L).sorted
+    val expected = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.select(col("ts")).collect().map(_.getLong(0) / 1000L)
+      case _ =>
+        raw.select(unix_micros(col("ts").cast("timestamp")).as("us"))
+          .collect().map(_.getLong(0))
+    }).sorted
     assert(viaLoader.toSeq == expected.toSeq)
     assert(expected.headOption.forall(_ >= 0), "pre-epoch data would need a floor-div loader")
   }
