@@ -54,17 +54,29 @@ object MiscQueries extends QueryPack {
     // double, so the ordering key packs (cents, custkey) into one exact
     // BIGINT — floor(bal*100 + 0.5) is stable for 2-dp doubles in both
     // engines, ×1e9 leaves custkey room, and ties become impossible.
+    // max_by/min_by with a string payload forces SortAggregate (the
+    // non-primitive-buffer fallback, round-6 lesson: sorts EVERY partition
+    // by group key). Instead: count via plain HashAggregate, each extremum
+    // row via the GraftTopK custom plan k=1 (O(n) scan, O(parts·keys)
+    // exchange), then a 25-row join to stitch. ord ≈ cents·1e9 + custkey
+    // ≤ ~1e15 < 2^53, so the exec's double compare is exact; min side
+    // negates ord (custkey sign flips too, but ord stays unique and
+    // min(ord) = -max(-ord) — the selected ROW is identical).
     "q_agg_argmax" -> ((s, dir) => {
       val c = Tables.t(s, dir, "customer").withColumn("ord",
         expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000 + c_custkey"))
       val n = broadcast(Tables.t(s, dir, "nation"))
-      c.join(n, c("c_nationkey") === n("n_nationkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_cust"),
-          expr("max_by(c_name, ord)").as("top_name"),
-          expr("max_by(c_acctbal, ord)").as("top_bal"),
-          expr("min_by(c_name, ord)").as("low_name"),
-          expr("min_by(c_acctbal, ord)").as("low_bal"))
+      val j = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("c_name"), col("c_acctbal"), col("ord"),
+          (-col("ord")).as("nord"))
+      val cnt = j.groupBy("n_name").agg(count(lit(1)).as("n_cust"))
+      val top = graft.plans.GraftTopK.perKey(j, "n_name", "ord", "ord", 1)
+        .select(col("n_name"), col("c_name").as("top_name"),
+          col("c_acctbal").as("top_bal"))
+      val low = graft.plans.GraftTopK.perKey(j, "n_name", "nord", "nord", 1)
+        .select(col("n_name"), col("c_name").as("low_name"),
+          col("c_acctbal").as("low_bal"))
+      cnt.join(top, Seq("n_name")).join(low, Seq("n_name"))
         .orderBy("n_name")
     }),
 
