@@ -63,6 +63,52 @@ object TokenPacker {
       .orderBy("doc_id")
   }
 
+  /** Systematic weighted sampling — the deterministic data-selection
+    * primitive behind "pick ~n documents proportionally to weight": lay
+    * documents on the cumulative-weight axis in doc_id order, drop a pick
+    * point at every multiple of step = ⌊W / n⌋, and select each document
+    * whose weight interval (cum−w, cum] covers ≥ 1 pick point. A document
+    * heavier than step is picked multiple times (`n_picks` > 1) — exactly
+    * proportional-to-size sampling with a deterministic grid instead of a
+    * random offset, so both engines agree bit-for-bit on integer math.
+    *
+    * Same two-pass distributed prefix sum as [[packContiguous]] (range
+    * exchange + per-partition offsets); no global sort, no single reducer.
+    * Returns (doc_id, weight, cum_weight, n_picks) for selected docs,
+    * ordered by doc_id.
+    */
+  def systematic(counts: DataFrame, n: Long, partitions: Int = 32): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val rdd = counts
+      .select(col("doc_id"), col("weight").cast("long").as("weight"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    require(total >= n,
+      s"total weight $total < sample size $n — every unit would be picked")
+    val step = total / n
+    rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var run = offsets(i)
+        it.flatMap { case (id, w) =>
+          val before = run; run += w
+          val picks = run / step - before / step
+          if (picks > 0) Some((id, w, run, picks)) else None
+        }
+      }
+      .toDF("doc_id", "weight", "cum_weight", "n_picks")
+      .orderBy("doc_id")
+  }
+
   /** Greedy quality-ranked selection under a global token budget: rank
     * documents by (score desc, doc_id), select each document whose
     * INCLUSIVE running token total still fits (no overhang — the strict

@@ -100,6 +100,18 @@ object CurationQueries extends QueryPack {
     "q_select_budget" -> ((s, dir) =>
       TokenPacker.selectBudget(Tables.t(s, dir, "documents"), budget = 20000L)),
 
+    // ---- systematic proportional-to-weight sampling (~100 picks) ----
+    // deterministic pick grid on the cumulative-token axis (no random
+    // offset, so DuckDB agrees bit-for-bit); the oracle's global-window
+    // cumsum runs as the same two-pass distributed prefix sum as
+    // q_pack_contiguous (TokenPacker.systematic)
+    "q_select_systematic" -> ((s, dir) =>
+      TokenPacker.systematic(
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("weight")),
+        n = 100L)),
+
     // ---- DSIR-style importance weighting (Xie et al., "Data Selection
     // for Language Models via Importance Resampling", 2023) ----
     // score(doc) = mean over token positions of ln(p_target / p_raw)
@@ -278,6 +290,23 @@ object CurationQueries extends QueryPack {
         |      FROM s)
         |SELECT doc_id, score, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    "q_select_systematic" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+        |  FROM documents),
+        |c AS (SELECT doc_id, weight,
+        |        CAST(SUM(weight) OVER (ORDER BY doc_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cum_weight
+        |      FROM s),
+        |t AS (SELECT CAST(SUM(weight) // 100 AS BIGINT) AS step FROM s)
+        |SELECT doc_id, weight, cum_weight,
+        |  CAST(cum_weight // step - (cum_weight - weight) // step AS BIGINT)
+        |    AS n_picks
+        |FROM c, t
+        |WHERE cum_weight // step > (cum_weight - weight) // step
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, rn FROM (

@@ -221,6 +221,76 @@ object EventQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // RFM segmentation: per purchasing user, Recency (days since last
+    // purchase vs the corpus' latest purchase day), Frequency (purchase
+    // count), Monetary (decimal-exact value sum), each scored into
+    // quintiles. Ties in every ntile ordering are broken by user_id so the
+    // quintile boundaries are engine-independent; monetary is an exact
+    // 2-dp decimal rendered as double, so its sort order can't diverge.
+    // Scale shape: the event stream reduces to ONE row per user before
+    // any window; the three global ntiles run over |users| rows (the
+    // ScalableNtile range-partitioned rank is the documented huge-|users|
+    // twin, s_win_ntile_scalable).
+    "q_evt_rfm" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"), col("value"))
+      val per = p.groupBy("user_id").agg(
+        max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(col("value").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double").as("monetary"))
+      val ref = p.agg(max("day").as("ref_day"))
+      val rw = Window.orderBy(col("recency_days").asc, col("user_id"))
+      val fw = Window.orderBy(col("frequency").desc, col("user_id"))
+      val mw = Window.orderBy(col("monetary").desc, col("user_id"))
+      per.crossJoin(broadcast(ref))
+        .withColumn("recency_days",
+          datediff(col("ref_day"), col("last_day")).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          ntile(5).over(rw).cast("int").as("r_score"),
+          ntile(5).over(fw).cast("int").as("f_score"),
+          ntile(5).over(mw).cast("int").as("m_score"))
+        .withColumn("rfm",
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .cast("int"))
+        .orderBy("user_id")
+    }),
+
+    // bounce/depth per day: gap-sessionize (the q_evt_session_30min
+    // machinery), then per session-start day count sessions, one-event
+    // "bounce" sessions, bounce rate and mean session depth — the
+    // engagement roll-up read next to DAU/WAU. Ratios are rounded
+    // integer-over-integer divisions, exact in both engines.
+    "q_evt_bounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("brk").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("us").as("start_us"))
+        .groupBy(timestamp_micros(col("start_us")).cast("timestamp_ntz")
+          .cast("date").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1).otherwise(0)).cast("long")
+            .as("n_bounce"),
+          sum("n_events").as("tot_events"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+            .as("bounce_rate"),
+          round(col("tot_events").cast("double") / col("n_sessions"), 6)
+            .as("avg_depth"))
+        .orderBy("day")
+    }),
+
     "q_evt_dedup_minute" -> ((s, dir) =>
       // explicit null filter: Spark's multi-arg countDistinct drops rows
       // with any NULL while DuckDB's tuple-DISTINCT would count them —
@@ -362,6 +432,56 @@ object EventQueries extends QueryPack {
         |  COUNT(*) FILTER (WHERE abs(ROUND((value - mu) / sigma, 6)) > 3) AS n_outliers
         |FROM ev e JOIN stats s USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_evt_rfm" ->
+      """WITH p AS (SELECT user_id,
+        |             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |             value
+        |           FROM events
+        |           WHERE event_type = 'purchase'
+        |             AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (SELECT user_id, MAX(day) AS last_day,
+        |          CAST(COUNT(*) AS BIGINT) AS frequency,
+        |          CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0)
+        |               AS DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |        FROM p GROUP BY 1),
+        |ref AS (SELECT MAX(day) AS ref_day FROM p),
+        |sc AS (SELECT user_id,
+        |         CAST(date_diff('day', last_day, ref_day) AS BIGINT) AS recency_days,
+        |         frequency, monetary
+        |       FROM per, ref),
+        |scored AS (SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
+        |  FROM sc)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+        |FROM scored ORDER BY user_id""".stripMargin,
+
+    "q_evt_bounce" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flagged AS (SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sess AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |agg AS (SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us
+        |        FROM sess GROUP BY 1, 2),
+        |byday AS (SELECT CAST(date_trunc('day', make_timestamp(start_us)) AS DATE) AS day,
+        |            CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |            CAST(SUM(n_events) AS BIGINT) AS tot_events
+        |          FROM agg GROUP BY 1)
+        |SELECT day, n_sessions, n_bounce,
+        |  ROUND(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+        |  ROUND(CAST(tot_events AS DOUBLE) / n_sessions, 6) AS avg_depth
+        |FROM byday ORDER BY day""".stripMargin,
 
     "q_evt_dedup_minute" ->
       """SELECT COUNT(*) AS n_before,

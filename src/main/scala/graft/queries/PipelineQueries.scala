@@ -189,6 +189,31 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // ---- per-doc novelty: fraction of the doc's distinct 3-gram
+    // shingles that appear NOWHERE else in the corpus (df = 1) ----
+    // the contribution/diversity metric a curation pass reads next to
+    // quality scores: low novelty = the doc is mostly restatement.
+    // Shape: one shuffle keyed on shingle (window df count — no second
+    // exchange for a join-back), one doc_id aggregate. No pair join at
+    // all, so corpus size only enters linearly; at 100 TB the shingle
+    // strings would be xxhash64'd (same discipline as decontamination).
+    "q_text_novelty" -> ((s, dir) => {
+      val dfw = Window.partitionBy("sgl")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("sgl"))
+        .withColumn("df", count(lit(1)).over(dfw))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1).otherwise(0)).cast("long").as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
+
     // ---- near-dup by embedding cosine (exact pair scan at test scale) ----
     // shares SimQueries.withNorm so the kernel prep stays bitwise-aligned
     // with the exact-topk twin; threshold compares the UNROUNDED sim (cross-
@@ -308,6 +333,19 @@ object PipelineQueries extends QueryPack {
         |       WHEN bucket < 15 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "q_text_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sgl
+        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |w AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sgl) AS df FROM sh)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novelty
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

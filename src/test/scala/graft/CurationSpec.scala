@@ -58,6 +58,29 @@ class CurationSpec extends SparkSpec {
     assert(bins == (0L until bins.length).toList, s"bins not contiguous: $bins")
   }
 
+  test("TokenPacker.systematic: ~n proportional picks, invariant to partition width") {
+    val counts = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("weight"))
+    val got = TokenPacker.systematic(counts, n = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pick-count conservation: Σ n_picks = ⌊W/step⌋ ∈ [n, n + W/step excess)
+    val total = counts.agg(sum("weight")).collect()(0).getLong(0)
+    val step = total / 100L
+    assert(got.map(_._4).sum == total / step,
+      "total picks must equal the number of grid points covered")
+    assert(got.map(_._4).sum >= 100L)
+    // proportionality: any doc heavier than step is picked at least once
+    val byId = got.map(g => g._1 -> g._4).toMap
+    counts.filter(col("weight") >= step).collect().foreach { r =>
+      assert(byId.getOrElse(r.getLong(0), 0L) >= 1L,
+        s"doc ${r.getLong(0)} heavier than step $step was never picked")
+    }
+    // determinism: same picks regardless of the repartition width
+    val got7 = TokenPacker.systematic(counts, n = 100L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got7.toSeq == got.toSeq, "picks must be partition-width invariant")
+  }
+
   test("TokenPacker on empty input: empty result, no error") {
     val empty = Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 0)
     assert(TokenPacker.packContiguous(empty, 2000L).count() == 0L)
