@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the trained-classifier step a modern
+  * corpus pipeline runs after heuristic gates (the FineWeb-Edu /
+  * fastText-filter pattern: score every document with a tiny linear model,
+  * keep the top slice). This is a distributed logistic regression on
+  * hashed bag-of-words features, trained by full-batch gradient descent
+  * with a FIXED epoch count and deterministic arithmetic.
+  *
+  * Scale shape (100 TB):
+  *  - The feature table (doc_id, bucket, x) is built ONCE, repartitioned
+  *    by doc_id and localCheckpoint'ed (the round-5 iterative-op
+  *    discipline: checkpoint static state before the loop).
+  *  - Per epoch: margins reduce per doc WITHOUT an exchange (the groupBy
+  *    rides the checkpointed doc_id partitioning), the per-doc error joins
+  *    features co-partitioned on doc_id (again no exchange), and the
+  *    gradient groupBy(bucket) partial-aggregates map-side, so its
+  *    exchange carries ≤ partitions × dim rows — dim-bounded, never
+  *    corpus-bounded. The driver collects dim+1 longs per epoch.
+  *  - Scoring is one map-only pass against broadcast weights.
+  *
+  * Determinism: double summation is partition-order sensitive, so every
+  * distributed sum here is fixed-point — contributions are scaled by 2^24
+  * and floored to BIGINT before aggregation (the embedding-centroid
+  * trick): associative, order-independent, bit-identical at any partition
+  * count. The only doubles are driver-side weight updates computed from
+  * those exact integer sums.
+  */
+object QualityModel {
+
+  private val FX = 16777216.0 // 2^24
+
+  /** Hashed relative-frequency token features: (doc_id, bucket, x) with
+    * x = count(tokens in bucket) / n_tokens. Frequencies, not presence:
+    * on a shared-vocabulary corpus (every class contains every stopword
+    * at SOME rate) the class signal lives in the rates — a presence bag
+    * measurably failed to beat the majority class on the langid fixture.
+    * The ~1/n feature scale is compensated by the default learning rate.
+    */
+  def features(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("n"),
+        explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("n"),
+        pmod(xxhash64(col("token")), lit(dim)).cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket", "n")
+      .agg(count(lit(1)).cast("double").as("c"))
+      .select(col("doc_id"), col("bucket"), (col("c") / col("n")).as("x"))
+  }
+
+  /** The demo weak-supervision teacher: label = 1 iff the document's rate
+    * of reference-vocabulary tokens clears a threshold — the
+    * "resembles the target domain" gate a pipeline distills into a model
+    * so the expensive rule (here trivial; in production an LLM judge or
+    * curated domain list) runs once on a slice, not on every crawl.
+    * Linear in unigram rates, hence honestly learnable by this model —
+    * unlike the fixture's `lang` column, which is independent of the
+    * text (measured: per-lang stopword rates are identical).
+    */
+  def allowlistLabels(docs: DataFrame,
+                      vocab: Seq[String] = Seq("fast", "index", "cache",
+                        "stream", "hash", "sort"),
+                      threshold: Double = 0.13): DataFrame = {
+    val toks = split(col("text"), " ")
+    val allow = array(vocab.map(lit): _*)
+    val rate = size(filter(toks, t => array_contains(allow, t)))
+      .cast("double") / size(toks)
+    docs.select(col("doc_id"), (rate >= threshold).cast("int").as("label"))
+  }
+
+  /** Train `epochs` full-batch GD steps of L2-regularized logistic
+    * regression. `labeled` must carry (doc_id, label ∈ {0,1}) for every
+    * document in `docs`. Returns dim+1 weights (index dim = bias).
+    */
+  def train(docs: DataFrame, labeled: DataFrame, dim: Int = 256,
+            epochs: Int = 10, lr: Double = 10.0, l2: Double = 1e-4): Array[Double] = {
+    // lr calibration (measured on the sf0.001 fixture, balanced classes):
+    // lr 10 → 0.874 accuracy; lr ≥ 50 oscillates — the bias gradient is
+    // O(1) so large steps saturate every sigmoid and training flatlines
+    // at the majority class. Keep lr ≤ ~20 for rel-freq features.
+    val spark = docs.sparkSession
+    // static state, checkpointed once: features co-partitioned with labels
+    // on doc_id so the per-epoch join and per-doc reduce are exchange-free
+    val feat = features(docs, dim)
+      .repartition(col("doc_id")).localCheckpoint()
+    val lab = labeled.select(col("doc_id"), col("label").cast("double").as("y"))
+      .repartition(col("doc_id")).localCheckpoint()
+    // class-balanced loss: weight each class's errors by 1/(2·prior) so a
+    // feature present in BOTH classes at the class base rates contributes
+    // zero gradient — without this, imbalance plus a mostly-shared
+    // vocabulary buries the few discriminative features under a uniform
+    // negative shift (measured: the unbalanced model never beat the
+    // majority class on the langid fixture)
+    val nDocs = lab.count().toDouble
+    val nPos = lab.filter(col("y") === 1.0).count().toDouble
+    require(nPos > 0 && nPos < nDocs, "need both classes present to train")
+    val wPos = nDocs / (2.0 * nPos)
+    val wNeg = nDocs / (2.0 * (nDocs - nPos))
+    val w = Array.fill(dim + 1)(0.0)
+    try {
+      for (_ <- 1 to epochs) {
+        // margin_fx(doc) = Σ_j floor(x_j · w_j · 2^24)  (+ bias below):
+        // fixed-point BEFORE the sum so the reduce is order-independent
+        val wArr = array((0 until dim).map(j => lit(w(j))): _*)
+        val margins = feat
+          .select(col("doc_id"),
+            floor(col("x") * element_at(wArr, col("bucket") + 1) * FX)
+              .cast("long").as("mfx"))
+          .groupBy("doc_id").agg(sum("mfx").as("mfx"))
+        // err = σ(margin) − y, exact given the integer margin
+        val err = lab.join(margins, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            ((lit(1.0) / (lit(1.0) +
+              exp(-(coalesce(col("mfx"), lit(0L)) / FX + lit(w(dim)))))
+              - col("y")) *
+              when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))).as("e"))
+        // gradient: Σ_docs floor(err · x_j · 2^24) per bucket + bias row
+        val gfx = feat.join(err, "doc_id")
+          .select(col("bucket"), floor(col("e") * col("x") * FX).cast("long").as("gfx"))
+          .union(err.select(lit(dim).as("bucket"),
+            floor(col("e") * FX).cast("long").as("gfx")))
+          .groupBy("bucket").agg(sum("gfx").as("gfx"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        for (j <- 0 to dim) {
+          val g = gfx.getOrElse(j, 0L) / FX / nDocs + l2 * w(j)
+          w(j) -= lr * g
+        }
+      }
+      w
+    } finally {
+      // free the checkpoint blocks (iterative-op hygiene)
+      feat.unpersist(); lab.unpersist()
+    }
+  }
+
+  /** Map-only scoring pass: (doc_id, score) with score = σ(w·x + b),
+    * rounded to 6 dp. Weights travel as a plan literal (dim+1 doubles —
+    * the broadcast-dim discipline of q_select_dsir).
+    */
+  def score(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val dim = w.length - 1
+    val wArr = array((0 until dim).map(j => lit(w(j))): _*)
+    features(docs, dim)
+      .select(col("doc_id"),
+        floor(col("x") * element_at(wArr, col("bucket") + 1) * FX)
+          .cast("long").as("mfx"))
+      .groupBy("doc_id").agg(sum("mfx").as("mfx"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("mfx") / FX + lit(w(dim))))), 6)
+          .as("score"))
+  }
+}

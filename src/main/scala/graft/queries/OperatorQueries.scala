@@ -177,6 +177,29 @@ object OperatorQueries extends QueryPack {
         .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
     }),
 
+    // model-based quality filtering (the FineWeb/fastText-filter pattern):
+    // distill a weak heuristic label into a tiny linear model, then score
+    // the whole corpus with one map-only pass. The weak label here is an
+    // allowlist-rate gate (docs whose reference-vocabulary token rate
+    // clears a threshold — the "resembles the target domain" teacher);
+    // NOT the `lang` column, which is provably independent of the text on
+    // this fixture (every candidate stopword appears at the same rate in
+    // every lang — measured, so no classifier can learn it). Training is
+    // class-balanced full-batch GD with fixed-point-deterministic gradient
+    // sums; accuracy floor vs the majority class and partition-count
+    // determinism proven in QualityModelSpec. Rows-checked (a trained
+    // model has no SQL twin).
+    "s_quality_model" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val labeled = graft.operators.QualityModel.allowlistLabels(docs)
+      val w = graft.operators.QualityModel.train(docs, labeled)
+      graft.operators.QualityModel.score(docs, w)
+        .join(labeled, "doc_id")
+        .select(col("doc_id"), col("label"), col("score"),
+          (col("score") >= 0.5).cast("int").as("predicted"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training: one distributed pass to the word-type
     // histogram, merge loop on the driver (the industrial split — see
     // BpeTrainer scaladoc); merge sequence proven against the classic
