@@ -353,6 +353,52 @@ object MergeInto {
     (liveParts(newFiles), affected.size.toLong)
   }
 
+  /** Targeted row delete as a NEW snapshot version — the governance
+    * primitive (GDPR erasure / takedown / contaminated-shard removal) a
+    * training-data store must support as a first-class operation. Deletes
+    * every committed row where `predicate` is TRUE (NULL keeps the row,
+    * SQL DELETE semantics), copy-on-write at PARTITION scope:
+    *
+    *   1. affected partitions resolve from a column-pruned scan of
+    *      (predicate columns, partition) — at 100 TB this reads the
+    *      skinny predicate columns, never the table;
+    *   2. only affected partitions' surviving rows are rewritten as new
+    *      files (retained versions' bytes stay immutable — time travel
+    *      still sees the pre-delete data until [[vacuum]] expires it,
+    *      which is the auditable-erasure window, and `retainVersions = 1`
+    *      makes the erasure immediate);
+    *   3. manifest v(N+1) publishes with the same one-rename commit as
+    *      [[mergeFiles]]; a crash beforehand leaves only orphans.
+    *
+    * Returns (rows_deleted, partitions_rewritten).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column, partitionCol: String,
+                  retainVersions: Int = 2): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    def partOf(rel: String) = rel.takeWhile(_ != '/')
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"deleteWhere: no committed snapshot under $dir")
+    val (schema, curFiles) = readManifest(spark, dir, cur)
+    val target = readSnapshot(spark, dir, Some(cur))
+    val hit = coalesce(predicate, lit(false))
+    val affected = target.filter(hit).select(col(partitionCol))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return (0L, 0L)
+    val affectedDirs = affected.map(v => s"$partitionCol=${esc(v)}")
+    val slice = target.filter(col(partitionCol).isin(affected.toSeq: _*))
+    val kept = slice.filter(!hit)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val deleted = slice.count() - kept.count()
+    val next = cur + 1
+    val root = new Path(dir)
+    val moved = moveIn(spark, root, kept, partitionCol, affected, next)
+    val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
+    writeManifest(spark, dir, next, schema, carried ++ moved) // THE commit point
+    vacuum(spark, dir, retainVersions)
+    (deleted, affected.size.toLong)
+  }
+
   /** Write `df` partitioned by `partitionCol` into a scratch dir, move
     * its data files into the live partition dirs under version-prefixed
     * names, and return the moved files' manifest-relative paths. Shared

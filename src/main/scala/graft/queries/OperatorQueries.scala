@@ -320,6 +320,41 @@ object OperatorQueries extends QueryPack {
       rows.toDF("change", "n_rows").orderBy("change")
     }),
 
+    // GDPR-style targeted erasure over the versioned snapshot: bootstrap
+    // an orders slice as v0, DELETE WHERE a deterministic key set (the
+    // "right to be forgotten" batch), verify via the committed v1 what
+    // survived and via CDC diff that every change is a delete. COW at
+    // partition scope; retained v0 is the auditable-erasure window.
+    "s_snapshot_delete" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_del").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 3)
+      val (nDeleted, nParts) = graft.operators.MergeInto.deleteWhere(
+        s, base, col("o_orderkey") % 13 === 0, "o_orderstatus",
+        retainVersions = 3)
+      val after = graft.operators.MergeInto.readSnapshot(s, base)
+      val survivors = after.count()
+      val leak = after.filter(col("o_orderkey") % 13 === 0).count()
+      val diffDeletes = graft.operators.MergeInto
+        .diffSnapshots(s, base, 0L, 1L, Seq("o_orderkey"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rmTree(base)
+      Seq(
+        ("rows_deleted", nDeleted),
+        ("partitions_rewritten", nParts),
+        ("rows_surviving", survivors),
+        ("deleted_keys_remaining", leak),
+        ("cdc_deletes", diffDeletes.getOrElse("delete", 0L)),
+        ("cdc_nondeletes",
+          diffDeletes.filterNot(_._1 == "delete").values.sum))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // time travel over the manifest store: v0 bootstrap + two merges,
     // every version read back AFTER later versions committed — the
     // retained manifests keep each version's exact file list readable

@@ -94,6 +94,51 @@ class MergeSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("deleteWhere: erases matching rows COW-style; untouched partitions keep their bytes; time travel sees pre-delete data until vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    try {
+      MergeInto.mergeFiles(spark, dir,
+        Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 30.0),
+          (4L, "d3", 40.0), (5L, "d3", 50.0)).toDF("id", "day", "v"),
+        Seq("id"), "day", retainVersions = 3)
+      def files(day: String) = {
+        val d = new java.io.File(s"$dir/day=$day")
+        if (!d.exists) Map.empty[String, Long]
+        else d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+      }
+      val d3Before = files("d3")
+      // delete ids 2 and 3 — hits d1 and d2 (d2 vanishes), d3 untouched
+      val (nDel, nParts) = MergeInto.deleteWhere(
+        spark, dir, col("id") === 2L || col("id") === 3L, "day",
+        retainVersions = 3)
+      assert(nDel == 2L && nParts == 2L, s"($nDel, $nParts)")
+      val got = MergeInto.readSnapshot(spark, dir).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 10.0, "d1"), (4L, 40.0, "d3"), (5L, 50.0, "d3")),
+        got.toString)
+      assert(files("d3") == d3Before, "untouched partition was rewritten")
+      // auditable-erasure window: v0 still reads the deleted rows
+      assert(MergeInto.readSnapshot(spark, dir, Some(0L)).count() == 5L)
+      // CDC classifies the whole change as deletes
+      val diff = MergeInto.diffSnapshots(spark, dir, 0L, 1L, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(diff == Seq((2L, "delete"), (3L, "delete")), diff.toString)
+      // no-match predicate: no new version, zero work
+      val v = MergeInto.currentVersion(spark, dir)
+      assert(MergeInto.deleteWhere(spark, dir, col("id") === 99L, "day") == (0L, 0L))
+      assert(MergeInto.currentVersion(spark, dir) == v, "no-op must not commit")
+      // NULL predicate keeps the row (SQL DELETE semantics)
+      val (n2, _) = MergeInto.deleteWhere(spark, dir,
+        when(col("id") === 1L, lit(true)), "day", retainVersions = 1)
+      assert(n2 == 1L, "only the TRUE row deletes; NULLs keep theirs")
+      // retainVersions=1 → immediate erasure: pre-delete bytes are gone
+      assertThrows[Exception](
+        MergeInto.readSnapshot(spark, dir, Some(0L)).collect())
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("mergeFiles: partition values with ':', ' ', '%' and leading zeros round-trip; null rejected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cow_esc").toString
