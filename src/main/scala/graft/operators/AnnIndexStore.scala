@@ -80,6 +80,12 @@ object AnnIndexStore {
     vectors.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
       .join(assigned, "vec_id")
+      // one exchange keyed on list_id so each list lands in ONE task →
+      // one file per list dir, instead of (#input partitions) tiny files
+      // per dir from a raw partitionBy write (write amplification was the
+      // bulk of s_sim_ann_store's cost); at larger-than-task-size lists
+      // add a bucketing key here to split, the read path is unchanged
+      .repartition(col("list_id"))
       .write.partitionBy("list_id")
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(s"$dir/lists")
