@@ -320,6 +320,63 @@ object OperatorQueries extends QueryPack {
       rows.toDF("change", "n_rows").orderBy("change")
     }),
 
+    // incremental materialized-view maintenance: a revenue-per-status
+    // aggregate maintained from the v0→v1 CDC delta must equal the full
+    // recompute of v1 EXACTLY (decimal sums — the +x/−x fold is exact).
+    // Self-proving output: group counts, value-mismatch count (must be
+    // 0), and the change volume the maintenance actually consumed.
+    "s_agg_ivm" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 3)
+      val view0 = graft.operators.IncrementalView.aggregate(
+        graft.operators.MergeInto.readSnapshot(s, base),
+        Seq("o_orderstatus"), Seq("price")).localCheckpoint()
+      // CDC batch: price bumps, status moves, deletes, inserts
+      val batch = snap.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", col("price") + 1)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 20 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("del", col("o_orderkey") % 30 === 0)
+        .unionByName(snap.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("price"))
+          .withColumn("del", lit(false)))
+      graft.operators.MergeInto.mergeFiles(s, base, batch,
+        Seq("o_orderkey"), "o_orderstatus",
+        tombstoneCol = Some("del"), retainVersions = 3)
+      val diff = graft.operators.MergeInto
+        .diffSnapshots(s, base, 0L, 1L, Seq("o_orderkey")).localCheckpoint()
+      val maintained = graft.operators.IncrementalView.maintain(
+        view0, diff, Seq("o_orderstatus"), Seq("price"))
+      val recomputed = graft.operators.IncrementalView.aggregate(
+        graft.operators.MergeInto.readSnapshot(s, base),
+        Seq("o_orderstatus"), Seq("price"))
+      val m = maintained.select(col("o_orderstatus"),
+        col("cnt").as("m_cnt"), col("price").as("m_price"))
+      val r = recomputed.select(col("o_orderstatus"),
+        col("cnt").as("r_cnt"), col("price").as("r_price"))
+      val cmp = m.join(r, Seq("o_orderstatus"), "full_outer")
+      val mismatches = cmp.filter(
+        !(col("m_cnt") <=> col("r_cnt")) || !(col("m_price") <=> col("r_price")))
+        .count()
+      val out = Seq(
+        ("groups_maintained", m.count()),
+        ("groups_recomputed", r.count()),
+        ("value_mismatches", mismatches),
+        ("cdc_rows_consumed", diff.count()))
+        .toDF("metric", "value").orderBy("metric")
+      val rows = out.collect().toSeq // materialize before the dir vanishes
+      rmTree(base)
+      rows.map(x => (x.getString(0), x.getLong(1))).toDF("metric", "value")
+        .orderBy("metric")
+    }),
+
     // GDPR-style targeted erasure over the versioned snapshot: bootstrap
     // an orders slice as v0, DELETE WHERE a deterministic key set (the
     // "right to be forgotten" batch), verify via the committed v1 what
