@@ -14,7 +14,7 @@ object SparkEntry {
     ScanQueries, JoinQueries, AggQueries, WindowQueries, SortSetQueries,
     FnQueries, TextQueries, SimQueries, EventQueries, SketchQueries,
     PipelineQueries, OperatorQueries, MiscQueries, CurationQueries,
-    AnalyticsQueries, TrainingQueries)
+    AnalyticsQueries, TrainingQueries, ProfileQueries)
 
   /** Flagship query (TPC-H Q1 analog) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

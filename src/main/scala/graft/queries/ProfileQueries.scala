@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the ANALYZE-style passes an engine (and its
+  * operators' own planning decisions) read before touching 100 TB:
+  * per-column statistics and join-key skew diagnostics. Both are exact
+  * and oracle-checked; both reduce the table to stats-sized output in
+  * one scan + dim-bounded aggregates.
+  */
+object ProfileQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // ---- per-column profile of lineitem's numeric measures ----
+    // count / nulls / ndv / min / max / mean per column, one row per
+    // column via a stack unpivot so ONE scan feeds every column's
+    // aggregate (the ANALYZE TABLE shape). Mean is a decimal-exact sum
+    // over count, rounded once.
+    "q_profile_stats" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stacked = Tables.t(s, dir, "lineitem")
+        .select(expr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', $c").mkString(", ") +
+          ") AS (column_name, x)"))
+      stacked.groupBy("column_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("x").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          countDistinct(col("x")).as("ndv"),
+          round(min("x"), 6).as("min_value"),
+          round(max("x"), 6).as("max_value"),
+          // mean via exact micro-units: decimal-exact ×1e6 → BIGINT sum,
+          // then ONE double division chain (bit-identical cross-engine;
+          // decimal division scales differ between engines at the 6th dp)
+          round(sum((col("x").cast("decimal(18,6)") * 1000000).cast("long"))
+            .cast("double") / count(col("x")) / 1e6, 6).as("mean_value"))
+        .orderBy("column_name")
+    }),
+
+    // ---- join-key skew diagnostic over lineitem.l_suppkey ----
+    // the report you read BEFORE choosing a salted join: rows per key
+    // reduce first (map-side combine), then one stats aggregate plus the
+    // top-5 heaviest keys, unioned into a single (metric, value) table.
+    // skew_ratio = max/mean over key weights — the number that says
+    // whether AQE skew-join or salting is needed.
+    "q_profile_skew" -> ((s, dir) => {
+      val perKey = Tables.t(s, dir, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("l_suppkey"))
+      val top = perKey.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(concat(lit("top"), col("rn"), lit("_key_rows")).as("metric"),
+          col("c").cast("double").as("value"))
+      val stats = perKey.agg(
+        count(lit(1)).cast("double").as("n_keys"),
+        sum("c").cast("double").as("n_rows"),
+        max("c").cast("double").as("max_key_rows"),
+        round(avg(col("c").cast("double")), 6).as("mean_key_rows"),
+        round(max("c") / avg(col("c").cast("double")), 6).as("skew_ratio"))
+      val longStats = stats.select(
+        expr("stack(5, 'n_keys', n_keys, 'n_rows', n_rows, " +
+          "'max_key_rows', max_key_rows, 'mean_key_rows', mean_key_rows, " +
+          "'skew_ratio', skew_ratio) AS (metric, value)"))
+      longStats.unionByName(top).orderBy("metric")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_profile_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS column_name, l_quantity AS x FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT x) AS ndv,
+        |  ROUND(MIN(x), 6) AS min_value,
+        |  ROUND(MAX(x), 6) AS max_value,
+        |  ROUND(CAST(SUM(CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |        AS DOUBLE) / COUNT(x) / 1e6, 6) AS mean_value
+        |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_profile_skew" ->
+      """WITH pk AS (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |top AS (SELECT 'top' || rn || '_key_rows' AS metric,
+        |          CAST(c AS DOUBLE) AS value
+        |        FROM (SELECT c, row_number() OVER (ORDER BY c DESC, l_suppkey) AS rn
+        |              FROM pk) t
+        |        WHERE rn <= 5),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_keys,
+        |         CAST(SUM(c) AS DOUBLE) AS n_rows,
+        |         CAST(MAX(c) AS DOUBLE) AS max_key_rows,
+        |         ROUND(AVG(CAST(c AS DOUBLE)), 6) AS mean_key_rows,
+        |         ROUND(MAX(c) / AVG(CAST(c AS DOUBLE)), 6) AS skew_ratio
+        |       FROM pk),
+        |ls AS (SELECT 'n_keys' AS metric, n_keys AS value FROM st
+        |       UNION ALL SELECT 'n_rows', n_rows FROM st
+        |       UNION ALL SELECT 'max_key_rows', max_key_rows FROM st
+        |       UNION ALL SELECT 'mean_key_rows', mean_key_rows FROM st
+        |       UNION ALL SELECT 'skew_ratio', skew_ratio FROM st)
+        |SELECT metric, value FROM ls
+        |UNION ALL SELECT metric, value FROM top
+        |ORDER BY metric""".stripMargin
+  )
+}
