@@ -51,9 +51,12 @@ object Multimodal {
     * None on anything malformed — callers fall back to the stub, so a
     * corrupt blob degrades instead of failing the stage.
     */
-  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
-    // header tokenizer over raw bytes (the pixel section is binary — no
-    // string decode of the whole blob)
+  /** (width, height, pixel-section offset) of a well-formed P6 PPM with
+    * maxval 255 — the shared header walk for [[decodePpm]] and
+    * [[resizePpm]]. Header tokenizer runs over raw bytes (the pixel
+    * section is binary — no string decode of the whole blob).
+    */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     var pos = 0
     def nextToken(): Option[String] = {
       while (pos < bytes.length &&
@@ -74,7 +77,11 @@ object Multimodal {
       maxval <- nextToken().flatMap(_.toIntOption) if maxval == 255
       // exactly one whitespace byte separates maxval from pixel data
       pixels = pos + 1 if bytes.length - pixels >= w.toLong * h * 3
-    } yield {
+    } yield (w, h, pixels)
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] =
+    ppmHeader(bytes).map { case (w, h, pixels) =>
       val n = w * h
       var r = 0L; var g = 0L; var b = 0L
       val lumHist = new Array[Long](11)
@@ -103,6 +110,52 @@ object Multimodal {
       while (k < 11) { out(5 + k) = lumHist(k).toFloat / n; k += 1 }
       out
     }
+
+  /** REAL image resize for P6 PPM: box-average DOWNSAMPLE to tw×th — the
+    * thumbnail/normalize step before feature extraction. Each target
+    * pixel averages its exact source box with integer half-up rounding
+    * (deterministic; box means preserve channel means to ±0.5 LSB, which
+    * the s_mm_resize query verifies on its own output). Emits a valid P6
+    * blob so resize composes with [[decodePpm]] and [[featurize]]
+    * unchanged. None on malformed input or an upscale request (a real
+    * interpolating upscaler is a different operator; refusing beats
+    * silently inventing pixels).
+    */
+  def resizePpm(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive, got ${tw}x$th")
+    ppmHeader(bytes).filter { case (w, h, _) => tw <= w && th <= h }
+      .map { case (w, h, off) =>
+        val head = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](tw * th * 3)
+        var ty = 0
+        while (ty < th) {
+          val y0 = ty * h / th
+          val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+          var tx = 0
+          while (tx < tw) {
+            val x0 = tx * w / tw
+            val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+            var c = 0
+            while (c < 3) {
+              var s = 0L; var cnt = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  s += bytes(off + (y * w + x) * 3 + c) & 0xff
+                  cnt += 1; x += 1
+                }
+                y += 1
+              }
+              out((ty * tw + tx) * 3 + c) = ((s + cnt / 2) / cnt).toByte
+              c += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        head ++ out
+      }
   }
 
   /** REAL decoder for WAV (RIFF, PCM 16-bit little-endian, any channel

@@ -90,6 +90,41 @@ object OperatorQueries extends QueryPack {
           round(avg(element_at(col("features"), 5)), 6).as("avg_lum_sd"))
     }),
 
+    // REAL image resize in-pipeline: 32×32 gradient PPMs (content a pure
+    // function of doc_id) box-averaged down to 8×8, then BOTH versions
+    // decoded by the real parser. Output self-proves fidelity: box
+    // averaging preserves channel means, so the mean-luminance drift
+    // bound (±0.5 LSB ≈ 0.00197 normalized, plus box-geometry slack)
+    // must hold corpus-wide. Map-only at any scale.
+    "s_mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 32; val h = 32
+          val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            px(i * 3) = ((id * 31 + i * 7) % 256).toByte
+            px(i * 3 + 1) = ((id * 17 + i * 13) % 256).toByte
+            px(i * 3 + 2) = ((id * 11 + i * 3) % 256).toByte
+            i += 1
+          }
+          val blob = head ++ px
+          val small = Multimodal.resizePpm(blob, 8, 8).get
+          val lumBig = Multimodal.decodePpm(blob).get(3)
+          val lumSmall = Multimodal.decodePpm(small).get(3)
+          (id, blob.length, small.length,
+            math.abs(lumBig - lumSmall).toDouble)
+        }.toDF("doc_id", "orig_bytes", "resized_bytes", "lum_drift")
+      pairs.agg(count(lit(1)).as("n_images"),
+        min("orig_bytes").as("orig_bytes"),
+        min("resized_bytes").as("resized_bytes"),
+        round(max("lum_drift"), 6).as("max_lum_drift"),
+        sum(when(col("lum_drift") > 0.01, 1).otherwise(0)).cast("long")
+          .as("n_drift_violations"))
+    }),
+
     // typed bounded top-k Aggregator (map-side-combinable window-topk twin)
     "s_topk_per_key" -> ((s, dir) =>
       TopKAggregator.topOrdersPerCustomer(Tables.t(s, dir, "orders"), 3)),

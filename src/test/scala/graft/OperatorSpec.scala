@@ -83,6 +83,37 @@ class OperatorSpec extends SparkSpec {
       graft.operators.Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
   }
 
+  test("ppm resize: box-average is pixel-exact; composes with decode; refuses upscale and garbage") {
+    val M = graft.operators.Multimodal
+    // 4x2 → 2x1: each target pixel averages a 2x2 box, half-up rounding
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val px = Array(
+      255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 255,
+      0, 0, 0,     0, 0, 0,     0, 0, 0,     0, 0, 0).map(_.toByte)
+    val small = M.resizePpm(header ++ px, 2, 1).get
+    assert(new String(small.take(10), "US-ASCII") == "P6\n2 1\n255")
+    val sp = small.drop("P6\n2 1\n255\n".length)
+    // left box {red, green, black, black}: (255+0+0+0)/4 = 64 (63.75 half-up)
+    assert(sp.take(3).map(_ & 0xff).toSeq == Seq(64, 64, 0), sp.take(3).map(_ & 0xff).toSeq)
+    // right box {blue, white, black, black}: B = (255+255)/4 = 128 (127.5 half-up)
+    assert(sp.slice(3, 6).map(_ & 0xff).toSeq == Seq(64, 64, 128), sp.slice(3, 6).map(_ & 0xff).toSeq)
+    // a uniform image resizes to exactly its color at any target dims
+    val uni = ("P6\n6 6\n255\n".getBytes("US-ASCII") ++
+      Array.fill(6 * 6)(Array(10, 200, 77)).flatten.map(_.toByte))
+    for ((tw, th) <- Seq((3, 3), (2, 5), (1, 1))) {
+      val r = M.resizePpm(uni, tw, th).get
+      val body = r.drop(s"P6\n$tw $th\n255\n".length)
+      assert(body.grouped(3).forall(_.map(_ & 0xff).toSeq == Seq(10, 200, 77)),
+        s"uniform ${tw}x$th")
+    }
+    // resized output is a valid PPM for the decoder (composition)
+    assert(M.decodePpm(small).isDefined)
+    // upscale refused; malformed input refused; bad target dims rejected
+    assert(M.resizePpm(header ++ px, 8, 2).isEmpty, "upscale must refuse")
+    assert(M.resizePpm(Array[Byte](1, 2, 3), 1, 1).isEmpty)
+    assertThrows[IllegalArgumentException](M.resizePpm(header ++ px, 0, 1))
+  }
+
   test("approx_top_k (built-in sketch) is exact below sketch capacity") {
     // 1500 distinct users < the sketch's default tracked capacity, so the
     // DataSketches frequent-items result must equal the exact top-10
