@@ -235,6 +235,28 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // k-core decomposition of the nation trade graph (same edge set as
+    // q_graph_triangles): coreness tiers = the densely-connected backbone
+    // a graph-curation pass keeps. Deterministic peel; exact cores proven
+    // on hand graphs (clique / triangle+tail / star / chain) in
+    // OperatorSpec.
+    "s_graph_kcore" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val su = Tables.t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val trade = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("src"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("dst"))
+        .distinct()
+      graft.operators.KCore.coreness(trade)
+        .select(col("id").as("nationkey"), col("core"))
+        .orderBy("nationkey")
+    }),
+
     // BPE tokenizer training: one distributed pass to the word-type
     // histogram, merge loop on the driver (the industrial split — see
     // BpeTrainer scaladoc); merge sequence proven against the classic

@@ -372,6 +372,34 @@ class OperatorSpec extends SparkSpec {
     assert(canon.filter(_._3).map(_._1).toSet == Set(0L, 100L, 200L))
   }
 
+  test("k-core: exact cores on clique, triangle+tail, star, chain, bridged cliques") {
+    import spark.implicits._
+    def cores(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.KCore.coreness(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: everyone core 3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(cores(k4) == Map(1L->3L, 2L->3L, 3L->3L, 4L->3L))
+    // triangle + tail: triangle core 2, tail core 1
+    assert(cores(Seq((1L,2L),(2L,3L),(3L,1L),(3L,4L))) ==
+      Map(1L->2L, 2L->2L, 3L->2L, 4L->1L))
+    // star: EVERY vertex core 1 — the center vanishes with its last leaf
+    // and must not be silently dropped (the vanished-set case)
+    assert(cores(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L))) ==
+      (0L to 5L).map(_ -> 1L).toMap)
+    // chain: all core 1
+    assert(cores(Seq((1L,2L),(2L,3L),(3L,4L))) ==
+      Map(1L->1L, 2L->1L, 3L->1L, 4L->1L))
+    // two K4s + bridge: still core 3 everywhere (the bridge adds degree
+    // but no new dense subgraph); duplicate/reversed edges tolerated
+    val bridged = k4 ++ k4.map { case (a,b) => (a+10, b+10) } ++
+      Seq((4L, 11L), (11L, 4L), (1L, 2L))
+    assert(cores(bridged) ==
+      (Seq(1L,2L,3L,4L,11L,12L,13L,14L).map(_ -> 3L)).toMap)
+    // self-loops ignored; empty input → empty output
+    assert(cores(Seq((1L,1L))).isEmpty)
+  }
+
   test("space-saving: heavy hitters exact within (count, err) bounds under eviction") {
     import spark.implicits._
     // Zipf-ish: item i (1..50) appears ceil(600/i) times — vocab 50 > m=8,
