@@ -19,22 +19,38 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
-  test("PLANS_r8.json: covers every query; sampled digests still match") {
-    val path = java.nio.file.Paths.get("PLANS_r8.json")
+  test("PLANS_r9.json: covers every query; scans visible; sampled digests match") {
+    val path = java.nio.file.Paths.get("PLANS_r9.json")
     assert(java.nio.file.Files.exists(path),
-      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r8.json`")
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r9.json`")
     val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2)).toMap
     val missing = SparkEntry.queries.keySet -- entries.keySet
     assert(missing.isEmpty, s"queries missing from the digest: ${missing.mkString(", ")}")
+    // Every query must READ something — file scan, checkpointed-RDD scan
+    // (iterative ops), or local relation. A digest where all of them are
+    // zero means the traversal went blind again (the round-8 AQE regex
+    // bug: 21/182 digests were near-empty and strategy flips inside
+    // materialized stages were invisible). q_dedup_exact_groups is the
+    // one query that legitimately folds to EmptyRelation at sf0.01
+    // (zero duplicate-text groups there by fixture design).
+    val emptyOk = Set("q_dedup_exact_groups")
+    def cnt(body: String, k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+    val blind = entries.collect { case (q, body)
+      if !emptyOk(q) &&
+        cnt(body, "scans") + cnt(body, "rdd_scans") + cnt(body, "local_scans") == 0 => q }
+    assert(blind.isEmpty,
+      s"digests reading nothing — traversal blind spot or plan bug: ${blind.mkString(", ")}")
     // recompute a sample — a strategy flip in a signature query fails
     // HERE even if no dedicated shape test covers it; regenerate the
-    // artifact when the change is intentional
+    // artifact when the change is intentional (same SF as the artifact:
+    // sf0.01, where AQE doesn't fold plans empty)
     for (q <- Seq("q_scan_filter_project", "q_join_broadcast_dim", "q_join_asof_nearest")) {
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       df.collect()
-      val now = graft.PlanDigest.digest(df.queryExecution.executedPlan.toString)
+      val now = graft.PlanDigest.digest(df.queryExecution.executedPlan)
       val want = """"(\w+)":(\d+)""".r.findAllMatchIn(entries(q))
         .map(m => m.group(1) -> m.group(2).toInt).toMap
       assert(now == want, s"plan drift on $q: committed $want, now $now")
