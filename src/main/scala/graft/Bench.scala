@@ -104,7 +104,7 @@ object Bench {
       }
       val cold = once()
       val warm = if (cold.isRight) once() else cold
-      spark.catalog.clearCache()
+      Blocks.dropAll(spark) // incl. leaked result-checkpoint blocks
       (name, cold, warm)
     }
     val total = results.flatMap(_._2.toOption).sum
@@ -113,6 +113,12 @@ object Bench {
     val errors = results.collect { case (n, _, Left(m)) => n -> m }
     val full = jsonLine(total, warmTotal, warmEntries, errors, sfDir,
       results.length, withErrors = true)
+    // Default file copy is UNTRACKED scratch (gitignored): the driver's
+    // per-round bench also runs this main, and two rounds running it
+    // overwrote the committed local warm baseline. The round-close
+    // baseline is written explicitly to a round-stamped path
+    // (SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_LOCAL_r{N}.json) that no
+    // other invocation ever touches.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -109,7 +109,7 @@ object PlanDigest {
         val d = digest(df.queryExecution.executedPlan)
         val fields = d.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-        spark.catalog.clearCache()
+        Blocks.dropAll(spark)
         Some(s"""  "$name": {$fields}""")
       } catch {
         case e: Throwable =>

@@ -30,6 +30,7 @@ object TimeQ {
             ((System.nanoTime() - t0) / 1e9, n)
           }
           println(f"[timeq] $name%-28s cold ${times(0)._1}%6.2f s  warm ${times(1)._1}%6.2f s  rows ${times(0)._2}")
+          Blocks.dropAll(spark) // same between-query cleanup as Bench
       }
     }
     spark.stop()

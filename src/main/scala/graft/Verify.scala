@@ -36,9 +36,10 @@ object Verify {
           String.valueOf(e.getMessage)).linesIterator.mkString(" ").take(500)
       }
       // operators cache intermediates for intra-query reuse; dropping them
-      // between queries keeps a 100+-query session from accumulating
-      // storage that squeezes later queries
-      spark.catalog.clearCache()
+      // (and leaked result-checkpoint blocks) between queries keeps a
+      // 100+-query session from accumulating storage that squeezes later
+      // queries
+      Blocks.dropAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

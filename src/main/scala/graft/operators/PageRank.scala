@@ -89,13 +89,22 @@ object PageRank {
       .localCheckpoint()
     val hasDangling = !danglingNodes.isEmpty
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val staticIds = sc.getPersistentRDDs.keySet
     var ranks = nodes.crossJoin(nDf)
       .select(col("id"), (lit(1.0) / col("n")).as("rank"))
       .localCheckpoint()
     dbg("ranks init")
+    // ids backing the CURRENT ranks checkpoint — the superseded one is
+    // freed INSIDE the loop as soon as its successor is materialized
+    // (localCheckpoint is eager, so the old blocks back nothing once the
+    // new frame exists). Round 8 kept all `iters` rank tables alive
+    // until exit; in a 182-query bench JVM that block-manager residue
+    // compounded across every query that ran after an iterative one.
+    var curRankIds = sc.getPersistentRDDs.keySet -- staticIds
     var it = 0
     var converged = false
     while (it < iters && !converged) {
+      val idsBeforeRound = sc.getPersistentRDDs.keySet
       // per-edge contribution rank/deg, summed into each destination —
       // the round's one corpus-sized shuffle (the groupBy). SHUFFLE_HASH
       // hints everywhere a rank-sized table meets another: checkpointed
@@ -130,6 +139,12 @@ object PageRank {
             lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
       }).localCheckpoint()
       ranks = next.select(col("id"), col("rank"))
+      // next is materialized — the previous round's rank blocks back
+      // nothing anymore; free them now instead of at exit
+      val newIds = sc.getPersistentRDDs.keySet -- idsBeforeRound
+      curRankIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      curRankIds = newIds
       it += 1
       if (tol > 0.0) {
         // rank-table-sized scan of in-memory checkpoint blocks — cheap;
