@@ -668,5 +668,70 @@ object OperatorQueries extends QueryPack {
         |       CAST(COALESCE(b.acctbal, c.acctbal) AS DOUBLE) AS acctbal
         |FROM cust c FULL JOIN batch b ON c.c_custkey = b.c_custkey
         |WHERE b.c_custkey IS NULL OR NOT b.tomb
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Four deterministic s_* operators promoted to full hash-grade
+    // oracles (round 9): each is exact and SQL-expressible, so the
+    // rows-only check was leaving free correctness coverage on the
+    // table. The operator keeps its scale-path implementation; the SQL
+    // twin states the SEMANTICS the custom path must reproduce.
+
+    // identical output contract to q_win_ntile_pct — the operator is its
+    // distributed re-plan (range repartition + global-rank arithmetic
+    // instead of a single-reducer empty-partition window)
+    "s_win_ntile_scalable" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // bounded typed Aggregator == window row_number — (value DESC,
+    // id ASC) total order, same as q_win_rank_topn's shape
+    "s_topk_per_key" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // custom whole-operator plan (logical node + strategy + partial/
+    // final execs) — hash-proving the extension path end to end
+    "s_topk_custom_plan" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // int8 scalar quantization reproduced in SQL: per-dim (lo, width)
+    // codebook over the exploded (dim, value) pairs, round-to-nearest
+    // affine code, decode, per-vector fold, per-label summary. The
+    // 6dp/3dp rounds absorb double-summation ulp noise exactly as in
+    // every other ROUND(...,6) oracle.
+    "s_embed_quantize" ->
+      """WITH pairs AS (
+        |  SELECT vec_id, label,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT dim, MIN(v) AS lo,
+        |         GREATEST(MAX(v) - MIN(v), 1e-300) AS w
+        |  FROM pairs GROUP BY dim),
+        |err AS (
+        |  SELECT p.vec_id, p.label,
+        |         ABS(p.v - (c.lo + ROUND((p.v - c.lo) / c.w * 255) / 255 * c.w)) AS e
+        |  FROM pairs p JOIN cb c USING (dim)),
+        |vecerr AS (
+        |  SELECT vec_id, label, MAX(e) AS vec_max, SUM(e) / COUNT(*) AS vec_mean
+        |  FROM err GROUP BY vec_id, label),
+        |bound AS (SELECT MAX(w) / 255 / 2 AS b FROM cb)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(MAX(vec_max), 6) AS max_err,
+        |  ROUND(AVG(vec_mean), 6) AS mean_err,
+        |  ROUND(MAX(vec_max) / (SELECT b FROM bound), 3) AS err_vs_bound
+        |FROM vecerr GROUP BY label ORDER BY label""".stripMargin)
 }
