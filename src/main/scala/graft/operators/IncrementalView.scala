@@ -55,6 +55,10 @@ object IncrementalView {
     */
   def maintain(view: DataFrame, diff: DataFrame, groupCols: Seq[String],
                sumCols: Seq[String]): DataFrame = {
+    // validate the STORED view too, not just the delta projection — a
+    // double-typed view built outside aggregate() would otherwise bypass
+    // the drift guard and silently accumulate error under +x/-x folds
+    requireExact(view, sumCols)
     val plus = diff.filter(col("change").isin("insert", "update"))
       .select(groupCols.map(g => col(s"after.`$g`").as(g)) ++
         (lit(1L).as("cnt") +: sumCols.map(c => col(s"after.`$c`").as(c))): _*)

@@ -357,7 +357,16 @@ object MergeInto {
     * primitive (GDPR erasure / takedown / contaminated-shard removal) a
     * training-data store must support as a first-class operation. Deletes
     * every committed row where `predicate` is TRUE (NULL keeps the row,
-    * SQL DELETE semantics), copy-on-write at PARTITION scope:
+    * SQL DELETE semantics), copy-on-write at PARTITION scope.
+    *
+    * The predicate should be DETERMINISTIC (the SQL DELETE contract).
+    * The rewrite itself is robust to instability — kept rows, the
+    * deleted count and the new files all derive from one checkpointed
+    * evaluation — but partition DISCOVERY is a separate pass, so an
+    * unstable predicate may rewrite a partition needlessly or leave
+    * rows it "hit" only in the discovery pass.
+    *
+    * Steps:
     *
     *   1. affected partitions resolve from a column-pruned scan of
     *      (predicate columns, partition) — at 100 TB this reads the
@@ -382,21 +391,33 @@ object MergeInto {
     val (schema, curFiles) = readManifest(spark, dir, cur)
     val target = readSnapshot(spark, dir, Some(cur))
     val hit = coalesce(predicate, lit(false))
+    // affected-partition discovery: a column-pruned scan over (predicate
+    // columns, partition) — advisory only; the rewrite below derives
+    // everything from ONE materialization of the affected slice
     val affected = target.filter(hit).select(col(partitionCol))
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return (0L, 0L)
     val affectedDirs = affected.map(v => s"$partitionCol=${esc(v)}")
+    // evaluate the predicate EXACTLY ONCE per slice row and checkpoint
+    // the flagged slice: kept rows, the deleted count and the rewritten
+    // files all read the same materialized flags, so a predicate that
+    // is expensive (or, against the documented contract, unstable)
+    // cannot produce an inconsistent rewrite vs rows_deleted (ADVICE
+    // r8). Cost is bounded by the AFFECTED partitions, not the table.
     val slice = target.filter(col(partitionCol).isin(affected.toSeq: _*))
-    val kept = slice.filter(!hit)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    val deleted = slice.count() - kept.count()
-    val next = cur + 1
-    val root = new Path(dir)
-    val moved = moveIn(spark, root, kept, partitionCol, affected, next)
-    val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
-    writeManifest(spark, dir, next, schema, carried ++ moved) // THE commit point
-    vacuum(spark, dir, retainVersions)
-    (deleted, affected.size.toLong)
+      .withColumn("__hit", hit).localCheckpoint()
+    try {
+      val kept = slice.filter(!col("__hit"))
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val deleted = slice.filter(col("__hit")).count()
+      val next = cur + 1
+      val root = new Path(dir)
+      val moved = moveIn(spark, root, kept, partitionCol, affected, next)
+      val carried = curFiles.filterNot(f => affectedDirs.contains(partOf(f)))
+      writeManifest(spark, dir, next, schema, carried ++ moved) // THE commit point
+      vacuum(spark, dir, retainVersions)
+      (deleted, affected.size.toLong)
+    } finally slice.unpersist(blocking = false)
   }
 
   /** Write `df` partitioned by `partitionCol` into a scratch dir, move

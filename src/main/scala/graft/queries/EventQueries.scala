@@ -270,6 +270,11 @@ object EventQueries extends QueryPack {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
+        // null filter pinned in BOTH engines (ADVICE r8): Spark window
+        // sorts put NULLS FIRST, DuckDB NULLS LAST — a regenerated
+        // fixture containing NULL ts/user_id would silently diverge
+        // session assignment (the sibling q_evt_rfm already pins this)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"))
         .withColumn("brk",
@@ -462,7 +467,8 @@ object EventQueries extends QueryPack {
 
     "q_evt_bounce" ->
       """WITH ev AS (SELECT user_id, event_id,
-        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |flagged AS (SELECT user_id, event_id, us,
         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |              > 1800000000 THEN 1 ELSE 0 END AS brk
