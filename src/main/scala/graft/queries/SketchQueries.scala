@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.Fs.rmTree
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.3/§2.5 `s_*` rows — approximate / sketch operators.
@@ -78,6 +79,34 @@ object SketchQueries extends QueryPack {
         .select(Seq(col("event_type"), col("n_days")) ++
           QuantileSketch.estimateCols(col("sk"), Seq(0.5, 0.9, 0.99)): _*)
         .orderBy("event_type")
+    }),
+
+    // cross-SESSION sketch rollup (the reference's PFMERGE-across-days
+    // at warehouse scale): daily HLL + BHYT sketches are PERSISTED to a
+    // day-partitioned parquet table, reloaded, and unioned into monthly
+    // per-type distinct users and value percentiles — raw events are
+    // touched exactly once, by the daily build. Union-after-reload ≡
+    // single-pass is proven (bitwise, exact regime) in SketchStoreSpec.
+    "s_agg_sketch_store" -> ((s, dir) => {
+      import graft.operators.{QuantileSketch, SketchStore}
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("hll"),
+          QuantileSketch.sketchAgg(col("value").cast("double")).as("qsk"))
+      val store = java.nio.file.Files.createTempDirectory("graft_skstore").toString
+      SketchStore.write(daily, store, "day")
+      val users = SketchStore.rollupHll(s, store, Seq("event_type"), "hll")
+        .withColumnRenamed("approx_distinct", "monthly_users")
+        .drop("n_sketches")
+      val out = SketchStore.rollupQuantiles(s, store, Seq("event_type"),
+          "qsk", Seq(0.5, 0.9))
+        .join(users, Seq("event_type"))
+        .select(col("event_type"), col("n_sketches").as("n_days"),
+          col("monthly_users"), col("p50"), col("p90"))
+        .orderBy("event_type")
+        .localCheckpoint() // materialize before the scratch store vanishes
+      rmTree(store)
+      out
     }),
 
     // skew-salted two-phase aggregation over the stream table
