@@ -61,6 +61,50 @@ object AnnIndexStore {
   def append(spark: SparkSession, newVectors: DataFrame, dir: String): Unit =
     writeLists(newVectors, loadCentroids(spark, dir), dir, overwrite = false)
 
+  /** Idempotent batch append — the streaming-maintenance building block
+    * (AnnIndexSink): replaying the same `batchId` with the same rows
+    * (foreachBatch's at-least-once contract over a replayable source)
+    * leaves the index content unchanged.
+    *
+    *   1. a committed-batch marker short-circuits full replays;
+    *   2. the batch stages into a scratch dir OUTSIDE `lists/` (readers
+    *      scan only `lists/`, so a crash mid-stage leaves invisible
+    *      orphans);
+    *   3. staged files move in under DETERMINISTIC names
+    *      (`b<batchId>-<i>.parquet` per cell, i in staged-name order) —
+    *      a replay after a crash mid-move overwrites the same targets
+    *      with the same content instead of duplicating rows;
+    *   4. the marker commits LAST.
+    */
+  def appendBatch(spark: SparkSession, newVectors: DataFrame, dir: String,
+                  batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_ann_commits/b$batchId")
+    if (fs.exists(marker)) return // exact replay of a committed batch
+    val tmp = new Path(root, s".append-tmp-b$batchId")
+    fs.delete(tmp, true) // half-staged leftovers from a crashed attempt
+    writeListsTo(newVectors, loadCentroids(spark, dir), tmp.toString,
+      overwrite = true)
+    val listsRoot = new Path(root, "lists")
+    fs.listStatus(tmp).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("list_id=")).foreach { cell =>
+      val dst = new Path(listsRoot, cell.getPath.getName)
+      fs.mkdirs(dst)
+      fs.listStatus(cell.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+          val to = new Path(dst, s"b$batchId-$i.parquet")
+          fs.delete(to, false) // replay overwrite, not duplicate
+          require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
+        }
+    }
+    fs.delete(tmp, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // THE commit point for this batch
+  }
+
   /** Persisted PQ sub-codebooks as codebooks(subspace)(code) = centroid. */
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$dir/codebooks")
@@ -75,7 +119,11 @@ object AnnIndexStore {
       .collect().map(_.getSeq[Double](1).toArray)
 
   private def writeLists(vectors: DataFrame, centroids: Array[Array[Double]],
-                         dir: String, overwrite: Boolean): Unit = {
+                         dir: String, overwrite: Boolean): Unit =
+    writeListsTo(vectors, centroids, s"$dir/lists", overwrite)
+
+  private def writeListsTo(vectors: DataFrame, centroids: Array[Array[Double]],
+                           listsDir: String, overwrite: Boolean): Unit = {
     val assigned = AnnIvf.assign(vectors, centroids)
     vectors.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
@@ -88,7 +136,7 @@ object AnnIndexStore {
       .repartition(col("list_id"))
       .write.partitionBy("list_id")
       .mode(if (overwrite) "overwrite" else "append")
-      .parquet(s"$dir/lists")
+      .parquet(listsDir)
   }
 
   /** Top-k cosine search over the persisted index: rank cells against

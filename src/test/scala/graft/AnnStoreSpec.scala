@@ -60,6 +60,58 @@ class AnnStoreSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("streaming maintenance: crash-replayed appends leave the index == batch rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_s")
+    val streamed = base.resolve("streamed").toString
+    val batch = base.resolve("batch").toString
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      val seed = emb.filter(col("vec_id") >= 100)
+      val newV = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      // same frozen geometry on both paths: identical save() inputs
+      AnnIndexStore.save(spark, seed, streamed)
+      AnnIndexStore.save(spark, seed, batch)
+      AnnIndexStore.append(spark, newV, batch) // the one-shot reference
+
+      // stream the same vectors in two triggers
+      val newRows = newV.as[(Long, Seq[Float])].collect().toSeq
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.AnnIndexSink.start(
+        in.toDF().toDF("vec_id", "embedding"), streamed, ckpt)
+      try {
+        val (b1, b2) = newRows.splitAt(newRows.size / 2)
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+
+      // at-least-once replay: re-deliver batch 1's rows under its
+      // committed batchId — the marker must short-circuit
+      val (b1again, _) = newRows.splitAt(newRows.size / 2)
+      AnnIndexStore.appendBatch(spark,
+        b1again.toDF("vec_id", "embedding"), streamed, batchId = 0L)
+      // crash-mid-move replay: wipe the marker so the move re-runs onto
+      // the same deterministic names — content must not duplicate
+      val fs = new org.apache.hadoop.fs.Path(streamed)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$streamed/_ann_commits/b0"), false)
+      AnnIndexStore.appendBatch(spark,
+        b1again.toDF("vec_id", "embedding"), streamed, batchId = 0L)
+
+      val nStream = spark.read.parquet(s"$streamed/lists").count()
+      val nBatch = spark.read.parquet(s"$batch/lists").count()
+      assert(nStream == nBatch,
+        s"replay duplicated rows: streamed $nStream vs batch $nBatch")
+      val probes = emb.filter(col("vec_id") < 10)
+      assert(rows(AnnIndexStore.searchTopK(spark, streamed, probes)) ==
+             rows(AnnIndexStore.searchTopK(spark, batch, probes)),
+        "search-after-stream diverged from the batch rebuild")
+    } finally graft.Fs.rmTree(base)
+  }
+
   test("probed cells prune the lists scan as partition filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_plan").toString
     try {
