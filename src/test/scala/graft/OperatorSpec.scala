@@ -400,6 +400,35 @@ class OperatorSpec extends SparkSpec {
     assert(cores(Seq((1L,1L))).isEmpty)
   }
 
+  test("k-core: degree jumping peels a chain of cliques in O(1) rounds, not O(|V|)") {
+    import spark.implicits._
+    def counted(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+      val (df, rounds) = graft.operators.KCore.corenessCounted(edges.toDF("src", "dst"))
+      (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    // 30 K5-cliques in a chain (bridge edge between consecutive cliques):
+    // 150 vertices, every core 4. The jump takes k straight to 5 in round
+    // one (peeling all clique interiors at once); the leftover bridge
+    // pairs peel in round two — rounds must NOT scale with chain length.
+    val chainOfCliques = (0 until 30).flatMap { c =>
+      val base = c * 5L
+      val clique = for (i <- 0 until 5; j <- i + 1 until 5)
+        yield (base + i, base + j)
+      clique ++ (if (c < 29) Seq((base + 4, base + 5)) else Nil)
+    }
+    val (cliqueCores, cliqueRounds) = counted(chainOfCliques)
+    assert(cliqueCores.size == 150)
+    assert(cliqueCores.values.forall(_ == 4L), "every chain-of-cliques vertex is core 4")
+    assert(cliqueRounds == 2, s"expected 2 peel rounds, got $cliqueRounds")
+    // the documented adversarial shape: a path cascades one wave per
+    // endpoint pair at a fixed level — |V|/2 rounds, the formulation's
+    // inherent bound (all core 1)
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val (pathCores, pathRounds) = counted(path)
+    assert(pathCores == (1L to 12L).map(_ -> 1L).toMap)
+    assert(pathRounds == 6, s"path of 12 peels in |V|/2 = 6 waves, got $pathRounds")
+  }
+
   test("space-saving: heavy hitters exact within (count, err) bounds under eviction") {
     import spark.implicits._
     // Zipf-ish: item i (1..50) appears ceil(600/i) times — vocab 50 > m=8,
