@@ -28,7 +28,7 @@ object AnalyticsQueries extends QueryPack {
     * same DataFrames as Tables.t, so pushdown/statistics are identical.
     */
   private def views(s: SparkSession, dir: String): Unit =
-    Seq("orders", "lineitem", "customer", "supplier", "nation", "region")
+    Seq("orders", "lineitem", "customer", "supplier", "part", "nation", "region")
       .foreach(t => Tables.t(s, dir, t).createOrReplaceTempView(t))
 
   /** Exact decimal revenue: sum(extprice * (1 - discount)). */
@@ -341,6 +341,100 @@ object AnalyticsQueries extends QueryPack {
           col("rev_x").cast("decimal(18,2)").cast("double").as("revenue"))
     }),
 
+    // TPC-H Q4 / Q21 / Q22 / Q2 / Q20 — dialect-shared texts (see the
+    // *Sql vals above for semantics + the adaptation notes)
+    "q_tpch_q4" -> ((s, dir) => { views(s, dir); s.sql(TpchQ4Sql) }),
+    "q_tpch_q21" -> ((s, dir) => { views(s, dir); s.sql(TpchQ21Sql) }),
+    "q_tpch_q22" -> ((s, dir) => { views(s, dir); s.sql(TpchQ22Sql) }),
+    "q_tpch_q2" -> ((s, dir) => { views(s, dir); s.sql(TpchQ2Sql) }),
+    "q_tpch_q20" -> ((s, dir) => { views(s, dir); s.sql(TpchQ20Sql) }),
+
+    // TPC-H Q9 (product type profit), adapted: no partsupp, so the cost
+    // side of profit uses the part's retail price (a broadcast dim
+    // attribute) instead of ps_supplycost. Profit per line can be
+    // NEGATIVE — the decimal sum and the final scale-2 rounding are both
+    // half-away-from-zero in the two engines, so signs never diverge.
+    // part and nation broadcast; the 3 fact-side joins shuffle on their
+    // keys only after the part filter has pruned the lineitem rows.
+    "q_tpch_q9" -> ((s, dir) => {
+      val p = Tables.t(s, dir, "part").filter(col("p_name").like("%gear"))
+        .select("p_partkey", "p_retailprice")
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")) -
+        col("p_retailprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)")
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).as("sum_x"))
+        .select(col("nation"), col("o_year"),
+          col("sum_x").cast("decimal(18,2)").cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 (important stock), adapted: the "stock value" of a part
+    // is Σ(extprice·qty) over the target nations' suppliers, derived from
+    // lineitem in place of partsupp. The value-concentration threshold is
+    // EXACT: value·1000 > total in DECIMAL (explicit (28,4) downcast
+    // keeps the product inside precision 38 without scale loss). The
+    // global total is a 1-row broadcast fold — no second shuffle.
+    "q_tpch_q11" -> ((s, dir) => {
+      val natSupp = Tables.t(s, dir, "supplier")
+        .join(broadcast(Tables.t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val natps = Tables.t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)").as("value_x"))
+      val tot = natps.agg(sum(col("value_x")).cast("decimal(28,4)").as("total_x"))
+      natps.join(broadcast(tot))
+        .filter(col("value_x") * lit(1000).cast("decimal(4,0)") > col("total_x"))
+        .select(col("partkey"), col("value_x").cast("double").as("part_value"))
+        .orderBy(col("value_x").desc, col("partkey"))
+    }),
+
+    // TPC-H Q12 (shipping modes and order priority), adapted: no
+    // l_shipmode/l_receiptdate, so the mode is the return flag and "late
+    // receipt" = shipped 30+ days after ordering. Both priority counters
+    // ride ONE pass as conditional sums; the date-range filter pushes to
+    // the lineitem scan before the join.
+    "q_tpch_q12" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("l_returnflag").as("ship_mode"))
+        .agg(sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(high, 0).otherwise(1)).cast("long").as("low_line_count"))
+        .orderBy("ship_mode")
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: the supplier
+    // catalog is the distinct (part, supplier) trade pairs, and the
+    // "customer complaints" exclusion list becomes negative-balance
+    // suppliers. NOT IN over a non-null key ≡ left anti join (the
+    // DataFrame formulation makes the broadcast explicit); the distinct
+    // count shuffles once on the group key.
+    "q_tpch_q16" -> ((s, dir) => {
+      val ps = Tables.t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val p = Tables.t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      val bad = Tables.t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
     // RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop): hop-count
     // reachability from nation 0 along each region's rank-adjacent
     // nation chain — the iterate-until-fixpoint SQL surface DuckDB's
@@ -407,6 +501,131 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("nationkey")
     })
   )
+
+  /** TPC-H Q4 (order priority checking), adapted: this schema has no
+    * l_commitdate/l_receiptdate, so "late" = shipped more than 30 days
+    * after the order date. The correlated EXISTS carries a NON-equi
+    * conjunct (l_shipdate > o_orderdate + 30d) on top of the key
+    * equality — Catalyst decorrelates it to a left semi join whose extra
+    * predicate rides the join condition, not a per-row subquery. Runs
+    * verbatim in both engines.
+    */
+  private val TpchQ4Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    * shipped >60 days after order date. The semi (EXISTS another
+    * supplier on the order) and anti (NOT EXISTS another LATE supplier)
+    * subqueries hit the SAME fact table with different predicates — the
+    * decorrelated plan is one scan feeding a semi join and an anti join,
+    * the classic multi-consumer shape. At 100 TB both collapse to
+    * key-partitioned joins on l_orderkey; no per-row re-execution.
+    */
+  private val TpchQ21Sql =
+    """SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 50""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted: no c_phone column, so
+    * the country-code filter becomes a nationkey set, and since every
+    * customer in this corpus has at least one order, "never ordered"
+    * becomes "no order since 1999". The above-average-balance threshold
+    * is EXACT: bal*cnt > Σbal in DECIMAL (the division never happens), so
+    * both engines cut identically with no float boundary.
+    */
+  private val TpchQ22Sql =
+    """WITH pool AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13,15,17,19)),
+      |stats AS (
+      |  SELECT SUM(bal) AS sum_x, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pool WHERE bal > 0)
+      |SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      |FROM pool, stats
+      |WHERE bal * cnt > sum_x
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = pool.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table in this
+    * schema, so the supplier catalog derives from observed trade — per
+    * (part, supplier) the minimum extended price ever charged, an exact
+    * DECIMAL MIN so the correlated "= regional minimum" equality is
+    * bitwise in both engines. The correlated scalar MIN decorrelates to
+    * a per-part aggregate joined back on (p_partkey, ps_cost); at scale
+    * the ps derivation is one hash aggregate of the fact table and the
+    * dims broadcast.
+    */
+  private val TpchQ2Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+      |       CAST(ps_cost AS DOUBLE) AS supply_cost
+      |FROM part
+      |JOIN ps ON p_partkey = ps.l_partkey
+      |JOIN supplier ON s_suppkey = ps.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'ASIA'
+      |  AND ps_cost = (SELECT MIN(ps2.ps_cost)
+      |                 FROM ps ps2
+      |                 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      |                 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |                 WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion), adapted: "excess stock"
+    * becomes "dominant shipper" — suppliers who shipped more than half of
+    * a red part's 1996 volume. The share test is exact integer-free
+    * decimal arithmetic (2·sq > Σq, never a division), and the nested
+    * IN-subqueries decorrelate to two semi joins over one aggregated
+    * scan of the year's lineitems.
+    */
+  private val TpchQ20Sql =
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_x
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_partkey, l_suppkey),
+      |parttot AS (
+      |  SELECT l_partkey AS pk, SUM(sq_x) AS tot_x FROM shipped GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |    SELECT sh.l_suppkey FROM shipped sh
+      |    JOIN parttot ON sh.l_partkey = pk
+      |    WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND sh.sq_x * 2 > tot_x)
+      |ORDER BY s_suppkey""".stripMargin
 
   /** Dialect-shared data-quality audit (runs verbatim in Spark AND DuckDB). */
   private val QualitySql =
@@ -478,6 +697,66 @@ object AnalyticsQueries extends QueryPack {
       |ORDER BY c_custkey, valid_from, is_current""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q4" -> TpchQ4Sql,
+    "q_tpch_q21" -> TpchQ21Sql,
+    "q_tpch_q22" -> TpchQ22Sql,
+    "q_tpch_q2" -> TpchQ2Sql,
+    "q_tpch_q20" -> TpchQ20Sql,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(ROUND(sum_x, 2) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sum_x
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%gear'
+        |  GROUP BY n_name, year(o_orderdate)) t
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH natps AS (
+        |  SELECT l_partkey AS partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS value_x
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT partkey, CAST(value_x AS DOUBLE) AS part_value
+        |FROM natps, (SELECT CAST(SUM(value_x) AS DECIMAL(28,4)) AS total_x FROM natps) t
+        |WHERE value_x * 1000 > total_x
+        |ORDER BY value_x DESC, partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS ship_mode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY ship_mode""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,4,9,16,25,36,49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
     "q_scd2_dim" -> Scd2Sql,
     "q_recursive_reach" -> RecursiveReachSql,
     "q_quality_checks" -> QualitySql,

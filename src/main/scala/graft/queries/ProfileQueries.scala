@@ -63,10 +63,32 @@ object ProfileQueries extends QueryPack {
           "'max_key_rows', max_key_rows, 'mean_key_rows', mean_key_rows, " +
           "'skew_ratio', skew_ratio) AS (metric, value)"))
       longStats.unionByName(top).orderBy("metric")
+    }),
+
+    // ---- Dataset.observe in-flight metrics (operators.Observed) ----
+    // quality counters collected DURING a pass (accumulator-backed, no
+    // second scan) — then hash-checked against DuckDB's ground-truth
+    // aggregate, proving the in-flight numbers equal a dedicated pass.
+    "q_profile_observe" -> ((s, dir) => {
+      val (instrumented, obs) = graft.operators.Observed.withQualityMetrics(
+        Tables.events(s, dir).select(col("value")), "value")
+      instrumented.count() // the pipeline action the metrics ride on
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_nonnull").asInstanceOf[Long],
+        m("n_negative").asInstanceOf[Long], m("max_value").asInstanceOf[Double]))
+        .toDF("n_rows", "n_nonnull", "n_negative", "max_value")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile_observe" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(value) AS BIGINT) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |  MAX(value) AS max_value
+        |FROM events""".stripMargin,
+
     "q_profile_stats" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS column_name, l_quantity AS x FROM lineitem

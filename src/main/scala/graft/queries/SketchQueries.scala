@@ -109,10 +109,15 @@ object SketchQueries extends QueryPack {
       out
     }),
 
-    // skew-salted two-phase aggregation over the stream table
+    // skew-salted two-phase aggregation over the stream table. The salt
+    // never changes the answer (both phases are exact decimal sums), so
+    // this carries a DuckDB oracle: the UNSALTED one-phase SQL must
+    // hash-match — proving the two-phase rewrite is value-transparent.
     "s_agg_salted" -> ((s, dir) =>
       graft.operators.SaltedAgg.countSum(
         Tables.events(s, dir), "event_type", col("value").cast("decimal(18,2)"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_value").cast("decimal(18,2)").cast("double").as("sum_value"))
         .orderBy("event_type")),
 
     // Space-Saving heavy hitters over the token stream — provable
@@ -145,5 +150,11 @@ object SketchQueries extends QueryPack {
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    // the unsalted single-phase twin of s_agg_salted — hash equality
+    // proves the salted two-phase rewrite never changes values
+    "s_agg_salted" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
