@@ -353,6 +353,37 @@ object MergeInto {
     (liveParts(newFiles), affected.size.toLong)
   }
 
+  /** Metadata-only schema evolution (ADD COLUMN) — a new manifest version
+    * whose schema appends `name: dataType`, referencing the SAME data
+    * files: zero bytes rewritten, instant at 100 TB (the Delta/Iceberg
+    * ADD COLUMN story). Committed files lack the column physically;
+    * [[readSnapshot]]'s pinned manifest schema fills it as NULL at scan
+    * time (parquet missing-column semantics), and time travel to
+    * pre-evolution versions still reads the OLD schema — the column
+    * simply doesn't exist there.
+    *
+    * Subsequent [[mergeFiles]] batches must carry the new column
+    * (align an old-shape batch with `.withColumn(name, lit(null).cast(dt))`
+    * explicitly — auto-null-filling here would let a stale producer
+    * silently WIPE evolved values on matched keys, so it is not done).
+    * [[diffSnapshots]] across the evolution boundary is refused by its
+    * schema guard; diff within either era works unchanged.
+    *
+    * Returns the new version number. Single-writer, like every other
+    * commit in this store.
+    */
+  def addColumn(spark: org.apache.spark.sql.SparkSession, dir: String,
+                name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"addColumn: no committed snapshot under $dir")
+    val (schema, files) = readManifest(spark, dir, cur)
+    require(!schema.fieldNames.contains(name),
+      s"addColumn: column $name already exists in v$cur")
+    writeManifest(spark, dir, cur + 1, schema.add(name, dataType), files)
+    cur + 1
+  }
+
   /** Targeted row delete as a NEW snapshot version — the governance
     * primitive (GDPR erasure / takedown / contaminated-shard removal) a
     * training-data store must support as a first-class operation. Deletes

@@ -469,6 +469,45 @@ object OperatorQueries extends QueryPack {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // metadata-only schema evolution (MergeInto.addColumn): bootstrap →
+    // ADD COLUMN publishes a new version referencing the SAME files
+    // (zero rewrite — asserted by counting data files) → a post-
+    // evolution merge populates the column for some keys while
+    // pre-evolution rows read NULL; time travel to v0 still sees the
+    // old schema. Self-proving metric table.
+    "s_snapshot_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val snap = Tables.t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.MergeInto.mergeFiles(s, base, snap,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 4)
+      def nFiles = new java.io.File(base).listFiles
+        .filter(_.getName.startsWith("o_orderstatus="))
+        .flatMap(_.listFiles).count(_.getName.endsWith(".parquet")).toLong
+      val before = nFiles
+      graft.operators.MergeInto.addColumn(s, base, "score",
+        org.apache.spark.sql.types.DoubleType)
+      val rewrittenByEvolve = nFiles - before
+      val batch = snap.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("score", (col("o_orderkey") % 100).cast("double") / 100)
+      graft.operators.MergeInto.mergeFiles(s, base, batch,
+        Seq("o_orderkey"), "o_orderstatus", retainVersions = 4)
+      val cur = graft.operators.MergeInto.readSnapshot(s, base)
+      val v0HasScore =
+        if (graft.operators.MergeInto.readSnapshot(s, base, Some(0L))
+          .columns.contains("score")) 1L else 0L
+      val rows = Seq(
+        ("data_files_rewritten_by_evolve", rewrittenByEvolve),
+        ("rows_total", cur.count()),
+        ("rows_scored", cur.filter(col("score").isNotNull).count()),
+        ("rows_null_score", cur.filter(col("score").isNull).count()),
+        ("v0_has_score", v0HasScore))
+      rmTree(base)
+      rows.toDF("metric", "value").orderBy("metric")
+    }),
+
     // time travel over the manifest store: v0 bootstrap + two merges,
     // every version read back AFTER later versions committed — the
     // retained manifests keep each version's exact file list readable
@@ -604,6 +643,35 @@ object OperatorQueries extends QueryPack {
       // rewritten year of orders into /tmp per invocation)
       rmTree(base)
       out
+    }),
+
+    // zone-map file skipping (operators.ZoneMaps) — the EXECUTED form of
+    // s_layout_zorder's locality claim: per-file min/max built in one
+    // scan, then a month-range read that only OPENS the surviving files.
+    // Self-proving: the pruned read's row count must equal the full
+    // scan-and-filter count, and the file counts quantify the skip.
+    "s_layout_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      raw.repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(s"$base/t")
+      val zm = graft.operators.ZoneMaps
+        .build(s, s"$base/t", Seq("l_shipdate")).localCheckpoint()
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
+      val (pruned, read, total) = graft.operators.ZoneMaps
+        .readPruned(s, s"$base/t", zm, "l_shipdate", lo, hi)
+      val nPruned = pruned.count()
+      val nFull = s.read.parquet(s"$base/t")
+        .filter(col("l_shipdate").between(lo, hi)).count()
+      rmTree(base)
+      Seq(("files_total", total), ("files_opened", read),
+        ("rows_pruned_read", nPruned), ("rows_full_filter", nFull),
+        ("row_mismatch", nPruned - nFull))
+        .toDF("metric", "value").orderBy("metric")
     }),
 
     // MERGE INTO (upsert + delete + insert in one pass) as the reusable

@@ -62,4 +62,16 @@ object JsonIngest {
   /** Streaming entry: micro-batch tailing of a directory of NDJSON files. */
   def streamJsonLines(spark: SparkSession, path: String): DataFrame =
     parse(spark.readStream.text(path))
+
+  /** Streaming entry over a TCP socket of NDJSON lines — the network-
+    * boundary ingest topology (reference shape: HTTP/MQ push → worker).
+    * The socket source is at-most-once (offsets are not replayable), so a
+    * production deployment pairs it with downstream dedup on event_id
+    * (StreamOps.dedupById) exactly like the reference's ack-and-dedup
+    * loop; the parse/validate/dead-letter chain is byte-identical to the
+    * file path because `parse` is a pure transform.
+    */
+  def streamSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    parse(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load())
 }

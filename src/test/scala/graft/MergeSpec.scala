@@ -324,6 +324,65 @@ class MergeSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("addColumn: metadata-only evolution — zero rewrite, null-filled reads, time travel sees the old schema, merges populate it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    try {
+      // v0 via bootstrap merge
+      val v0 = Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 30.0))
+        .toDF("id", "day", "v")
+      MergeInto.mergeFiles(spark, dir, v0, Seq("id"), "day", retainVersions = 10)
+      def dataFiles() = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("day="))
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+      val before = dataFiles()
+
+      // ADD COLUMN publishes v1 with the widened schema, SAME files
+      val v1 = MergeInto.addColumn(spark, dir, "score",
+        org.apache.spark.sql.types.DoubleType)
+      assert(v1 == 1L)
+      assert(dataFiles() == before, "addColumn must rewrite zero data files")
+      val widened = MergeInto.readSnapshot(spark, dir)
+      // the path-derived partition column renders last regardless of
+      // manifest order; the evolved column lands after the data columns
+      assert(widened.columns.toSeq == Seq("id", "v", "score", "day"))
+      assert(widened.filter(col("score").isNotNull).count() == 0,
+        "pre-evolution rows must read the new column as NULL")
+      assert(widened.count() == 3)
+
+      // time travel: v0 still reads the OLD schema
+      assert(!MergeInto.readSnapshot(spark, dir, Some(0L))
+        .columns.contains("score"))
+
+      // duplicate add refused; diff across the boundary refused
+      intercept[IllegalArgumentException] {
+        MergeInto.addColumn(spark, dir, "score",
+          org.apache.spark.sql.types.DoubleType)
+      }
+      intercept[IllegalArgumentException] {
+        MergeInto.diffSnapshots(spark, dir, 0L, 1L, Seq("id"))
+      }
+
+      // a post-evolution batch populates the column for some keys; old
+      // rows keep NULL (target-schema-wins casting handles the new col)
+      val batch = Seq((2L, "d1", 21.0, 0.9), (4L, "d2", 40.0, 0.5))
+        .toDF("id", "day", "v", "score")
+      MergeInto.mergeFiles(spark, dir, batch, Seq("id"), "day",
+        retainVersions = 10)
+      val got = MergeInto.readSnapshot(spark, dir).orderBy("id")
+        .select("id", "v", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      assert(got == Seq((1L, 10.0, None), (2L, 21.0, Some(0.9)),
+        (3L, 30.0, None), (4L, 40.0, Some(0.5))), got.toString)
+      // diff within the evolved era works
+      val d = MergeInto.diffSnapshots(spark, dir, 1L, 2L, Seq("id"))
+      assert(d.count() == 2) // one update, one insert
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("mergeScd2: changed keys close+reopen, unchanged and history pass through, new keys insert") {
     import spark.implicits._
     val dim = Seq(

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{ZOrderLayout, ZoneMaps}
+import org.apache.spark.sql.functions._
+
+/** Zone-map file skipping: soundness (pruned read ≡ full scan + filter,
+  * on ANY layout), effectiveness (sorted/z-ordered layouts open few
+  * files), and the null/empty edges of the envelope test.
+  */
+class ZoneMapsSpec extends SparkSpec {
+
+  test("pruned read equals full filter on sorted, shuffled and z-ordered layouts; sorted layout actually skips") {
+    import spark.implicits._
+    val n = 10000
+    val data = (0 until n).map(i => (i.toLong, (i * 37 % n).toLong, s"r$i"))
+      .toDF("k", "v", "tag")
+    val base = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    try {
+      // sorted-by-k layout: tight k envelopes per file
+      data.repartitionByRange(16, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$base/sorted")
+      // adversarial layout: k smeared over every file (round-robin on v)
+      data.repartition(16, col("v"))
+        .write.mode("overwrite").parquet(s"$base/shuffled")
+      ZOrderLayout.writeZOrdered(data, s"$base/zorder", "k", "v", numFiles = 16)
+
+      for (layout <- Seq("sorted", "shuffled", "zorder")) {
+        val path = s"$base/$layout"
+        val zm = ZoneMaps.build(spark, path, Seq("k", "v")).localCheckpoint()
+        val (pruned, read, total) = ZoneMaps.readPruned(spark, path, zm, "k", 1000L, 1999L)
+        val expect = spark.read.parquet(path)
+          .filter(col("k") >= 1000L && col("k") <= 1999L)
+        assert(pruned.count() == 1000 && expect.count() == 1000, layout)
+        assert(pruned.select("k", "v", "tag").except(expect).isEmpty &&
+          expect.except(pruned.select("k", "v", "tag")).isEmpty,
+          s"$layout: pruned read diverged from full filter")
+        assert(total == 16, s"$layout: expected 16 files, got $total")
+        if (layout == "sorted")
+          assert(read <= 3, s"sorted layout should open ~1/10 of files, got $read/$total")
+        if (layout == "shuffled")
+          assert(read == 16, s"shuffled layout has no k-locality to exploit, got $read")
+      }
+
+      // z-order + zone maps: BOTH dimensions prune (the LayoutSpec
+      // locality claim, now executed as actual skipped files)
+      val zmz = ZoneMaps.build(spark, s"$base/zorder", Seq("k", "v")).localCheckpoint()
+      val (_, readK, _) = ZoneMaps.readPruned(spark, s"$base/zorder", zmz, "k", 0L, 624L)
+      val (_, readV, _) = ZoneMaps.readPruned(spark, s"$base/zorder", zmz, "v", 0L, 624L)
+      assert(readK <= 8 && readV <= 8,
+        s"z-order should prune both dims (~4/16 files), got k=$readK v=$readV")
+    } finally graft.Fs.rmTree(base)
+  }
+
+  test("envelope edges: disjoint range opens zero files; all-null files are skipped; nulls never match") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zm_edge").toString
+    try {
+      // file 1: values 0..99; file 2: all-null ks
+      (0 until 100).map(i => (Some(i.toLong), i.toLong)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$base/t")
+      Seq.fill(50)((Option.empty[Long], 7L)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$base/t")
+      val zm = ZoneMaps.build(spark, s"$base/t", Seq("k")).localCheckpoint()
+      assert(zm.count() == 2)
+      // the all-null file records null min/max and 50 nulls
+      assert(zm.filter(col("k__min").isNull && col("k__nulls") === 50).count() == 1)
+
+      // in-range: only the data file opens; null rows never match
+      val (hit, read1, total) = ZoneMaps.readPruned(spark, s"$base/t", zm, "k", 10L, 19L)
+      assert(total == 2 && read1 == 1, s"read $read1 of $total")
+      assert(hit.count() == 10)
+      // disjoint range: zero files, typed empty result
+      val (miss, read0, _) = ZoneMaps.readPruned(spark, s"$base/t", zm, "k", 5000L, 6000L)
+      assert(read0 == 0 && miss.count() == 0)
+      assert(miss.columns.toSeq == Seq("k", "v"))
+    } finally graft.Fs.rmTree(base)
+  }
+}
