@@ -62,6 +62,63 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     }),
 
+    // NATIVE session_window gap-sessionization — the Spark-first single-
+    // operator form of q_evt_session_30min's two-window machinery (one
+    // shuffle on user_id, sessions assigned by the merging session-agg
+    // exec, same code path streaming uses). Boundary cross-proof: the
+    // native window is half-open [start, last+gap), so a gap of EXACTLY
+    // 30 min starts a NEW session — the oracle's break test is therefore
+    // >= where the lag formulation uses >. Hash equality against
+    // DuckDB's from-first-principles SQL proves the operator end to end.
+    "q_evt_session_native" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // time-series resample + linear interpolation: per-user daily means
+    // on a dense day grid, gaps filled by interpolating between the
+    // nearest known neighbors (no extrapolation past the ends). The
+    // known values are exact (µs fixed-point mean, rounded once); the
+    // interpolation formula is the IDENTICAL double expression tree in
+    // both engines, so IEEE arithmetic matches bit for bit. Scale shape:
+    // grid = users × 30 days (linear in users), two pass-windows per
+    // user — one shuffle on user_id total.
+    "q_evt_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vus"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(round(sum("vus").cast("double") / count(lit(1)) / 1e6, 6).as("v"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+      val w = Window.partitionBy("user_id").orderBy("di")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("di",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pi", last(when(col("v").isNotNull, col("di")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("ni", first(when(col("v").isNotNull, col("di")),
+          ignoreNulls = true).over(wn))
+        .filter(col("v").isNotNull || (col("pv").isNotNull && col("nv").isNotNull))
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+              (col("di") - col("pi")) / (col("ni") - col("pi")), 6)).as("value"),
+          col("v").isNull.as("interpolated"))
+        .orderBy("user_id", "day")
+    }),
+
     // ordered conversion funnel view → click → purchase: each stage is the
     // user's FIRST qualifying event strictly after the previous stage.
     // All three aggregates and joins key on user_id — one partitioning
@@ -335,6 +392,61 @@ object EventQueries extends QueryPack {
         |  make_timestamp(MIN(us)) AS session_start,
         |  make_timestamp(MAX(us)) AS session_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_evt_session_native" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flagged AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sess AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+        |  make_timestamp(MAX(us) + 1800000000) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_evt_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vus
+        |  FROM events WHERE user_id < 30),
+        |daily AS (
+        |  SELECT user_id, day,
+        |    ROUND(CAST(SUM(vus) AS DOUBLE) / COUNT(*) / 1e6, 6) AS v
+        |  FROM ev GROUP BY user_id, day),
+        |grid AS (
+        |  SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u,
+        |       (SELECT DISTINCT day FROM ev) d),
+        |j AS (
+        |  SELECT g.user_id, g.day, daily.v,
+        |    date_diff('day', DATE '2024-01-01', g.day) AS di
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.user_id = daily.user_id AND g.day = daily.day),
+        |x AS (
+        |  SELECT user_id, day, v, di,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER wp AS pi,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER wn AS ni
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY di
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY di
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE ROUND(pv + (nv - pv) * (di - pi) / (ni - pi), 6) END AS value,
+        |  (v IS NULL) AS interpolated
+        |FROM x
+        |WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_evt_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,

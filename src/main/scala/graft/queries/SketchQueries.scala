@@ -109,6 +109,31 @@ object SketchQueries extends QueryPack {
       out
     }),
 
+    // HLL set ALGEBRA over mergeable sketches: distinct-user overlap
+    // between two event types via inclusion-exclusion (|A∩B| = |A|+|B|
+    // −|A∪B|, |A\B| = |A∪B|−|B|) — the audience-overlap question
+    // answered from two per-segment sketches without ever co-shuffling
+    // the raw user sets. Deterministic (DataSketches estimates are a
+    // pure function of the sketch); error vs the exact overlap is
+    // bounded in HllAlgebraSpec. Scale shape: two sketch aggregates +
+    // a 1-row cross of the two 1-row frames.
+    "s_agg_hll_algebra" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def sk(t: String, n: String) = ev.filter(col("event_type") === t)
+        .agg(expr("hll_sketch_agg(user_id)").as(n))
+      sk("view", "sk_a").crossJoin(sk("purchase", "sk_b"))
+        .select(
+          expr("hll_sketch_estimate(sk_a)").as("est_a"),
+          expr("hll_sketch_estimate(sk_b)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_union"))
+        // hll_sketch_estimate returns BIGINT — the algebra stays integer
+        .select(col("est_a").as("est_view_users"),
+          col("est_b").as("est_purchase_users"),
+          col("est_union").as("est_either"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_both"),
+          (col("est_union") - col("est_b")).as("est_view_only"))
+    }),
+
     // skew-salted two-phase aggregation over the stream table. The salt
     // never changes the answer (both phases are exact decimal sums), so
     // this carries a DuckDB oracle: the UNSALTED one-phase SQL must
