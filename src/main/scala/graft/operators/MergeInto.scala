@@ -98,8 +98,11 @@ object MergeInto {
       .foldLeft(-1L)(math.max)
   }
 
-  /** (schema, relative data-file paths) of a committed version. */
-  private def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+  /** (schema, relative data-file paths) of a committed version.
+    * `private[operators]`: ZoneMaps keys its per-file stats off the same
+    * manifest file list readers resolve.
+    */
+  private[operators] def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
                            version: Long): (org.apache.spark.sql.types.StructType, Seq[String]) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(new Path(dir, ManifestDir), s"v$version.manifest")
@@ -113,6 +116,13 @@ object MergeInto {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     (schema, lines.tail.map(_.stripPrefix("file\t")))
   }
+
+  /** Relative data-file paths of a committed version (SHOW FILES): the
+    * exact list readers of that version resolve — metadata only.
+    */
+  def manifestFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    version: Long): Seq[String] =
+    readManifest(spark, dir, version)._2
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
                             version: Long,

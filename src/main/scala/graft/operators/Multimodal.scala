@@ -256,6 +256,126 @@ object Multimodal {
     }
   }
 
+  /** REAL PCM extraction for WAV (same container contract as
+    * [[decodeWav]], which reduces to features): channel-averaged
+    * samples in [-1, 1], None on malformed input. This is the raw
+    * signal the resample/framing stages below consume.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): Option[Array[Float]] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels = 0; var bits = 0; var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val len = u32(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      if (id == "fmt " && pos + 24 <= bytes.length) {
+        if (u16(pos + 8) != 1) return None // PCM only
+        channels = u16(pos + 10)
+        bits = u16(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += (8 + len + (len & 1)).toInt
+    }
+    if (channels < 1 || bits != 16 || dataOff < 0 ||
+      dataOff + dataLen > bytes.length) return None
+    val frameBytes = channels * 2
+    val n = (dataLen / frameBytes).toInt
+    if (n == 0) return None
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + i * frameBytes + c * 2
+        val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+        acc += s / 32768.0
+        c += 1
+      }
+      out(i) = (acc / channels).toFloat
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** REAL audio resample via linear interpolation — the map-only
+    * sample-rate normalization stage every audio pipeline runs before
+    * feature extraction. Output sample i sits at source position
+    * i·from/to; linear interpolation between the two neighbors (last
+    * sample clamps). Exact on piecewise-linear signals: downsampling a
+    * ramp by an integer factor returns exactly every k-th sample
+    * (MultimodalDspSpec).
+    */
+  def resampleAudio(s: Array[Float], fromRate: Int, toRate: Int): Array[Float] = {
+    require(fromRate > 0 && toRate > 0, "rates must be positive")
+    if (s.isEmpty || fromRate == toRate) return s
+    val outN = ((s.length - 1).toLong * toRate / fromRate).toInt + 1
+    val out = new Array[Float](outN)
+    var i = 0
+    while (i < outN) {
+      val pos = i.toDouble * fromRate / toRate
+      val i0 = pos.toInt
+      val frac = pos - i0
+      val a = s(i0)
+      val b = if (i0 + 1 < s.length) s(i0 + 1) else a
+      out(i) = (a + (b - a) * frac).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** REAL windowed RMS energy (spectrogram-lite): one value per hop —
+    * the envelope/VAD feature an audio curation pipeline thresholds on.
+    * Frames are [f·hop, f·hop+win); trailing samples short of a full
+    * window are dropped (standard framing).
+    */
+  def energyFrames(s: Array[Float], win: Int, hop: Int): Array[Float] = {
+    require(win > 0 && hop > 0, "window and hop must be positive")
+    if (s.length < win) return Array.empty
+    val n = (s.length - win) / hop + 1
+    val out = new Array[Float](n)
+    var f = 0
+    while (f < n) {
+      var acc = 0.0
+      var i = 0
+      while (i < win) { val v = s(f * hop + i).toDouble; acc += v * v; i += 1 }
+      out(f) = math.sqrt(acc / win).toFloat
+      f += 1
+    }
+    out
+  }
+
+  /** Synthetic 16-bit PCM mono WAV: a sine tone whose amplitude steps
+    * from `ampA` (first half) to `ampB` (second half) — the deterministic
+    * fixture both the audio queries and specs synthesize per id (codecs
+    * are unavailable offline; the RIFF container and PCM payload are
+    * REAL and parsed by the actual decoder).
+    */
+  def synthToneWav(freq: Double, sr: Int, n: Int,
+                   ampA: Double = 0.4, ampB: Double = 0.4): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = if (i < n / 2) ampA else ampB
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(x => (x & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(sr) ++ le32(sr * 2) ++ le16(2) ++ le16(16)
+    val dataCk = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataCk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   /** STUB frame sampler — deterministic fixed-stride chunking standing in
     * for video frame extraction (codecs unavailable offline): every
     * `stride`-th window of `frameSize` bytes becomes one "frame". A real

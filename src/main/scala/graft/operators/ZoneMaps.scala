@@ -66,4 +66,85 @@ object ZoneMaps {
     (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)),
       keep.length.toLong, total)
   }
+
+  // -------------------------------------------------------------------
+  // Snapshot-store integration: zone maps keyed by the manifest's
+  // RELATIVE file paths, maintained incrementally across versions.
+  // -------------------------------------------------------------------
+
+  /** Zone maps for a COMMITTED snapshot version (MergeInto store): one
+    * row per manifest data file, `file` = the manifest's relative path.
+    *
+    * Incremental maintenance: pass the previous version's map as `prev`
+    * and only files NEW in this manifest are scanned — carried files'
+    * stats are reused verbatim (data files are immutable, so their
+    * stats cannot have changed; ZoneMapsSpec proves the reuse with a
+    * sentinel). After a one-partition merge of a 100 TB snapshot, the
+    * refresh reads that partition's new files and nothing else — the
+    * same cost profile as the merge itself.
+    */
+  def forSnapshot(spark: SparkSession, dir: String, cols: Seq[String],
+                  version: Option[Long] = None,
+                  prev: Option[DataFrame] = None): DataFrame = {
+    require(cols.nonEmpty, "zone maps need at least one column")
+    val v = version.getOrElse(MergeInto.currentVersion(spark, dir))
+    require(v >= 0, s"no committed snapshot under $dir")
+    val (_, files) = MergeInto.readManifest(spark, dir, v)
+    if (files.isEmpty) // degenerate: empty snapshot → empty map
+      return prev.map(_.limit(0)).getOrElse(
+        build(spark, dir, cols).limit(0))
+    val fileSet = files.toSet
+    val carried = prev.map(_.filter(col("file").isin(files: _*)))
+    val newFiles = carried match {
+      case None => files
+      case Some(p) =>
+        val have = p.select("file").collect().map(_.getString(0)).toSet
+        files.filterNot(have)
+    }
+    val fresh =
+      if (newFiles.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls")))
+        // read ONLY the new files; relativize the absolute scan path back
+        // to the manifest's key so the map joins across versions
+        Some(spark.read.option("basePath", dir)
+          .parquet(newFiles.map(f => s"$dir/$f"): _*)
+          .select((cols.map(col)) :+ input_file_name().as("__abs"): _*)
+          .groupBy(regexp_extract(col("__abs"), "([^/]+/[^/]+)$", 1).as("file"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+    (carried, fresh) match {
+      case (Some(p), Some(f)) => p.unionByName(f)
+      case (Some(p), None)    => p
+      case (None, Some(f))    => f
+      case (None, None)       => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Range read of a committed snapshot through its zone map: the pinned
+    * manifest schema read of MergeInto.readSnapshot, restricted to files
+    * whose envelope intersects [lo, hi]. Returns (rows, filesRead,
+    * filesTotal); result ≡ readSnapshot + filter.
+    */
+  def readPrunedSnapshot(spark: SparkSession, dir: String, zonemap: DataFrame,
+                         c: String, lo: Any, hi: Any,
+                         version: Option[Long] = None): (DataFrame, Long, Long) = {
+    val v = version.getOrElse(MergeInto.currentVersion(spark, dir))
+    val (schema, files) = MergeInto.readManifest(spark, dir, v)
+    val keep = zonemap
+      .filter(!(col(s"${c}__max") < lit(lo) || col(s"${c}__min") > lit(hi)))
+      .select("file").collect().map(_.getString(0)).toSet
+    val chosen = files.filter(keep)
+    val pruned =
+      if (chosen.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dir).schema(schema)
+        .parquet(chosen.map(f => s"$dir/$f"): _*)
+    (pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi)),
+      chosen.size.toLong, files.size.toLong)
+  }
 }

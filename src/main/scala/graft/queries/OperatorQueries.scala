@@ -345,6 +345,33 @@ object OperatorQueries extends QueryPack {
         .orderBy("est_hz")
     }),
 
+    // audio DSP chain: amplitude-stepped synthetic tones → REAL WAV
+    // decode → linear-interp resample 8000→4000 Hz → windowed RMS
+    // energy frames. The first/last frame energies recover the 0.6→0.15
+    // amplitude step (sine RMS = amp/√2, modulo tone-phase ripple) for
+    // EVERY tone class — proving decode, resample and framing compose.
+    // Map-only per blob; the aggregate is dim-bounded (17 tone classes).
+    "s_mm_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val freq = 200.0 + (id % 17) * 100.0
+          val wav = Multimodal.synthToneWav(freq, 8000, 800,
+            ampA = 0.6, ampB = 0.15)
+          val pcm = Multimodal.decodeWavPcm(wav).get
+          val rs = Multimodal.resampleAudio(pcm, 8000, 4000)
+          val e = Multimodal.energyFrames(rs, 80, 40)
+          (id % 17, e.length, e.head.toDouble, e.last.toDouble)
+        }
+        .toDF("tone_class", "n_frames", "head_rms", "tail_rms")
+      out.groupBy("tone_class")
+        .agg(count(lit(1)).as("n_media"),
+          first(col("n_frames")).as("n_frames"),
+          round(avg("head_rms"), 3).as("avg_head_rms"),
+          round(avg("tail_rms"), 3).as("avg_tail_rms"))
+        .orderBy("tone_class")
+    }),
+
     // change-data-feed over the versioned snapshot: bootstrap an orders
     // slice as v0, merge a deterministic CDC batch (updates + inserts +
     // tombstones), read the v0→v1 row-level diff. The diff scans ONLY

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** The audio DSP stages (resample, RMS framing) on signals with known
+  * closed-form answers — exactness where linear interpolation is exact,
+  * tolerance where tone-phase ripple is inherent.
+  */
+class MultimodalDspSpec extends SparkSpec {
+
+  test("resampleAudio: integer-factor downsample of a ramp picks exactly every k-th sample; same-rate is identity") {
+    val ramp = Array.tabulate(101)(i => i.toFloat) // linear: interp is exact
+    val half = Multimodal.resampleAudio(ramp, 8000, 4000)
+    assert(half.length == 51)
+    assert(half.toSeq == (0 to 100 by 2).map(_.toFloat))
+    val same = Multimodal.resampleAudio(ramp, 8000, 8000)
+    assert(same.toSeq == ramp.toSeq)
+    // upsample 2×: midpoints are exact averages on a linear signal
+    val up = Multimodal.resampleAudio(Array(0f, 2f, 4f), 4000, 8000)
+    assert(up.toSeq == Seq(0f, 1f, 2f, 3f, 4f))
+    assert(Multimodal.resampleAudio(Array.empty[Float], 8000, 4000).isEmpty)
+  }
+
+  test("energyFrames: constant signal frames at |a| exactly; amplitude step recovered; short input yields no frames") {
+    val const = Array.fill(200)(0.5f)
+    val e = Multimodal.energyFrames(const, 80, 40)
+    assert(e.length == (200 - 80) / 40 + 1)
+    assert(e.forall(v => math.abs(v - 0.5f) < 1e-6), e.toSeq.toString)
+
+    // 0.8 for the first 400 samples, 0.1 after: head/tail frames split
+    val step = Array.tabulate(800)(i => if (i < 400) 0.8f else 0.1f)
+    val es = Multimodal.energyFrames(step, 80, 40)
+    assert(math.abs(es.head - 0.8f) < 1e-6 && math.abs(es.last - 0.1f) < 1e-6)
+
+    assert(Multimodal.energyFrames(Array.fill(79)(1f), 80, 40).isEmpty)
+  }
+
+  test("decode → resample → frame composes: tone RMS ≈ amp/√2 on both sides of the step, at full and half rate") {
+    val wav = Multimodal.synthToneWav(500.0, 8000, 800, ampA = 0.6, ampB = 0.15)
+    val pcm = Multimodal.decodeWavPcm(wav).get
+    for (rate <- Seq(8000, 4000)) {
+      val s = Multimodal.resampleAudio(pcm, 8000, rate)
+      val win = rate / 100 * 2 // 20 ms windows
+      val e = Multimodal.energyFrames(s, win, win / 2)
+      val rmsA = 0.6 / math.sqrt(2)
+      val rmsB = 0.15 / math.sqrt(2)
+      assert(math.abs(e.head - rmsA) < 0.05 * rmsA + 0.01,
+        s"rate $rate head ${e.head} vs $rmsA")
+      assert(math.abs(e.last - rmsB) < 0.10 * rmsB + 0.01,
+        s"rate $rate tail ${e.last} vs $rmsB")
+    }
+  }
+
+  test("s_mm_audio_frames: every tone class recovers the 0.6 -> 0.15 envelope") {
+    val df = SparkEntry.queries("s_mm_audio_frames")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 17)
+    rows.foreach { r =>
+      val head = r.getAs[Double]("avg_head_rms")
+      val tail = r.getAs[Double]("avg_tail_rms")
+      assert(head > 0.3 && head < 0.5, s"head $head out of band for ${r}")
+      assert(tail < 0.15, s"tail $tail out of band for ${r}")
+      assert(head > tail * 2.5, s"envelope step not recovered: $r")
+    }
+  }
+}

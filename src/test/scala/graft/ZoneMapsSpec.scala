@@ -51,6 +51,53 @@ class ZoneMapsSpec extends SparkSpec {
     } finally graft.Fs.rmTree(base)
   }
 
+  test("snapshot zone maps: incremental refresh scans only new files (sentinel proof); pruned snapshot read equals full read") {
+    import spark.implicits._
+    import graft.operators.{MergeInto, ZoneMaps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_snap").toString
+    try {
+      // v0: three partitions, k ranges disjoint per partition
+      val v0 = (0 until 300).map(i => (i.toLong, s"d${i / 100 + 1}", i * 2.0))
+        .toDF("k", "day", "v")
+      MergeInto.mergeFiles(spark, dir, v0, Seq("k"), "day", retainVersions = 10)
+      val zm0 = ZoneMaps.forSnapshot(spark, dir, Seq("k")).localCheckpoint()
+
+      // merge touches ONLY day=d2 → v1 carries d1/d3 files forward
+      val batch = Seq((150L, "d2", 9999.0)).toDF("k", "day", "v")
+      MergeInto.mergeFiles(spark, dir, batch, Seq("k"), "day", retainVersions = 10)
+
+      // poison a carried file's stats in the prev map: if the refresh
+      // rescanned it, the sentinel vanishes; reuse keeps it verbatim
+      val v1files = MergeInto.manifestFiles(spark, dir, 1L)
+      val carriedFile = v1files.find(_.startsWith("day=d1")).get
+      val poisoned = zm0.withColumn("n_rows",
+        when(col("file") === carriedFile, 999999L).otherwise(col("n_rows")))
+      val zmIncr = ZoneMaps.forSnapshot(spark, dir, Seq("k"),
+        prev = Some(poisoned)).localCheckpoint()
+      assert(zmIncr.filter(col("file") === carriedFile)
+        .head().getAs[Long]("n_rows") == 999999L,
+        "incremental refresh rescanned a carried file")
+      // dropped files (d2's v0 file) must not linger in the refreshed map
+      assert(zmIncr.select("file").collect().map(_.getString(0)).toSet ==
+        v1files.toSet, "map must cover exactly the v1 manifest")
+      // modulo the sentinel, incremental ≡ full rebuild
+      val zmFull = ZoneMaps.forSnapshot(spark, dir, Seq("k"))
+      val a = zmIncr.filter(col("file") =!= carriedFile)
+      val b = zmFull.filter(col("file") =!= carriedFile)
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        "incremental map diverged from full rebuild")
+
+      // pruned read of the committed version: equality + actual skipping
+      val (pruned, read, total) = ZoneMaps.readPrunedSnapshot(
+        spark, dir, zmFull, "k", 0L, 99L)
+      val expect = MergeInto.readSnapshot(spark, dir)
+        .filter(col("k").between(0L, 99L))
+      assert(pruned.count() == 100 && expect.count() == 100)
+      assert(pruned.select("k", "v", "day").except(expect.select("k", "v", "day")).isEmpty)
+      assert(read < total, s"no files skipped ($read/$total)")
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("envelope edges: disjoint range opens zero files; all-null files are skipped; nulls never match") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_zm_edge").toString
