@@ -83,19 +83,23 @@ object EventQueries extends QueryPack {
 
     // time-series resample + linear interpolation: per-user daily means
     // on a dense day grid, gaps filled by interpolating between the
-    // nearest known neighbors (no extrapolation past the ends). The
-    // known values are exact (µs fixed-point mean, rounded once); the
-    // interpolation formula is the IDENTICAL double expression tree in
-    // both engines, so IEEE arithmetic matches bit for bit. Scale shape:
-    // grid = users × 30 days (linear in users), two pass-windows per
-    // user — one shuffle on user_id total.
+    // nearest known neighbors (no extrapolation past the ends). ALL
+    // arithmetic is exact integer µ-units until one final LONG→DOUBLE
+    // cast: daily mean = (2·Σvus + n) intdiv (2n) (half-up), and the
+    // interpolated point is the convex combination
+    // (pv·(ni−di) + nv·(di−pi)) over (ni−pi), half-up — every term is
+    // ≥ 0 (events.value ≥ 0), so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree and no double ROUND tie can ever diverge
+    // (the round(…,6)-on-double formulation flipped the 6th dp between
+    // engines at sf0.001). Scale shape: grid = users × 30 days (linear
+    // in users), two pass-windows per user — one shuffle on user_id.
     "q_evt_interpolate" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 30)
         .select(col("user_id"), to_date(col("ts")).as("day"),
           (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vus"))
       val daily = ev.groupBy("user_id", "day")
-        .agg(round(sum("vus").cast("double") / count(lit(1)) / 1e6, 6).as("v"))
+        .agg(expr("(2 * sum(vus) + count(1)) div (2 * count(1))").as("v_us"))
       val grid = ev.select("user_id").distinct()
         .crossJoin(broadcast(ev.select("day").distinct()))
       val w = Window.partitionBy("user_id").orderBy("di")
@@ -104,18 +108,21 @@ object EventQueries extends QueryPack {
       grid.join(daily, Seq("user_id", "day"), "left")
         .withColumn("di",
           datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
-        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
-        .withColumn("pi", last(when(col("v").isNotNull, col("di")),
+        .withColumn("pv", last(col("v_us"), ignoreNulls = true).over(wp))
+        .withColumn("pi", last(when(col("v_us").isNotNull, col("di")),
           ignoreNulls = true).over(wp))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
-        .withColumn("ni", first(when(col("v").isNotNull, col("di")),
+        .withColumn("nv", first(col("v_us"), ignoreNulls = true).over(wn))
+        .withColumn("ni", first(when(col("v_us").isNotNull, col("di")),
           ignoreNulls = true).over(wn))
-        .filter(col("v").isNotNull || (col("pv").isNotNull && col("nv").isNotNull))
+        .filter(col("v_us").isNotNull ||
+          (col("pv").isNotNull && col("nv").isNotNull))
         .select(col("user_id"), col("day"),
-          when(col("v").isNotNull, col("v"))
-            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
-              (col("di") - col("pi")) / (col("ni") - col("pi")), 6)).as("value"),
-          col("v").isNull.as("interpolated"))
+          (when(col("v_us").isNotNull, col("v_us"))
+            .otherwise(expr(
+              "(2 * (pv * (ni - di) + nv * (di - pi)) + (ni - pi))" +
+                " div (2 * (ni - pi))"))
+            .cast("double") / 1e6).as("value"),
+          col("v_us").isNull.as("interpolated"))
         .orderBy("user_id", "day")
     }),
 
@@ -416,24 +423,24 @@ object EventQueries extends QueryPack {
         |  FROM events WHERE user_id < 30),
         |daily AS (
         |  SELECT user_id, day,
-        |    ROUND(CAST(SUM(vus) AS DOUBLE) / COUNT(*) / 1e6, 6) AS v
+        |    (2 * SUM(vus) + COUNT(*)) // (2 * COUNT(*)) AS v_us
         |  FROM ev GROUP BY user_id, day),
         |grid AS (
         |  SELECT u.user_id, d.day
         |  FROM (SELECT DISTINCT user_id FROM ev) u,
         |       (SELECT DISTINCT day FROM ev) d),
         |j AS (
-        |  SELECT g.user_id, g.day, daily.v,
+        |  SELECT g.user_id, g.day, daily.v_us,
         |    date_diff('day', DATE '2024-01-01', g.day) AS di
         |  FROM grid g LEFT JOIN daily
         |    ON g.user_id = daily.user_id AND g.day = daily.day),
         |x AS (
-        |  SELECT user_id, day, v, di,
-        |    last_value(v IGNORE NULLS) OVER wp AS pv,
-        |    last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+        |  SELECT user_id, day, v_us, di,
+        |    last_value(v_us IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v_us IS NOT NULL THEN di END IGNORE NULLS)
         |      OVER wp AS pi,
-        |    first_value(v IGNORE NULLS) OVER wn AS nv,
-        |    first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+        |    first_value(v_us IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v_us IS NOT NULL THEN di END IGNORE NULLS)
         |      OVER wn AS ni
         |  FROM j
         |  WINDOW wp AS (PARTITION BY user_id ORDER BY di
@@ -441,11 +448,12 @@ object EventQueries extends QueryPack {
         |         wn AS (PARTITION BY user_id ORDER BY di
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, day,
-        |  CASE WHEN v IS NOT NULL THEN v
-        |       ELSE ROUND(pv + (nv - pv) * (di - pi) / (ni - pi), 6) END AS value,
-        |  (v IS NULL) AS interpolated
+        |  CAST(CASE WHEN v_us IS NOT NULL THEN v_us
+        |       ELSE (2 * (pv * (ni - di) + nv * (di - pi)) + (ni - pi))
+        |            // (2 * (ni - pi)) END AS DOUBLE) / 1e6 AS value,
+        |  (v_us IS NULL) AS interpolated
         |FROM x
-        |WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+        |WHERE v_us IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
         |ORDER BY user_id, day""".stripMargin,
 
     "q_evt_funnel" ->
