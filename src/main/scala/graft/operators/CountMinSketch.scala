@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan, "An Improved Data Stream
+  * Summary: the Count-Min Sketch and its Applications") — point-frequency
+  * estimates over an unbounded key domain in depth×width LONG counters.
+  * Completes the mergeable-sketch family next to HLL (distinct), BHYT
+  * (quantiles), SpaceSaving (top-k) and Bloom (membership): CMS answers
+  * "how often did THIS key occur" without a cardinality-sized state.
+  *
+  * Estimate is one-sided: est(key) ≥ true(key) always (counters only
+  * ever add), and est ≤ true + εN with probability 1−δ for ε = e/width,
+  * δ = e^−depth. Unlike the Bloom/SpaceSaving prune paths the MERGE here
+  * is lossless arithmetic: counter matrices add element-wise, so
+  * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) EXACTLY (bitwise, any
+  * split, any partition count) — partial aggregation, cross-day unions
+  * and unions of parquet-persisted sketches are all the same operation.
+  *
+  * Layout and hashing: one flat Array[Long] of depth·width counters
+  * (row-major), row r probing position (h1 + r·h2) mod width with
+  * h1 = xxhash64(key) >>> 32, h2 = (h & 0xffffffff) | 1 — the same
+  * Kirsch–Mitzenmacher double hashing as [[BloomDedup]], kept under 2^36
+  * so the SQL probe never overflows under ANSI mode. The probe compiles
+  * to built-in expressions over the sketch (array literal or column):
+  * no UDF on the read path, stays inside whole-stage codegen.
+  *
+  * Persistence: the sketch is a plain ARRAY<BIGINT> cell — parquet-safe,
+  * so daily sketches persist via [[SketchStore.write]] and roll up later
+  * with [[CountMinSketch.unionAgg]]; union-after-reload is bitwise equal
+  * to the single-pass sketch (integer adds — CountMinSpec proves it).
+  */
+object CountMinSketch {
+
+  /** Weighted element-wise-add aggregator over (xxhash64 key, weight)
+    * pairs. Buffer = flat depth×width counter matrix.
+    */
+  class CmsAggregator(depth: Int, width: Int)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    require(depth > 0 && depth <= 16, s"depth out of range: $depth")
+    require(width > 1, s"width must exceed 1: $width")
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], kw: (Long, Long)): Array[Long] = {
+      val (h, w) = kw
+      val h1 = h >>> 32
+      val h2 = (h & 0xffffffffL) | 1L
+      var r = 0
+      while (r < depth) {
+        b(r * width + ((h1 + r * h2) % width).toInt) += w
+        r += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Sketch-building aggregate column over any key expression (hashed
+    * internally); `weight` defaults to 1 per row. Mergeable — map-side
+    * combine does most of the work, only depth·width longs shuffle.
+    */
+  def sketchAgg(key: Column, depth: Int = 4, width: Int = 1024,
+                weight: Column = lit(1L)): Column =
+    udaf(new CmsAggregator(depth, width))
+      .apply(xxhash64(key), weight.cast("long"))
+
+  /** Element-wise sum of sketch columns — the lossless rollup aggregate
+    * (daily → monthly). Exact integer arithmetic: associative and
+    * commutative bit-for-bit.
+    */
+  def unionAgg(sketchCol: Column, depth: Int = 4, width: Int = 1024): Column = {
+    val agg = udaf(new CmsUnionAggregator(depth * width))
+    agg(sketchCol)
+  }
+
+  class CmsUnionAggregator(cells: Int)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](cells)
+    override def reduce(b: Array[Long], s: Seq[Long]): Array[Long] = {
+      require(s.length == cells, s"sketch size ${s.length} != $cells")
+      var i = 0
+      while (i < cells) { b(i) += s(i); i += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < cells) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Point estimate of `key`'s frequency against a sketch COLUMN (e.g.
+    * the result of [[sketchAgg]]/[[unionAgg]] riding along a join or a
+    * 1-row broadcast): min over rows of the probed counter. Pure
+    * built-in expressions — codegen-friendly, usable scan-side.
+    */
+  def estimate(sketch: Column, key: Column, depth: Int = 4,
+               width: Int = 1024): Column = {
+    val h = xxhash64(key)
+    val h1 = shiftrightunsigned(h, 32)
+    val h2 = h.bitwiseAND(lit(0xffffffffL)).bitwiseOR(lit(1L))
+    (0 until depth).map { r =>
+      val p = pmod(h1 + lit(r.toLong) * h2, lit(width.toLong))
+      element_at(sketch, (lit(r.toLong * width) + p).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
+}

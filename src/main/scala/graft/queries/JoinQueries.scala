@@ -160,6 +160,32 @@ object JoinQueries extends QueryPack {
         .orderBy("p_brand")
     }),
 
+    // Bloom semi-join reduction (operators.BloomJoin): the BUILDING
+    // segment's custkeys fold into one broadcast bit array that deletes
+    // non-matching orders AT THE SCAN, before the exchange — the fact
+    // side shuffles ~1/5 of its rows (plus ~0.8% false positives the
+    // exact join then clears). shuffle_hash models the dim-too-big-to-
+    // broadcast regime the reduction exists for; the oracle is the
+    // PLAIN join — the point is proving the reduction is semantics-
+    // preserving. BloomJoinSpec weighs the shuffle bytes it deletes.
+    "q_join_bloom_reduce" -> ((s, dir) => {
+      val cust = Tables.t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val fact = Tables.t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.operators.BloomJoin
+        .reduce(fact, cust, col("c_custkey"), col("c_custkey"))
+        .hint("shuffle_hash")
+        .join(cust, Seq("c_custkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("revenue"))
+        .orderBy("month")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 50)
@@ -211,6 +237,14 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom_reduce" ->
+      """SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_join_inner_equi" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue

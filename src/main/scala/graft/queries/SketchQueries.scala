@@ -81,6 +81,29 @@ object SketchQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Count-Min point-frequency estimates self-checked against exact
+    // counts: one CMS over the full token stream (4×1024 LONGs ≈ 32 KiB,
+    // map-side combined — only the matrix ever shuffles), then the
+    // top-30 exact tokens probe it via the codegen'd built-in-expression
+    // estimator. `overestimate` = est − exact is ≥ 0 by the CMS
+    // one-sided guarantee, so the output is its own sanity check;
+    // CountMinSpec pins the ≥ and εN bounds, the LOSSLESS element-wise
+    // union (bitwise at ANY split — integer adds, unlike the pruning
+    // SpaceSaving merge) and the parquet persist-union round-trip.
+    "s_agg_cms" -> ((s, dir) => {
+      import graft.operators.CountMinSketch
+      val tok = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = tok.agg(CountMinSketch.sketchAgg(col("token")).as("sk"))
+      tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(30)
+        .crossJoin(broadcast(sk))
+        .select(col("token"), col("exact_cnt"),
+          CountMinSketch.estimate(col("sk"), col("token")).as("est_cnt"))
+        .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     // cross-SESSION sketch rollup (the reference's PFMERGE-across-days
     // at warehouse scale): daily HLL + BHYT sketches are PERSISTED to a
     // day-partitioned parquet table, reloaded, and unioned into monthly
