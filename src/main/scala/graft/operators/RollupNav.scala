@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregate navigator over a materialized day-grain rollup — the OLAP
+  * "answer the month query from the daily cube" pattern: materialize
+  * ONE additive rollup of the fact table (day × dims, re-aggregable
+  * measures only), then ROUTE coarser queries to it instead of the
+  * fact table. At 100 TB the fact scan happens once per day for the
+  * day's partition; every dashboard query after that reads kilobytes
+  * of rollup, partition-pruned by the day directory.
+  *
+  * Soundness rests on measure additivity: COUNT and SUM re-aggregate by
+  * SUM, MIN by MIN, MAX by MAX — and AVG is DERIVED as sum/count at
+  * answer time (never stored, it does not re-aggregate). Sums are
+  * stored in exact integer micro-units (the repo's fixed-point
+  * doctrine), so routed answers are bit-identical to recomputation —
+  * RollupNavSpec proves routed ≡ base on every measure at every grain.
+  *
+  * Routing is name-based and conservative: a query is answerable iff
+  * its grouping dims ⊆ the rollup's dims and its grain is day or any
+  * coarsening of day; anything else returns None and the caller falls
+  * back to the fact table. (A DISTINCT-style measure would be a
+  * counter-example to additivity — that is what the mergeable-sketch
+  * rollup in [[SketchStore]] is for; compose the two for distincts.)
+  */
+object RollupNav {
+
+  /** Rollup shape: grouping dims (beyond `day`) and the measure columns
+    * (must be exact integer/long in the prepared base — cast money to
+    * µ-units BEFORE materializing).
+    */
+  case class Rollup(dims: Seq[String], measures: Seq[String])
+
+  /** Materialize `base` (already carrying a `day` column and long
+    * measures) into a day-partitioned rollup at `dir`. One shuffle of
+    * the fact table; stored rows = |days × dim combinations|.
+    */
+  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit = {
+    val aggs = count(lit(1)).as("n_rows") +: rollup.measures.flatMap(m => Seq(
+      sum(col(m)).as(s"${m}_sum"),
+      min(col(m)).as(s"${m}_min"),
+      max(col(m)).as(s"${m}_max")))
+    base.groupBy((col("day").cast("string") +: rollup.dims.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+  }
+
+  /** Route a (groupDims, grain) aggregate to the rollup. Returns None
+    * when the rollup cannot answer it (dims outside the cube or a grain
+    * finer than day). The answer carries, per measure m: m_sum, m_min,
+    * m_max and the derived m_avg (exact µ-unit double division), plus
+    * n_rows — all re-aggregated from the stored partials.
+    */
+  def answer(spark: SparkSession, dir: String, rollup: Rollup,
+             groupDims: Seq[String], grain: String,
+             dayRange: Option[(String, String)] = None): Option[DataFrame] = {
+    if (!groupDims.forall(rollup.dims.contains)) return None
+    val grainCol = grain match {
+      case "day"   => to_date(col("day")).as("grain")
+      case "week"  => date_trunc("week", to_date(col("day"))).cast("date").as("grain")
+      case "month" => date_trunc("month", to_date(col("day"))).cast("date").as("grain")
+      case _       => return None // finer than stored grain — not answerable
+    }
+    val stored = spark.read.parquet(dir)
+    val ranged = dayRange.fold(stored) { case (lo, hi) =>
+      stored.filter(col("day") >= lo && col("day") <= hi) // directory prune
+    }
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      rollup.measures.flatMap(m => Seq(
+        sum(col(s"${m}_sum")).as(s"${m}_sum"),
+        min(col(s"${m}_min")).as(s"${m}_min"),
+        max(col(s"${m}_max")).as(s"${m}_max")))
+    val rolled = ranged
+      .groupBy((groupDims.map(col) :+ grainCol): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // derived averages: exact integer sums over exact counts, one double div
+    val withAvg = rollup.measures.foldLeft(rolled) { (df, m) =>
+      df.withColumn(s"${m}_avg",
+        col(s"${m}_sum").cast("double") / col("n_rows"))
+    }
+    Some(withAvg)
+  }
+}

@@ -701,6 +701,82 @@ object OperatorQueries extends QueryPack {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // persisted inverted-index phrase search (operators.InvertedIndex):
+    // the postings write bucket-partitions by term hash, so the search
+    // opens only the phrase terms' buckets (pruning proven in
+    // InvertedIndexSpec). The probe phrase is the corpus's own top
+    // trigram (driver-side collect of 1 string — vocab-bounded), and
+    // the output self-proves: index search vs the direct posting-list
+    // recomputation, per doc, with a mismatch flag that must stay 0.
+    "s_text_index_phrase" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val docs = Tables.t(s, dir, "documents")
+      val idx = InvertedIndex.build(docs)
+      val base = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+      InvertedIndex.write(idx, base)
+      val span = docs.select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
+          .as("span"))
+        .groupBy("span").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("span")).limit(1)
+        .head().getString(0)
+      val toks = span.split(' ').toSeq
+      val fromIndex = InvertedIndex.searchPhrase(s, base, toks)
+        .withColumnRenamed("n_occ", "n_occ_index")
+      val direct = InvertedIndex
+        .phraseOccurrences(idx, InvertedIndex.phraseFrame(s, toks))
+        .withColumnRenamed("n_occ", "n_occ_direct")
+      val out = fromIndex.join(direct, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), lit(span).as("phrase"),
+          coalesce(col("n_occ_index"), lit(0L)).as("n_occ_index"),
+          coalesce(col("n_occ_direct"), lit(0L)).as("n_occ_direct"))
+        .withColumn("mismatch",
+          (col("n_occ_index") =!= col("n_occ_direct")).cast("int"))
+        .orderBy("doc_id")
+        .localCheckpoint() // materialize before the scratch index vanishes
+      rmTree(base)
+      out
+    }),
+
+    // aggregate NAVIGATOR (operators.RollupNav): events materialize ONCE
+    // into a day × event_type rollup (exact µ-unit sums), then the
+    // month-grain question is ANSWERED FROM THE ROLLUP — the fact table
+    // is not rescanned. The output joins the routed answer against a
+    // direct recomputation from base; n_bad must be 0 on every measure
+    // (sum/min/max exact, avg derived sum/count) — additivity proven
+    // end to end, per month × event_type.
+    "s_agg_rollup_nav" -> ((s, dir) => {
+      import graft.operators.RollupNav
+      val base = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      val store = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      RollupNav.materialize(base, shape, store)
+      val routed = RollupNav
+        .answer(s, store, shape, Seq("event_type"), "month").get
+        .withColumnRenamed("grain", "month")
+      val direct = base
+        .groupBy(col("event_type"),
+          date_trunc("month", col("day")).cast("date").as("month"))
+        .agg(count(lit(1)).as("d_rows"), sum("v_us").as("d_sum"),
+          min("v_us").as("d_min"), max("v_us").as("d_max"))
+      val out = routed.join(direct, Seq("event_type", "month"))
+        .select(col("event_type"), col("month"), col("n_rows"),
+          col("v_us_sum"), col("v_us_min"), col("v_us_max"),
+          round(col("v_us_avg") / 1e6, 6).as("avg_value"),
+          ((col("n_rows") =!= col("d_rows")) ||
+            (col("v_us_sum") =!= col("d_sum")) ||
+            (col("v_us_min") =!= col("d_min")) ||
+            (col("v_us_max") =!= col("d_max"))).cast("int").as("n_bad"))
+        .orderBy("event_type", "month")
+        .localCheckpoint() // materialize before the scratch rollup vanishes
+      rmTree(store)
+      out
+    }),
+
     // MERGE INTO (upsert + delete + insert in one pass) as the reusable
     // snapshot-maintenance operator: the customer snapshot merged with a
     // CDC batch derived from 1997H1 order revenue — refreshed balances

@@ -34,6 +34,32 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
         .orderBy("lang")),
 
+    // relational PHRASE SEARCH (operators.InvertedIndex): posting lists
+    // (term, doc, positions) joined to the phrase's (offset, term) rows,
+    // positions realigned to the phrase start — a base where all k
+    // offsets land is one occurrence. The phrase itself is data-driven
+    // (the corpus's most frequent trigram, ties lexicographic), so the
+    // whole query is deterministic and oracle-hashable. Cost tracks the
+    // probed terms' posting lists, never the corpus; the persisted,
+    // bucket-pruned variant is s_text_index_phrase.
+    "q_text_phrase" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val docs = Tables.t(s, dir, "documents")
+      val top = docs.select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
+          .as("span"))
+        .groupBy("span").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("span")).limit(1)
+      val phrase = top.select(
+        posexplode(split(col("span"), " ")).as(Seq("offset", "term")))
+      InvertedIndex.phraseOccurrences(InvertedIndex.build(docs), phrase)
+        .crossJoin(broadcast(top.select(col("span").as("phrase"))))
+        .select(col("doc_id"), col("phrase"), col("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_bigrams" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -159,6 +185,18 @@ object TextQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_phrase" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
+        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
+        |        ORDER BY c DESC, span LIMIT 1)
+        |SELECT sp.doc_id, (SELECT span FROM top) AS phrase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM sp WHERE sp.span = (SELECT span FROM top)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
     "q_text_pii" ->
       """WITH aug AS (SELECT doc_id, text
         |  || CASE WHEN doc_id % 7 = 0

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+
+/** Positional inverted index (operators.InvertedIndex): exact phrase
+  * semantics on a hand corpus (overlaps, repeated terms, no match),
+  * persisted-search ≡ in-memory recomputation on real documents,
+  * bucket function fidelity vs Spark's xxhash64, and the
+  * directory-level prune that makes a lookup O(terms).
+  */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def handCorpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c a b c"),   // "a b" twice; "b c a" once
+      (2L, "a a a"),          // "a a" overlaps: twice
+      (3L, "c b a"),          // reversed — no "a b"
+      (4L, "a b")             // exactly one "a b"
+    ).toDF("doc_id", "text")
+  }
+
+  private def occ(text: String, phrase: String): Map[Long, Long] = {
+    val idx = InvertedIndex.build(handCorpus)
+    InvertedIndex.phraseOccurrences(idx,
+        InvertedIndex.phraseFrame(spark, phrase.split(' ').toSeq))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("phrase semantics: overlap counted, repeated terms, absent phrase") {
+    assert(occ("", "a b") == Map(1L -> 2L, 4L -> 1L))
+    assert(occ("", "a a") == Map(2L -> 2L)) // overlapping occurrences
+    assert(occ("", "b c a") == Map(1L -> 1L))
+    assert(occ("", "c a c") == Map.empty[Long, Long]) // never occurs
+  }
+
+  test("bucketOf matches Spark's xxhash64 pmod for every corpus term") {
+    import spark.implicits._
+    val buckets = 32
+    val terms = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+    val sparkSide = terms
+      .select(col("term"), pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
+      .as[(String, Long)].collect()
+    val bad = sparkSide.filter { case (t, b) =>
+      InvertedIndex.bucketOf(t, buckets) != b
+    }
+    assert(bad.isEmpty, s"bucketOf diverges from xxhash64 for: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("persisted search == in-memory recomputation on real documents; prune proven") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val idx = InvertedIndex.build(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxspec").toString
+    try {
+      InvertedIndex.write(idx, dir)
+      // a phrase that certainly exists: the first doc's first trigram
+      val first = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+      val toks = first.take(3).toSeq
+      val stored = InvertedIndex.searchPhrase(spark, dir, toks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = InvertedIndex
+        .phraseOccurrences(idx, InvertedIndex.phraseFrame(spark, toks))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stored == direct, "persisted-index search != direct recomputation")
+      assert(stored.nonEmpty, "probe phrase missing from its own document")
+      // the pruned read lists only the probed buckets' directories
+      val scan = InvertedIndex.readForTerms(spark, dir, toks)
+      scan.collect()
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [bucket"),
+        s"bucket filter must prune partitions:\n$plan")
+      // runtime file count from the executed scan (inputFiles reflects the
+      // unpruned relation): one file per bucket by construction, so the
+      // scan must open exactly the probed buckets' files
+      val wanted = toks.map(t => InvertedIndex.bucketOf(t, 32)).distinct.toSet
+      val opened = PlanDigest.nodes(scan.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }
+      assert(opened == Seq(wanted.size.toLong),
+        s"scan opened $opened files, expected exactly ${wanted.size} " +
+          s"(buckets $wanted of 32)")
+    } finally Fs.rmTree(dir)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.RollupNav
+import org.apache.spark.sql.functions._
+
+/** Aggregate navigator (operators.RollupNav): routed answers are
+  * bit-identical to fact-table recomputation at every grain, the
+  * router refuses what the cube cannot answer, and a day-ranged
+  * question prunes the rollup store at the directory level.
+  */
+class RollupNavSpec extends SparkSpec {
+
+  private def base = Tables.events(spark, sfDir)
+    .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"),
+      (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+
+  private val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_navspec").toString
+
+  test("routed == recomputed on every measure, at day and month grain") {
+    val dir = tmp()
+    try {
+      RollupNav.materialize(base, shape, dir)
+      for (grain <- Seq("day", "month")) {
+        val routed = RollupNav.answer(spark, dir, shape,
+          Seq("event_type"), grain).get
+        val direct = base
+          .groupBy(col("event_type"),
+            (grain match {
+              case "day" => col("day")
+              case _ => date_trunc(grain, col("day")).cast("date")
+            }).as("grain"))
+          .agg(count(lit(1)).as("n_rows"), sum("v_us").as("v_us_sum"),
+            min("v_us").as("v_us_min"), max("v_us").as("v_us_max"))
+          .withColumn("v_us_avg", col("v_us_sum").cast("double") / col("n_rows"))
+        assert(routed.exceptAll(direct).isEmpty &&
+          direct.exceptAll(routed).isEmpty,
+          s"routed answer diverges from fact recomputation at grain=$grain")
+      }
+    } finally Fs.rmTree(dir)
+  }
+
+  test("router refuses dims outside the cube and grains finer than stored") {
+    val dir = tmp()
+    try {
+      RollupNav.materialize(base, shape, dir)
+      assert(RollupNav.answer(spark, dir, shape, Seq("user_id"), "month").isEmpty,
+        "user_id is not a cube dim — must not be answerable")
+      assert(RollupNav.answer(spark, dir, shape, Seq("event_type"), "hour").isEmpty,
+        "hour is finer than the day grain — must not be answerable")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("day-ranged answer prunes the rollup store at the directory level") {
+    val dir = tmp()
+    try {
+      RollupNav.materialize(base, shape, dir)
+      val ranged = RollupNav.answer(spark, dir, shape, Seq("event_type"),
+        "day", Some(("2024-01-03", "2024-01-05"))).get
+      ranged.collect()
+      val plan = ranged.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(day"),
+        s"day range must prune partitions:\n$plan")
+      // and the ranged answer equals the unranged one filtered after the fact
+      val full = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        .filter(col("grain").between("2024-01-03", "2024-01-05"))
+      assert(ranged.exceptAll(full).isEmpty && full.exceptAll(ranged).isEmpty)
+    } finally Fs.rmTree(dir)
+  }
+}
