@@ -105,6 +105,40 @@ object CountMinSketch {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Equi-join SIZE estimate from two sketches over the join key (the
+    * inner-product estimator of Cormode & Muthukrishnan §4.2):
+    * |A ⋈ B| ≈ min over rows r of Σ_j A[r][j]·B[r][j]. One-sided like
+    * the point estimate (colliding keys only ever add), so est ≥ true
+    * — the join-planning primitive at warehouse scale: two persisted
+    * 32 KiB sketches answer "how big is this join" without touching
+    * either table. Exact when either side's distinct keys are
+    * collision-free in some row; within true + N_A·N_B/width w.h.p.
+    */
+  def joinSizeEstimate(a: Array[Long], b: Array[Long], depth: Int = 4,
+                       width: Int = 1024): Long = {
+    require(a.length == depth * width && b.length == depth * width,
+      s"sketch sizes ${a.length}/${b.length} != ${depth * width}")
+    (0 until depth).map { r =>
+      var dot = 0L
+      var j = r * width
+      while (j < (r + 1) * width) { dot += a(j) * b(j); j += 1 }
+      dot
+    }.min
+  }
+
+  /** Column form of [[joinSizeEstimate]] for sketches riding a frame
+    * (e.g. two persisted daily sketches joined side by side): min over
+    * rows of the per-row inner product, via built-in HOF expressions.
+    */
+  def joinSizeEstimateCol(a: Column, b: Column, depth: Int = 4,
+                          width: Int = 1024): Column =
+    (0 until depth).map { r =>
+      aggregate(
+        zip_with(slice(a, r * width + 1, width), slice(b, r * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }.reduce(least(_, _))
+
   /** Point estimate of `key`'s frequency against a sketch COLUMN (e.g.
     * the result of [[sketchAgg]]/[[unionAgg]] riding along a join or a
     * 1-row broadcast): min over rows of the probed counter. Pure

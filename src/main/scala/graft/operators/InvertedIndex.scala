@@ -44,11 +44,24 @@ object InvertedIndex {
     * file count; the repartition keeps it to one file per bucket here
     * (at cluster scale: per bucket × writer-partition).
     */
-  def write(index: DataFrame, dir: String, buckets: Int = 32): Unit =
+  def write(index: DataFrame, dir: String, buckets: Int = 32,
+            mode: String = "overwrite"): Unit =
     index.withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
-      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      .write.partitionBy("bucket").mode(mode).parquet(dir)
+
+  /** Incrementally index a batch of NEW documents: their postings land
+    * as one extra file per touched bucket, inside the existing layout —
+    * no rebuild, no read-modify-write of old postings. Sound because
+    * posting rows are keyed (term, doc_id) and phrase matching never
+    * merges across doc boundaries, so disjoint doc_ids mean
+    * search-after-append ≡ full rebuild (InvertedIndexSpec proves it).
+    * Re-appending an already-indexed doc_id WOULD double its postings —
+    * dedup the batch first (the BloomDedup / q_dedup_incremental path).
+    */
+  def append(docs: DataFrame, dir: String, buckets: Int = 32): Unit =
+    write(build(docs), dir, buckets, mode = "append")
 
   /** Read ONLY the buckets that can hold `terms` — the directory-level
     * prune that makes an index lookup O(terms), not O(index).

@@ -33,19 +33,68 @@ object RollupNav {
     */
   case class Rollup(dims: Seq[String], measures: Seq[String])
 
-  /** Materialize `base` (already carrying a `day` column and long
-    * measures) into a day-partitioned rollup at `dir`. One shuffle of
-    * the fact table; stored rows = |days × dim combinations|.
-    */
-  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit = {
+  private def aggregateRollup(base: DataFrame, rollup: Rollup): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: rollup.measures.flatMap(m => Seq(
       sum(col(m)).as(s"${m}_sum"),
       min(col(m)).as(s"${m}_min"),
       max(col(m)).as(s"${m}_max")))
     base.groupBy((col("day").cast("string") +: rollup.dims.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize `base` (already carrying a `day` column and long
+    * measures) into a day-partitioned rollup at `dir`. One shuffle of
+    * the fact table; stored rows = |days × dim combinations|.
+    */
+  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit =
+    aggregateRollup(base, rollup)
       .repartition(col("day"))
       .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+  /** INCREMENTAL maintenance: fold a batch of new fact rows into the
+    * rollup without rescanning history. The batch partial-aggregates to
+    * day grain, merges with the stored partials of ONLY the touched
+    * days (directory-pruned read — partials re-aggregate because every
+    * measure is additive: sums add, counts add, min/max fold), and each
+    * touched day rewrites copy-on-write: tmp dir, then an atomic
+    * directory swap, so a reader sees the old day or the new day, never
+    * a half-written one. Driver work is bounded by days-touched per
+    * batch, not data size — the foreachBatch carrier for a streaming
+    * fact feed (RollupNavSpec proves batched maintenance ≡ one-shot
+    * materialize, byte-identical answers).
+    */
+  def maintain(spark: SparkSession, dir: String, rollup: Rollup,
+               batch: DataFrame): Unit = {
+    import spark.implicits._
+    val delta = aggregateRollup(batch, rollup)
+    val days = delta.select("day").distinct().as[String].collect().sorted
+    if (days.isEmpty) return
+    val existing = spark.read.parquet(dir)
+      .filter(col("day").isin(days: _*)) // directory prune: touched days only
+      .withColumn("day", col("day").cast("string"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val merged = existing.select(delta.columns.map(col): _*)
+      .unionByName(delta)
+      .groupBy((col("day") +: rollup.dims.map(col)): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        rollup.measures.flatMap(m => Seq(
+          sum(col(s"${m}_sum")).as(s"${m}_sum"),
+          min(col(s"${m}_min")).as(s"${m}_min"),
+          max(col(s"${m}_max")).as(s"${m}_max"))): _*)
+      .localCheckpoint() // materialize BEFORE the dirs it reads are swapped
+    try {
+      days.foreach { d =>
+        val tmp = new java.io.File(dir, s".tmp_day_$d") // dot prefix: reader-invisible
+        merged.filter(col("day") === d).drop("day")
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.Fs.rmTree(new java.io.File(dir, s"day=$d").toString)
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(dir, s"day=$d").toPath)
+      }
+    } finally // free the maintenance checkpoint (persistent-RDD id delta)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
   }
 
   /** Route a (groupDims, grain) aggregate to the rollup. Returns None

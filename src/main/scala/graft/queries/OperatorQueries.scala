@@ -743,10 +743,11 @@ object OperatorQueries extends QueryPack {
     // aggregate NAVIGATOR (operators.RollupNav): events materialize ONCE
     // into a day × event_type rollup (exact µ-unit sums), then the
     // month-grain question is ANSWERED FROM THE ROLLUP — the fact table
-    // is not rescanned. The output joins the routed answer against a
-    // direct recomputation from base; n_bad must be 0 on every measure
-    // (sum/min/max exact, avg derived sum/count) — additivity proven
-    // end to end, per month × event_type.
+    // is not rescanned. Hash-grade proof: the DuckDB oracle computes the
+    // same answer DIRECTLY from events, so the materialize→route path
+    // must reproduce the base-table truth bit for bit (avg derived with
+    // the half-up integer formula — terms nonneg, both int-divs agree).
+    // RollupNavSpec additionally pins routing refusals and day pruning.
     "s_agg_rollup_nav" -> ((s, dir) => {
       import graft.operators.RollupNav
       val base = Tables.events(s, dir)
@@ -755,22 +756,13 @@ object OperatorQueries extends QueryPack {
       val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
       val store = java.nio.file.Files.createTempDirectory("graft_rollup").toString
       RollupNav.materialize(base, shape, store)
-      val routed = RollupNav
+      val out = RollupNav
         .answer(s, store, shape, Seq("event_type"), "month").get
-        .withColumnRenamed("grain", "month")
-      val direct = base
-        .groupBy(col("event_type"),
-          date_trunc("month", col("day")).cast("date").as("month"))
-        .agg(count(lit(1)).as("d_rows"), sum("v_us").as("d_sum"),
-          min("v_us").as("d_min"), max("v_us").as("d_max"))
-      val out = routed.join(direct, Seq("event_type", "month"))
-        .select(col("event_type"), col("month"), col("n_rows"),
-          col("v_us_sum"), col("v_us_min"), col("v_us_max"),
-          round(col("v_us_avg") / 1e6, 6).as("avg_value"),
-          ((col("n_rows") =!= col("d_rows")) ||
-            (col("v_us_sum") =!= col("d_sum")) ||
-            (col("v_us_min") =!= col("d_min")) ||
-            (col("v_us_max") =!= col("d_max"))).cast("int").as("n_bad"))
+        .select(col("event_type"), col("grain").as("month"),
+          col("n_rows"), col("v_us_sum").as("sum_us"),
+          col("v_us_min").as("min_us"), col("v_us_max").as("max_us"),
+          (expr("(2 * v_us_sum + n_rows) div (2 * n_rows)")
+            .cast("double") / 1e6).as("avg_value"))
         .orderBy("event_type", "month")
         .localCheckpoint() // materialize before the scratch rollup vanishes
       rmTree(store)
@@ -813,6 +805,24 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // hash-grade proof of the materialize→route navigator path: DuckDB
+    // computes the month answer DIRECTLY from events; Spark's comes off
+    // the persisted day rollup. Avg via half-up integer division (terms
+    // nonneg — value >= 0), one exact LONG→DOUBLE cast at the end.
+    "s_agg_rollup_nav" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+        |  FROM events)
+        |SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v_us) AS BIGINT) AS sum_us,
+        |  MIN(v_us) AS min_us, MAX(v_us) AS max_us,
+        |  CAST((2 * SUM(v_us) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6
+        |    AS avg_value
+        |FROM ev GROUP BY event_type, month
+        |ORDER BY event_type, month""".stripMargin,
+
     "q_merge_upsert" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_name, c_mktsegment,

@@ -78,6 +78,29 @@ object ProfileQueries extends QueryPack {
       Seq((m("n_rows").asInstanceOf[Long], m("n_nonnull").asInstanceOf[Long],
         m("n_negative").asInstanceOf[Long], m("max_value").asInstanceOf[Double]))
         .toDF("n_rows", "n_nonnull", "n_negative", "max_value")
+    }),
+
+    // ---- sketch-based join-size estimation (CMS inner product) ----
+    // the join-planning primitive at warehouse scale: |A ⋈ B| from two
+    // 32 KiB Count-Min sketches over the join key — no row of either
+    // table is touched once the sketches exist (and they persist via
+    // SketchStore, so tomorrow's planner reads yesterday's sketches).
+    // One-sided like the point estimate: overestimate >= 0 always, and
+    // the output carries exact vs estimate so the error is visible.
+    // CountMinSpec pins the bound and the scala/column-form agreement.
+    "s_profile_joinsize" -> ((s, dir) => {
+      import graft.operators.CountMinSketch
+      val (d, w) = (4, 8192) // 256 KiB — error ∝ NaNb/w, so width is cheap
+      val a = Tables.events(s, dir).select(col("user_id").as("k"))
+      val b = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val est = a.agg(CountMinSketch.sketchAgg(col("k"), d, w).as("ska"))
+        .crossJoin(b.agg(CountMinSketch.sketchAgg(col("k"), d, w).as("skb")))
+        .select(CountMinSketch.joinSizeEstimateCol(col("ska"), col("skb"), d, w)
+          .as("est_rows"))
+      a.join(b, "k").agg(count(lit(1)).as("exact_rows"))
+        .crossJoin(est)
+        .select(col("exact_rows"), col("est_rows"),
+          (col("est_rows") - col("exact_rows")).as("overestimate"))
     })
   )
 

@@ -34,6 +34,47 @@ object TextQueries extends QueryPack {
           sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
         .orderBy("lang")),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — a term is central if central terms
+    // co-occur with it. Composes two existing parts: the bigram pair
+    // extraction (map-only transform, no self-join) and operators
+    // .PageRank (per-round SHUFFLE_HASH against a checkpointed edge
+    // layout). The vocab dictionary is TYPE-bounded, so its window-id
+    // assignment and the edge joins broadcast; the corpus token stream
+    // is touched once. Spark-only (iterative float ranks — no SQL
+    // oracle); TextRankSpec pins hub-outranks-leaf and mass
+    // conservation.
+    "s_text_keywords" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val pairs = docs.select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS t1, t[i + 1] AS t2))")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .filter(col("t1") =!= col("t2"))
+        .distinct()
+      val vocab = pairs.select(col("t1").as("term"))
+        .union(pairs.select(col("t2").as("term"))).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy("term")).cast("long"))
+      val named = pairs
+        .join(broadcast(vocab.withColumnRenamed("term", "t1")
+          .withColumnRenamed("id", "src")), Seq("t1"))
+        .join(broadcast(vocab.withColumnRenamed("term", "t2")
+          .withColumnRenamed("id", "dst")), Seq("t2"))
+        .select(col("src"), col("dst"))
+      val edges = named // undirected co-occurrence: both directions
+        .unionAll(named.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.operators.PageRank.run(edges)
+        .withColumnRenamed("id", "rid")
+        .join(broadcast(vocab), col("rid") === vocab("id"))
+        .select(col("term"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("term"))
+        .limit(20)
+    }),
+
     // relational PHRASE SEARCH (operators.InvertedIndex): posting lists
     // (term, doc, positions) joined to the phrase's (offset, term) rows,
     // positions realigned to the phrase start — a base where all k
@@ -155,6 +196,29 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // keyed PSEUDONYMIZATION with referential integrity: user ids on
+    // both tables are replaced by sha2(salt || id) BEFORE the join, and
+    // the joined segment × event-type audience counts still come out —
+    // the GDPR-pipeline pattern where raw ids never leave the scan (the
+    // downstream sees only pseudonyms, yet joins keep working because
+    // the keyed hash is applied consistently). Deterministic: SHA-256
+    // of identical strings in both engines; hash-grade oracle proves
+    // the pseudonymized join ≡ the raw join's aggregate.
+    "q_pii_pseudonymize" -> ((s, dir) => {
+      val salt = "graft-salt-v1:"
+      def pseudo(c: org.apache.spark.sql.Column) =
+        sha2(concat(lit(salt), c.cast("string")), 256)
+      val ev = Tables.events(s, dir)
+        .select(pseudo(col("user_id")).as("uid"), col("event_type"))
+      val cust = Tables.t(s, dir, "customer")
+        .select(pseudo(col("c_custkey")).as("uid"), col("c_mktsegment"))
+      ev.join(cust, "uid")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("uid")).as("n_users"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     "q_text_hapax" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -196,6 +260,18 @@ object TextQueries extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM sp WHERE sp.span = (SELECT span FROM top)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
+    "q_pii_pseudonymize" ->
+      """WITH ev AS (SELECT sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR)) AS uid,
+        |              event_type FROM events),
+        |cust AS (SELECT sha256('graft-salt-v1:' || CAST(c_custkey AS VARCHAR)) AS uid,
+        |           c_mktsegment FROM customer)
+        |SELECT c_mktsegment, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_users
+        |FROM ev JOIN cust USING (uid)
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
 
     "q_text_pii" ->
       """WITH aug AS (SELECT doc_id, text

@@ -78,6 +78,40 @@ class CountMinSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("join-size estimate: one-sided, bounded, scala == column form") {
+    import spark.implicits._
+    val a = Tables.events(spark, sfDir).select(col("user_id").as("k"))
+    val b = Tables.t(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(CountMinSketch.sketchAgg(col("k"), depth, width))
+        .as[Array[Long]].head()
+    val (ska, skb) = (sketch(a), sketch(b))
+    val est = CountMinSketch.joinSizeEstimate(ska, skb, depth, width)
+    val exact = a.join(b, "k").count()
+    assert(est >= exact, s"join estimate $est under exact $exact — violates one-sidedness")
+    val bound = exact + a.count() * b.count() / width
+    assert(est <= bound, s"join estimate $est above exact+NaNb/w = $bound")
+    // column form agrees with the driver-side arithmetic bit for bit
+    val estCol = a.agg(CountMinSketch.sketchAgg(col("k"), depth, width).as("ska"))
+      .crossJoin(b.agg(CountMinSketch.sketchAgg(col("k"), depth, width).as("skb")))
+      .select(CountMinSketch.joinSizeEstimateCol(col("ska"), col("skb"), depth, width))
+      .as[Long].head()
+    assert(estCol == est, s"column-form estimate $estCol != scala form $est")
+  }
+
+  test("join-size estimate is exact when a sketch row is collision-free") {
+    import spark.implicits._
+    // 6 distinct keys, multiplicities 1..6 and 6..1 — at width 1024 the
+    // probability all 4 rows collide somewhere is nil; est must be exact:
+    // sum over keys of cntA*cntB = 1*6+2*5+...+6*1 = 56
+    val a = (1 to 6).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 6).flatMap(k => Seq.fill(7 - k)(k.toLong)).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(CountMinSketch.sketchAgg(col("k"), depth, width))
+        .as[Array[Long]].head()
+    assert(CountMinSketch.joinSizeEstimate(sk(a), sk(b), depth, width) == 56L)
+  }
+
   test("empty input: zero matrix; every estimate is 0") {
     import spark.implicits._
     val empty = tokens.filter(lit(false))

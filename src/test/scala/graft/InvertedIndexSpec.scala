@@ -49,6 +49,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(bad.isEmpty, s"bucketOf diverges from xxhash64 for: ${bad.take(5).mkString(", ")}")
   }
 
+  test("append: search-after-append == full rebuild; old postings untouched") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val incDir = java.nio.file.Files.createTempDirectory("graft_idxinc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_idxfull").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(old), incDir)
+      val beforeFiles = spark.read.parquet(incDir).inputFiles.toSet
+      InvertedIndex.append(fresh, incDir)
+      assert(spark.read.parquet(incDir).inputFiles.toSet.intersect(beforeFiles)
+        == beforeFiles, "append rewrote pre-existing posting files")
+      InvertedIndex.write(InvertedIndex.build(docs), fullDir)
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      def res(dir: String) = InvertedIndex.searchPhrase(spark, dir, toks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (inc, full) = (res(incDir), res(fullDir))
+      assert(inc == full, "incremental index search != full-rebuild search")
+      assert(inc.nonEmpty)
+    } finally { Fs.rmTree(incDir); Fs.rmTree(fullDir) }
+  }
+
   test("persisted search == in-memory recomputation on real documents; prune proven") {
     val docs = Tables.t(spark, sfDir, "documents")
     val idx = InvertedIndex.build(docs)

@@ -53,6 +53,35 @@ class RollupNavSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("incremental maintenance == one-shot materialize (merge and new-day paths)") {
+    val oneShot = tmp()
+    try {
+      RollupNav.materialize(base, shape, oneShot)
+      val truth = RollupNav.answer(spark, oneShot, shape, Seq("event_type"), "day").get
+
+      // merge pressure: three user slices, every batch touches every day
+      val merged = tmp()
+      try {
+        RollupNav.materialize(base.filter(col("user_id") % 3 === 0), shape, merged)
+        RollupNav.maintain(spark, merged, shape, base.filter(col("user_id") % 3 === 1))
+        RollupNav.maintain(spark, merged, shape, base.filter(col("user_id") % 3 === 2))
+        val inc = RollupNav.answer(spark, merged, shape, Seq("event_type"), "day").get
+        assert(inc.exceptAll(truth).isEmpty && truth.exceptAll(inc).isEmpty,
+          "user-sliced maintenance diverges from one-shot materialize")
+      } finally Fs.rmTree(merged)
+
+      // new-day path: the second batch's days do not exist in the store yet
+      val grown = tmp()
+      try {
+        RollupNav.materialize(base.filter(col("day") < "2024-01-15"), shape, grown)
+        RollupNav.maintain(spark, grown, shape, base.filter(col("day") >= "2024-01-15"))
+        val inc = RollupNav.answer(spark, grown, shape, Seq("event_type"), "day").get
+        assert(inc.exceptAll(truth).isEmpty && truth.exceptAll(inc).isEmpty,
+          "new-day maintenance diverges from one-shot materialize")
+      } finally Fs.rmTree(grown)
+    } finally Fs.rmTree(oneShot)
+  }
+
   test("day-ranged answer prunes the rollup store at the directory level") {
     val dir = tmp()
     try {
