@@ -56,8 +56,16 @@ object Multimodal {
     * [[resizePpm]]. Header tokenizer runs over raw bytes (the pixel
     * section is binary — no string decode of the whole blob).
     */
-  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-    var pos = 0
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    ppmHeaderAt(bytes, 0)
+
+  /** Header walk from an arbitrary stream offset — the frame-boundary
+    * primitive [[splitPpmStream]] uses: a frame's extent is DECLARED by
+    * its own header (w·h·3 pixel bytes after the maxval separator),
+    * never guessed from a fixed stride.
+    */
+  private def ppmHeaderAt(bytes: Array[Byte], from: Int): Option[(Int, Int, Int)] = {
+    var pos = from
     def nextToken(): Option[String] = {
       while (pos < bytes.length &&
         (bytes(pos).toChar.isWhitespace || bytes(pos).toChar == '#')) {
@@ -378,14 +386,81 @@ object Multimodal {
 
   /** STUB frame sampler — deterministic fixed-stride chunking standing in
     * for video frame extraction (codecs unavailable offline): every
-    * `stride`-th window of `frameSize` bytes becomes one "frame". A real
-    * decoder slots in with the same (blob → frames) signature.
+    * `stride`-th window of `frameSize` bytes becomes one "frame". For
+    * the PPMV container the REAL parse chain exists — see
+    * [[splitPpmStream]]/[[sampleFrames]]/[[motionEnergy]]; this stub
+    * remains only for opaque blobs with no parseable structure.
     */
   def sampleFramesStub(bytes: Array[Byte], frameSize: Int = 64,
                        stride: Int = 256): Seq[Array[Byte]] =
     if (bytes.length < frameSize) Seq.empty
     else (0 to bytes.length - frameSize by stride) // inclusive: the last full frame counts
       .map(off => bytes.slice(off, off + frameSize))
+
+  /** REAL video-container parsing for the codec-free "PPMV" stream —
+    * concatenated P6 frames, each frame's extent declared by its own
+    * header (frames may differ in size). Returns None on the first
+    * malformed frame: garbage mid-stream is a corrupt video, not a
+    * shorter one. This replaces the byte-stride stub as the video
+    * decode step: boundaries are parsed, not guessed, and every split
+    * frame is itself a valid P6 blob, so [[decodePpm]]/[[resizePpm]]
+    * compose per frame unchanged.
+    */
+  def splitPpmStream(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      ppmHeaderAt(bytes, pos) match {
+        case Some((w, h, pixelOff)) =>
+          val end = pixelOff + w * h * 3
+          out += java.util.Arrays.copyOfRange(bytes, pos, end)
+          pos = end
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Every `stride`-th frame with its original index — the temporal
+    * subsample that makes per-frame work O(frames/stride).
+    */
+  def sampleFrames(frames: Seq[Array[Byte]], stride: Int): Seq[(Int, Array[Byte])] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => (i, f) }
+  }
+
+  /** Motion energy of an ordered frame sequence: mean |Δ mean-luminance|
+    * between consecutive frames, in [0,1] units (decodePpm's meanLum
+    * channel). None if any frame fails to decode or fewer than 2 frames
+    * (no motion is defined on a still).
+    */
+  def motionEnergy(frames: Seq[Array[Byte]]): Option[Double] = {
+    if (frames.length < 2) return None
+    val lums = frames.map(f => decodePpm(f).map(_(3).toDouble))
+    if (lums.exists(_.isEmpty)) None
+    else {
+      val l = lums.map(_.get)
+      Some(l.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum /
+        (l.length - 1))
+    }
+  }
+
+  /** Deterministic multi-frame P6 stream: `n` solid-gray frames ramping
+    * `base, base+step, …` (values clamped to 255) — mean luminance of a
+    * solid gray-g frame is exactly g, so the stream's motion energy is
+    * analytically step/255 while unclamped (the spec's oracle).
+    */
+  def synthPpmVideo(w: Int, h: Int, n: Int, base: Int, step: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { t =>
+      val g = math.min(255, base + t * step)
+      buf.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+      val px = new Array[Byte](w * h * 3)
+      java.util.Arrays.fill(px, g.toByte)
+      buf.write(px)
+    }
+    buf.toByteArray
+  }
 
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

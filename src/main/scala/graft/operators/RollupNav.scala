@@ -62,16 +62,35 @@ object RollupNav {
     * batch, not data size — the foreachBatch carrier for a streaming
     * fact feed (RollupNavSpec proves batched maintenance ≡ one-shot
     * materialize, byte-identical answers).
+    *
+    * DELTAS ARE NOT IDEMPOTENT — a replayed batch would double-count —
+    * so streaming callers pass the trigger's `batchId`: an
+    * `_applied_<id>` marker is written INTO each day's tmp dir before
+    * the swap, making (data + marker) publish in the same atomic
+    * rename. On replay, days already carrying the marker are skipped
+    * and the rest re-derive from their (still pre-batch) stored state;
+    * a crash between day swaps therefore recovers to exactly-once per
+    * day (RollupNavSpec's replay and partial-apply tests).
     */
   def maintain(spark: SparkSession, dir: String, rollup: Rollup,
-               batch: DataFrame): Unit = {
+               batch: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
     val delta = aggregateRollup(batch, rollup)
-    val days = delta.select("day").distinct().as[String].collect().sorted
+    val allDays = delta.select("day").distinct().as[String].collect().sorted
+    val days = batchId.fold(allDays) { id =>
+      allDays.filterNot(d =>
+        new java.io.File(dir, s"day=$d/_applied_$id").exists())
+    }
     if (days.isEmpty) return
-    val existing = spark.read.parquet(dir)
-      .filter(col("day").isin(days: _*)) // directory prune: touched days only
-      .withColumn("day", col("day").cast("string"))
+    // an empty cube (materialized over zero days, or day one of a fresh
+    // stream) has no files to read — the delta IS the store content
+    val hasDays = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("day="))
+    val existing =
+      if (!hasDays) delta.filter(lit(false))
+      else spark.read.parquet(dir)
+        .filter(col("day").isin(days: _*)) // directory prune: touched days only
+        .withColumn("day", col("day").cast("string"))
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val merged = existing.select(delta.columns.map(col): _*)
       .unionByName(delta)
@@ -87,6 +106,10 @@ object RollupNav {
         val tmp = new java.io.File(dir, s".tmp_day_$d") // dot prefix: reader-invisible
         merged.filter(col("day") === d).drop("day")
           .write.mode("overwrite").parquet(tmp.toString)
+        // the replay marker rides INSIDE the swapped dir: data + marker
+        // publish in one atomic rename ('_' files are reader-invisible)
+        batchId.foreach(id => java.nio.file.Files.createFile(
+          new java.io.File(tmp, s"_applied_$id").toPath))
         graft.Fs.rmTree(new java.io.File(dir, s"day=$d").toString)
         java.nio.file.Files.move(tmp.toPath,
           new java.io.File(dir, s"day=$d").toPath)

@@ -701,6 +701,40 @@ object OperatorQueries extends QueryPack {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // REAL video chain over the codec-free PPMV container (concatenated
+    // P6 frames; splitPpmStream parses each frame's OWN header for its
+    // extent — boundaries are declared, never stride-guessed): synth
+    // 12-frame brightness-ramp videos per doc (step = (cls+1)·4), parse
+    // → temporal subsample (every 2nd frame) → motion energy = mean
+    // |Δ mean-luminance|. Sampling doubles the per-step delta, so the
+    // analytic truth is 2·step/255; the output carries measured vs
+    // expected and a violations count that must stay 0. Map-only per
+    // blob; the aggregate is dim-bounded (5 classes).
+    "s_mm_video_motion" -> ((s, dir) => {
+      import s.implicits._
+      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = (id % 5).toInt
+          val step = (cls + 1) * 4
+          val vid = Multimodal.synthPpmVideo(8, 8, 12, 20, step)
+          val frames = Multimodal.splitPpmStream(vid).get
+          val sampled = Multimodal.sampleFrames(frames, 2).map(_._2)
+          val motion = Multimodal.motionEnergy(sampled).get
+          val expected = 2.0 * step / 255.0
+          (cls, frames.length, sampled.length, motion, expected,
+            if (math.abs(motion - expected) > 1e-6) 1 else 0)
+        }
+        .toDF("cls", "n_frames", "n_sampled", "motion", "expected", "bad")
+      out.groupBy("cls")
+        .agg(count(lit(1)).as("n_videos"),
+          first(col("n_frames")).as("n_frames"),
+          first(col("n_sampled")).as("n_sampled"),
+          round(avg("motion"), 6).as("motion"),
+          round(avg("expected"), 6).as("expected"),
+          sum("bad").as("violations"))
+        .orderBy("cls")
+    }),
+
     // persisted inverted-index phrase search (operators.InvertedIndex):
     // the postings write bucket-partitions by term hash, so the search
     // opens only the phrase terms' buckets (pruning proven in

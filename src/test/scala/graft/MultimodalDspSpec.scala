@@ -63,4 +63,51 @@ class MultimodalDspSpec extends SparkSpec {
       assert(head > tail * 2.5, s"envelope step not recovered: $r")
     }
   }
+
+  test("splitPpmStream: declared-extent boundaries on mixed-size frames; corrupt mid-stream refuses") {
+    import graft.operators.Multimodal
+    def gray(w: Int, h: Int, g: Int): Array[Byte] = {
+      val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.fill((w * h * 3))(g.toByte)
+      head ++ px
+    }
+    // frames of DIFFERENT sizes back to back — a stride guess cannot split this
+    val f1 = gray(2, 2, 10); val f2 = gray(4, 1, 200); val f3 = gray(3, 3, 77)
+    val stream = f1 ++ f2 ++ f3
+    val frames = Multimodal.splitPpmStream(stream).get
+    assert(frames.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq, f3.toSeq),
+      "split boundaries differ from the frames that built the stream")
+    assert(frames.forall(f => Multimodal.decodePpm(f).isDefined))
+    // corrupt byte mid-stream: the whole video is refused, not shortened
+    val corrupt = f1 ++ "garbage".getBytes("US-ASCII") ++ f2
+    assert(Multimodal.splitPpmStream(corrupt).isEmpty)
+    assert(Multimodal.splitPpmStream(Array.emptyByteArray).contains(Seq.empty))
+  }
+
+  test("sampleFrames + motionEnergy: analytic ramp truth; stills undefined") {
+    import graft.operators.Multimodal
+    val vid = Multimodal.synthPpmVideo(8, 8, n = 12, base = 20, step = 8)
+    val frames = Multimodal.splitPpmStream(vid).get
+    assert(frames.length == 12)
+    val all = Multimodal.motionEnergy(frames).get
+    assert(math.abs(all - 8.0 / 255.0) < 1e-6,
+      s"full-rate motion $all != ${8.0 / 255.0}")
+    val sampled = Multimodal.sampleFrames(frames, 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4, 6, 8, 10))
+    val half = Multimodal.motionEnergy(sampled.map(_._2)).get
+    assert(math.abs(half - 16.0 / 255.0) < 1e-6,
+      s"subsampled motion $half != ${16.0 / 255.0}")
+    assert(Multimodal.motionEnergy(frames.take(1)).isEmpty, "a still has no motion")
+  }
+
+  test("s_mm_video_motion: zero violations, motion == expected per class") {
+    val rows = graft.queries.OperatorQueries.queries("s_mm_video_motion")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("violations") == 0L, s"violations in $r")
+      assert(r.getAs[Double]("motion") == r.getAs[Double]("expected"),
+        s"rounded motion != expected in $r")
+    }
+  }
 }
