@@ -745,7 +745,11 @@ object OperatorQueries extends QueryPack {
     "s_text_index_phrase" -> ((s, dir) => {
       import graft.operators.InvertedIndex
       val docs = Tables.t(s, dir, "documents")
-      val idx = InvertedIndex.build(docs)
+      // one tokenize+aggregate pass feeds BOTH the store write and the
+      // direct-recompute proof (cold 16.4 → 12.8 s at sf0.1; the warm
+      // floor is the store WRITE itself — 32 term-sorted bucket files,
+      // the same cost class as s_sim_ann_store's index build)
+      val idx = InvertedIndex.build(docs).localCheckpoint()
       val base = java.nio.file.Files.createTempDirectory("graft_invidx").toString
       InvertedIndex.write(idx, base)
       val span = docs.select(split(col("text"), " ").as("t"))
