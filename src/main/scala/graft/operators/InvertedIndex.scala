@@ -39,29 +39,43 @@ object InvertedIndex {
       .agg(sort_array(collect_list("pos")).as("positions"),
         count(lit(1)).as("tf"))
 
-  /** Persist posting rows bucketed by term hash: one directory per
-    * bucket, each holding term-sorted parquet. `buckets` bounds the
-    * file count; the repartition keeps it to one file per bucket here
-    * (at cluster scale: per bucket × writer-partition).
+  /** Persist posting rows as the index's BASE segment. Layout is
+    * seg=<name>/bucket=<hash mod B>/: the seg layer is what makes
+    * incremental and streaming appends atomic units (each append is one
+    * new segment dir, published by one rename), the bucket layer is the
+    * term-pruning unit. One term-sorted file per (segment, bucket).
     */
-  def write(index: DataFrame, dir: String, buckets: Int = 32,
-            mode: String = "overwrite"): Unit =
+  def write(index: DataFrame, dir: String, buckets: Int = 32): Unit =
+    writeSegment(index, new java.io.File(dir, "seg=base").toString, buckets)
+
+  private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit =
     index.withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
-      .write.partitionBy("bucket").mode(mode).parquet(dir)
+      .write.partitionBy("bucket").mode("overwrite").parquet(segDir)
 
-  /** Incrementally index a batch of NEW documents: their postings land
-    * as one extra file per touched bucket, inside the existing layout —
-    * no rebuild, no read-modify-write of old postings. Sound because
-    * posting rows are keyed (term, doc_id) and phrase matching never
-    * merges across doc boundaries, so disjoint doc_ids mean
-    * search-after-append ≡ full rebuild (InvertedIndexSpec proves it).
-    * Re-appending an already-indexed doc_id WOULD double its postings —
-    * dedup the batch first (the BloomDedup / q_dedup_incremental path).
+  /** Incrementally index a batch of NEW documents as segment `seg`:
+    * staged in a reader-invisible tmp dir, then published by ONE atomic
+    * rename — readers see the whole segment or none of it, and the base
+    * postings are never rewritten. Sound because posting rows are keyed
+    * (term, doc_id) and phrase matching never merges across doc
+    * boundaries, so disjoint doc_ids mean search-after-append ≡ full
+    * rebuild (InvertedIndexSpec proves it). Re-appending an
+    * already-indexed doc_id WOULD double its postings — dedup the batch
+    * first (the BloomDedup / q_dedup_incremental path). Returns false
+    * (a no-op) if the segment already exists — the idempotence hook
+    * [[graft.streaming.IndexSink]] relies on for replayed triggers.
     */
-  def append(docs: DataFrame, dir: String, buckets: Int = 32): Unit =
-    write(build(docs), dir, buckets, mode = "append")
+  def append(docs: DataFrame, dir: String, seg: String,
+             buckets: Int = 32): Boolean = {
+    val segDir = new java.io.File(dir, s"seg=$seg")
+    if (segDir.exists()) return false // committed already: replay no-op
+    val tmp = new java.io.File(dir, s".tmp_seg_$seg") // dot: reader-invisible
+    graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
+    writeSegment(build(docs), tmp.toString, buckets)
+    java.nio.file.Files.move(tmp.toPath, segDir.toPath) // atomic publish
+    true
+  }
 
   /** Read ONLY the buckets that can hold `terms` — the directory-level
     * prune that makes an index lookup O(terms), not O(index).

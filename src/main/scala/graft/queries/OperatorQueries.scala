@@ -843,6 +843,26 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // hash-grade proof of the PERSISTED index path: DuckDB recomputes
+    // the top-trigram occurrences straight from documents; Spark's
+    // n_occ_index came off the bucket-pruned on-disk postings and its
+    // n_occ_direct off the in-memory build — all three must agree
+    // (mismatch pinned to literal 0 on the oracle side: any divergence
+    // breaks the hash).
+    "s_text_index_phrase" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
+        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+        |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
+        |        ORDER BY c DESC, span LIMIT 1)
+        |SELECT sp.doc_id, (SELECT span FROM top) AS phrase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ_index,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ_direct,
+        |  0 AS mismatch
+        |FROM sp WHERE sp.span = (SELECT span FROM top)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
     // hash-grade proof of the materialize→route navigator path: DuckDB
     // computes the month answer DIRECTLY from events; Spark's comes off
     // the persisted day rollup. Avg via half-up integer division (terms

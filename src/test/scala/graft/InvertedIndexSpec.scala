@@ -59,9 +59,13 @@ class InvertedIndexSpec extends SparkSpec {
     try {
       InvertedIndex.write(InvertedIndex.build(old), incDir)
       val beforeFiles = spark.read.parquet(incDir).inputFiles.toSet
-      InvertedIndex.append(fresh, incDir)
+      assert(InvertedIndex.append(fresh, incDir, "inc1"))
       assert(spark.read.parquet(incDir).inputFiles.toSet.intersect(beforeFiles)
         == beforeFiles, "append rewrote pre-existing posting files")
+      // a replayed append of the same segment is a committed no-op
+      val afterFiles = spark.read.parquet(incDir).inputFiles.toSet
+      assert(!InvertedIndex.append(fresh, incDir, "inc1"))
+      assert(spark.read.parquet(incDir).inputFiles.toSet == afterFiles)
       InvertedIndex.write(InvertedIndex.build(docs), fullDir)
       val toks = docs.orderBy("doc_id")
         .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
@@ -72,6 +76,40 @@ class InvertedIndexSpec extends SparkSpec {
       assert(inc == full, "incremental index search != full-rebuild search")
       assert(inc.nonEmpty)
     } finally { Fs.rmTree(incDir); Fs.rmTree(fullDir) }
+  }
+
+  test("IndexSink: streamed index == batch rebuild; torn tmp heals on replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.t(spark, sfDir, "documents")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val slices = rows.grouped((rows.size + 1) / 2).toSeq
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_idxsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idxsink_ck").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_idxsink_full").toString
+    try {
+      // a torn earlier attempt: junk where batch 0's tmp would stage
+      val torn = new java.io.File(streamDir, ".tmp_seg_b0")
+      torn.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(torn, "junk.parquet").toPath, "not parquet")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.IndexSink.start(
+        in.toDF().toDF("doc_id", "text"), streamDir, ckpt)
+      try slices.foreach { s => in.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      InvertedIndex.write(InvertedIndex.build(docs), fullDir)
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      def res(dir: String) = InvertedIndex.searchPhrase(spark, dir, toks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (streamed, full) = (res(streamDir), res(fullDir))
+      assert(streamed == full, "streamed index search != batch rebuild")
+      assert(streamed.nonEmpty)
+    } finally { Fs.rmTree(streamDir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
   test("persisted search == in-memory recomputation on real documents; prune proven") {
