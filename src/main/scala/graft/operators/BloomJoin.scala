@@ -41,11 +41,26 @@ object BloomJoin {
     * `dim`'s `dimKey` set (no false negatives — every matching row
     * survives). Useful standalone when the join itself happens later or
     * elsewhere (e.g. pre-shrinking an extract before it is shipped).
+    *
+    * xxhash64 hashes VALUES BY TYPE — an INT 5 and a BIGINT 5 hash
+    * differently even though a plain join would coerce and match them —
+    * so mixed integral key types are widened to LONG on both sides
+    * before hashing; any other type mismatch is rejected rather than
+    * silently dropping every matching row.
     */
   def reduce(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column,
              numBits: Int = 1 << 17, numHashes: Int = 7): DataFrame = {
-    val bits = BloomDedup.build(dim, xxhash64(dimKey), numBits, numHashes)
-    fact.filter(BloomDedup.mightContain(bits, numBits, numHashes,
-      xxhash64(factKey)))
+    import org.apache.spark.sql.types._
+    val ft = fact.select(factKey).schema.head.dataType
+    val dt = dim.select(dimKey).schema.head.dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (fk, dk) =
+      if (ft == dt) (factKey, dimKey)
+      else if (integral(ft) && integral(dt))
+        (factKey.cast("long"), dimKey.cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloom join key types differ and are not both integral: $ft vs $dt")
+    val bits = BloomDedup.build(dim, xxhash64(dk), numBits, numHashes)
+    fact.filter(BloomDedup.mightContain(bits, numBits, numHashes, xxhash64(fk)))
   }
 }

@@ -119,6 +119,23 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** The corpus's most frequent n-token span (ties lexicographically
+    * smallest) — a ONE-string driver collect off a span-type-bounded
+    * aggregate. Shared by q_text_phrase and s_text_index_phrase so the
+    * probe-phrase semantics (and their DuckDB oracle twins) can never
+    * diverge, and so the span subtree is computed once, not once per
+    * consumer branch.
+    */
+  def topSpan(docs: DataFrame, n: Int = 3, textCol: String = "text"): String =
+    docs.select(split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(t) - $n)," +
+          s" i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("span")).limit(1)
+      .head().getString(0)
+
   /** Phrase frame from literal tokens: rows (offset, term). */
   def phraseFrame(spark: SparkSession, tokens: Seq[String]): DataFrame = {
     import spark.implicits._

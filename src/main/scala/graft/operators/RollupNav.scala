@@ -71,17 +71,31 @@ object RollupNav {
     * and the rest re-derive from their (still pre-batch) stored state;
     * a crash between day swaps therefore recovers to exactly-once per
     * day (RollupNavSpec's replay and partial-apply tests).
+    *
+    * Swap discipline (every window audited): the OLD day dir is renamed
+    * aside (`.old_day_<d>`) before the new one renames in — never
+    * deleted first — so pre-batch state survives any crash. The entry
+    * sweep heals leftovers: an aside WITHOUT a published day dir moves
+    * back (crash between the two renames), an aside WITH one deletes
+    * (crash before cleanup), and stale `.tmp_day_*` staging always
+    * deletes (it restages from scratch).
     */
   def maintain(spark: SparkSession, dir: String, rollup: Rollup,
                batch: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
-    val delta = aggregateRollup(batch, rollup)
-    val allDays = delta.select("day").distinct().as[String].collect().sorted
+    recoverSwaps(dir)
+    val delta0 = aggregateRollup(batch, rollup)
+    val allDays = delta0.select("day").distinct().as[String].collect().sorted
     val days = batchId.fold(allDays) { id =>
       allDays.filterNot(d =>
         new java.io.File(dir, s"day=$d/_applied_$id").exists())
     }
     if (days.isEmpty) return
+    // on a partial-apply replay, already-applied days must not reach the
+    // merge: their delta-only rows would be wrong (history-missing)
+    val delta =
+      if (days.length == allDays.length) delta0
+      else delta0.filter(col("day").isin(days: _*))
     // an empty cube (materialized over zero days, or day one of a fresh
     // stream) has no files to read — the delta IS the store content
     val hasDays = Option(new java.io.File(dir).listFiles()).toSeq.flatten
@@ -104,15 +118,22 @@ object RollupNav {
     try {
       days.foreach { d =>
         val tmp = new java.io.File(dir, s".tmp_day_$d") // dot prefix: reader-invisible
+        graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
         merged.filter(col("day") === d).drop("day")
           .write.mode("overwrite").parquet(tmp.toString)
         // the replay marker rides INSIDE the swapped dir: data + marker
         // publish in one atomic rename ('_' files are reader-invisible)
         batchId.foreach(id => java.nio.file.Files.createFile(
           new java.io.File(tmp, s"_applied_$id").toPath))
-        graft.Fs.rmTree(new java.io.File(dir, s"day=$d").toString)
-        java.nio.file.Files.move(tmp.toPath,
-          new java.io.File(dir, s"day=$d").toPath)
+        // rename-aside, never delete-first: pre-batch state survives a
+        // crash at any point (the entry sweep restores or cleans it)
+        val live = new java.io.File(dir, s"day=$d")
+        val aside = new java.io.File(dir, s".old_day_$d")
+        graft.Fs.rmTree(aside.toString)
+        if (live.exists())
+          java.nio.file.Files.move(live.toPath, aside.toPath)
+        java.nio.file.Files.move(tmp.toPath, live.toPath)
+        graft.Fs.rmTree(aside.toString)
       }
     } finally // free the maintenance checkpoint (persistent-RDD id delta)
       spark.sparkContext.getPersistentRDDs
@@ -120,11 +141,29 @@ object RollupNav {
         .values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Heal swap leftovers from a crashed maintain (see swap discipline
+    * above). Idempotent; runs at every maintain entry.
+    */
+  private def recoverSwaps(dir: String): Unit =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.foreach { f =>
+      val n = f.getName
+      if (n.startsWith(".old_day_")) {
+        val live = new java.io.File(dir, s"day=${n.stripPrefix(".old_day_")}")
+        if (live.exists()) graft.Fs.rmTree(f.toString) // swap completed
+        else java.nio.file.Files.move(f.toPath, live.toPath) // swap died mid-way
+      } else if (n.startsWith(".tmp_day_")) graft.Fs.rmTree(f.toString)
+    }
+
   /** Route a (groupDims, grain) aggregate to the rollup. Returns None
     * when the rollup cannot answer it (dims outside the cube or a grain
     * finer than day). The answer carries, per measure m: m_sum, m_min,
-    * m_max and the derived m_avg (exact µ-unit double division), plus
-    * n_rows — all re-aggregated from the stored partials.
+    * m_max and the derived m_avg — the half-up integer division
+    * `(2·sum + n) div (2·n)` in the measure's own units, so an
+    * oracle-checked consumer can cast it once instead of re-deriving
+    * the exact form (requires non-negative sums, the same precondition
+    * as everywhere the repo uses this formula: with a negative sum
+    * Spark's truncating div and DuckDB's flooring // disagree) — plus
+    * n_rows, all re-aggregated from the stored partials.
     */
   def answer(spark: SparkSession, dir: String, rollup: Rollup,
              groupDims: Seq[String], grain: String,
@@ -148,10 +187,10 @@ object RollupNav {
     val rolled = ranged
       .groupBy((groupDims.map(col) :+ grainCol): _*)
       .agg(aggs.head, aggs.tail: _*)
-    // derived averages: exact integer sums over exact counts, one double div
+    // derived averages: half-up integer division — exact, oracle-safe
     val withAvg = rollup.measures.foldLeft(rolled) { (df, m) =>
       df.withColumn(s"${m}_avg",
-        col(s"${m}_sum").cast("double") / col("n_rows"))
+        expr(s"(2 * ${m}_sum + n_rows) div (2 * n_rows)"))
     }
     Some(withAvg)
   }

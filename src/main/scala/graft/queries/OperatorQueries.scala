@@ -752,14 +752,7 @@ object OperatorQueries extends QueryPack {
       val idx = InvertedIndex.build(docs).localCheckpoint()
       val base = java.nio.file.Files.createTempDirectory("graft_invidx").toString
       InvertedIndex.write(idx, base)
-      val span = docs.select(split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
-          .as("span"))
-        .groupBy("span").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("span")).limit(1)
-        .head().getString(0)
+      val span = InvertedIndex.topSpan(docs)
       val toks = span.split(' ').toSeq
       val fromIndex = InvertedIndex.searchPhrase(s, base, toks)
         .withColumnRenamed("n_occ", "n_occ_index")
@@ -799,8 +792,8 @@ object OperatorQueries extends QueryPack {
         .select(col("event_type"), col("grain").as("month"),
           col("n_rows"), col("v_us_sum").as("sum_us"),
           col("v_us_min").as("min_us"), col("v_us_max").as("max_us"),
-          (expr("(2 * v_us_sum + n_rows) div (2 * n_rows)")
-            .cast("double") / 1e6).as("avg_value"))
+          // v_us_avg is answer()'s half-up integer µ mean — one exact cast
+          (col("v_us_avg").cast("double") / 1e6).as("avg_value"))
         .orderBy("event_type", "month")
         .localCheckpoint() // materialize before the scratch rollup vanishes
       rmTree(store)

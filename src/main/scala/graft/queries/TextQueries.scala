@@ -86,18 +86,12 @@ object TextQueries extends QueryPack {
     "q_text_phrase" -> ((s, dir) => {
       import graft.operators.InvertedIndex
       val docs = Tables.t(s, dir, "documents")
-      val top = docs.select(split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))"))
-          .as("span"))
-        .groupBy("span").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("span")).limit(1)
-      val phrase = top.select(
-        posexplode(split(col("span"), " ")).as(Seq("offset", "term")))
-      InvertedIndex.phraseOccurrences(InvertedIndex.build(docs), phrase)
-        .crossJoin(broadcast(top.select(col("span").as("phrase"))))
-        .select(col("doc_id"), col("phrase"), col("n_occ"))
+      // one driver-side string: referencing the span subtree from two
+      // plan branches re-ran the full trigram aggregate per branch
+      val span = InvertedIndex.topSpan(docs)
+      InvertedIndex.phraseOccurrences(InvertedIndex.build(docs),
+          InvertedIndex.phraseFrame(s, span.split(' ').toSeq))
+        .select(col("doc_id"), lit(span).as("phrase"), col("n_occ"))
         .orderBy("doc_id")
     }),
 

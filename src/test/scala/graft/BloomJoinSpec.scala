@@ -31,6 +31,20 @@ class BloomJoinSpec extends SparkSpec {
       "a fact row with a real dim match was dropped by the bloom filter")
   }
 
+  test("mixed integral key types widen before hashing; non-integral mismatch rejects") {
+    import spark.implicits._
+    val f = Seq(1, 2, 3, 4, 5).toDF("k").select(col("k").cast("int").as("k"))
+    val d = Seq(2L, 4L).toDF("k") // BIGINT — xxhash64(int 2) != xxhash64(long 2)
+    val kept = BloomJoin.reduce(f, d, col("k"), col("k"))
+      .select(col("k").cast("long")).as[Long].collect().toSet
+    assert(Set(2L, 4L).subsetOf(kept),
+      s"matching rows dropped across int/long key types: kept $kept")
+    val sd = Seq("2", "4").toDF("k")
+    intercept[IllegalArgumentException] {
+      BloomJoin.reduce(f, sd, col("k"), col("k"))
+    }
+  }
+
   test("measured: the reduction deletes most of the fact side's shuffle bytes") {
     def run(pre: org.apache.spark.sql.DataFrame): Long = {
       val (_, write, _, _) = ShuffleAudit.measure(spark) {

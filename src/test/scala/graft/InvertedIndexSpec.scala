@@ -21,7 +21,7 @@ class InvertedIndexSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
-  private def occ(text: String, phrase: String): Map[Long, Long] = {
+  private def occ(phrase: String): Map[Long, Long] = {
     val idx = InvertedIndex.build(handCorpus)
     InvertedIndex.phraseOccurrences(idx,
         InvertedIndex.phraseFrame(spark, phrase.split(' ').toSeq))
@@ -29,10 +29,10 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("phrase semantics: overlap counted, repeated terms, absent phrase") {
-    assert(occ("", "a b") == Map(1L -> 2L, 4L -> 1L))
-    assert(occ("", "a a") == Map(2L -> 2L)) // overlapping occurrences
-    assert(occ("", "b c a") == Map(1L -> 1L))
-    assert(occ("", "c a c") == Map.empty[Long, Long]) // never occurs
+    assert(occ("a b") == Map(1L -> 2L, 4L -> 1L))
+    assert(occ("a a") == Map(2L -> 2L)) // overlapping occurrences
+    assert(occ("b c a") == Map(1L -> 1L))
+    assert(occ("c a c") == Map.empty[Long, Long]) // never occurs
   }
 
   test("bucketOf matches Spark's xxhash64 pmod for every corpus term") {

@@ -34,7 +34,8 @@ class RollupNavSpec extends SparkSpec {
             }).as("grain"))
           .agg(count(lit(1)).as("n_rows"), sum("v_us").as("v_us_sum"),
             min("v_us").as("v_us_min"), max("v_us").as("v_us_max"))
-          .withColumn("v_us_avg", col("v_us_sum").cast("double") / col("n_rows"))
+          .withColumn("v_us_avg",
+            expr("(2 * v_us_sum + n_rows) div (2 * n_rows)"))
         assert(routed.exceptAll(direct).isEmpty &&
           direct.exceptAll(routed).isEmpty,
           s"routed answer diverges from fact recomputation at grain=$grain")
@@ -129,6 +130,34 @@ class RollupNavSpec extends SparkSpec {
           "streamed cube diverges from one-shot materialize")
       } finally Fs.rmTree(oneShotDir)
     } finally { Fs.rmTree(dir); Fs.rmTree(ckpt) }
+  }
+
+  test("entry sweep heals a crash between the swap renames (no day ever lost)") {
+    val dir = tmp()
+    try {
+      RollupNav.materialize(base, shape, dir)
+      val truth = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        .collect().toSeq
+      // simulate the worst crash window: a day renamed aside, the new dir
+      // never moved in, plus a torn staging dir
+      val day = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("day=")).sorted.head
+        .stripPrefix("day=")
+      java.nio.file.Files.move(
+        new java.io.File(dir, s"day=$day").toPath,
+        new java.io.File(dir, s".old_day_$day").toPath)
+      val torn = new java.io.File(dir, s".tmp_day_$day")
+      torn.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(torn, "junk").toPath, "not parquet")
+      // any maintain call sweeps first; an empty batch is a pure sweep
+      RollupNav.maintain(spark, dir, shape, base.filter(lit(false)))
+      val healed = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        .collect().toSeq
+      assert(healed.toSet == truth.toSet, "pre-crash state not restored")
+      assert(!new java.io.File(dir, s".tmp_day_$day").exists())
+      assert(!new java.io.File(dir, s".old_day_$day").exists())
+    } finally Fs.rmTree(dir)
   }
 
   test("day-ranged answer prunes the rollup store at the directory level") {
