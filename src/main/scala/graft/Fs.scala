@@ -22,4 +22,16 @@ object Fs {
     }
 
   def rmTree(dir: String): Unit = rmTree(java.nio.file.Paths.get(dir))
+
+  /** Publish rename for store commits: ATOMIC_MOVE so a filesystem where
+    * rename degrades to copy+delete FAILS FAST instead of silently
+    * tearing the published unit (ADVICE r9). All segment/day/data
+    * publishes route through here; the manifest pointer flip itself is
+    * [[graft.operators.StoreManifest.commit]].
+    */
+  def atomicMove(src: Path, dst: Path): Unit =
+    Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  def atomicMove(src: String, dst: String): Unit =
+    atomicMove(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
 }

@@ -39,14 +39,27 @@ object InvertedIndex {
       .agg(sort_array(collect_list("pos")).as("positions"),
         count(lit(1)).as("tf"))
 
-  /** Persist posting rows as the index's BASE segment. Layout is
-    * seg=<name>/bucket=<hash mod B>/: the seg layer is what makes
-    * incremental and streaming appends atomic units (each append is one
-    * new segment dir, published by one rename), the bucket layer is the
-    * term-pruning unit. One term-sorted file per (segment, bucket).
+  /** Persist posting rows as the index's BASE segment and commit
+    * manifest version 0 referencing it. Layout is
+    * seg=<name>/bucket=<hash mod B>/: the seg layer is the atomic
+    * append/compact unit, the bucket layer is the term-pruning unit;
+    * one term-sorted file per (segment, bucket). Which segments are
+    * LIVE is resolved through the [[StoreManifest]] pointer — data
+    * dirs land first, one manifest rename commits them, so readers
+    * never see a torn segment, a half-compacted index, or (during
+    * compaction) the same posting twice. Single-writer, like every
+    * store in this repo.
     */
-  def write(index: DataFrame, dir: String, buckets: Int = 32): Unit =
-    writeSegment(index, new java.io.File(dir, "seg=base").toString, buckets)
+  def write(index: DataFrame, dir: String, buckets: Int = 32): Unit = {
+    val spark = index.sparkSession
+    val tmp = new java.io.File(dir, ".tmp_seg_base")
+    graft.Fs.rmTree(tmp.toString)
+    writeSegment(index, tmp.toString, buckets)
+    graft.Fs.rmTree(new java.io.File(dir, "seg=base").toString)
+    graft.Fs.atomicMove(tmp.toString, new java.io.File(dir, "seg=base").toString)
+    StoreManifest.commit(spark, dir,
+      StoreManifest.currentVersion(spark, dir) + 1, Seq("seg\tseg=base"))
+  }
 
   private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit =
     index.withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
@@ -54,36 +67,135 @@ object InvertedIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(segDir)
 
+  /** Live segment dirs of the current committed version (empty for a
+    * dir that was never written). Falls back to directory listing for a
+    * legacy un-manifested index.
+    */
+  def segments(spark: SparkSession, dir: String): Seq[String] = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    if (cur >= 0) StoreManifest.read(spark, dir, cur, "seg").sorted
+    else Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("seg=")).sorted
+  }
+
   /** Incrementally index a batch of NEW documents as segment `seg`:
-    * staged in a reader-invisible tmp dir, then published by ONE atomic
-    * rename — readers see the whole segment or none of it, and the base
-    * postings are never rewritten. Sound because posting rows are keyed
+    * data staged in a reader-invisible tmp dir, renamed to its final
+    * seg dir (ATOMIC_MOVE — a filesystem that would tear it fails
+    * fast), then COMMITTED by the next manifest version referencing
+    * old segments + this one. Readers resolve the manifest, so they
+    * see the whole segment or none of it, and the base postings are
+    * never rewritten. Sound because posting rows are keyed
     * (term, doc_id) and phrase matching never merges across doc
     * boundaries, so disjoint doc_ids mean search-after-append ≡ full
     * rebuild (InvertedIndexSpec proves it). Re-appending an
     * already-indexed doc_id WOULD double its postings — dedup the batch
-    * first (the BloomDedup / q_dedup_incremental path). Returns false
-    * (a no-op) if the segment already exists — the idempotence hook
-    * [[graft.streaming.IndexSink]] relies on for replayed triggers.
+    * first (the BloomDedup / q_dedup_incremental path).
+    *
+    * Idempotence (the [[graft.streaming.IndexSink]] replay hook):
+    * a seg already referenced by the current manifest returns false —
+    * a replayed trigger is a no-op. A seg dir present but UNREFERENCED
+    * is the crash window between data rename and manifest commit: the
+    * data is complete (the rename was atomic), so the replay skips the
+    * rewrite and just commits the manifest.
     */
   def append(docs: DataFrame, dir: String, seg: String,
              buckets: Int = 32): Boolean = {
+    val spark = docs.sparkSession
+    val cur = StoreManifest.currentVersion(spark, dir)
+    val live =
+      if (cur >= 0) StoreManifest.read(spark, dir, cur, "seg")
+      else Option(new java.io.File(dir).listFiles()).toSeq.flatten // legacy adopt
+        .map(_.getName).filter(_.startsWith("seg="))
+    if (live.contains(s"seg=$seg")) return false // committed already: replay no-op
     val segDir = new java.io.File(dir, s"seg=$seg")
-    if (segDir.exists()) return false // committed already: replay no-op
-    val tmp = new java.io.File(dir, s".tmp_seg_$seg") // dot: reader-invisible
-    graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
-    writeSegment(build(docs), tmp.toString, buckets)
-    java.nio.file.Files.move(tmp.toPath, segDir.toPath) // atomic publish
+    if (!segDir.exists()) { // else: crashed between rename and commit — data is whole
+      val tmp = new java.io.File(dir, s".tmp_seg_$seg") // dot: reader-invisible
+      graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
+      writeSegment(build(docs), tmp.toString, buckets)
+      graft.Fs.atomicMove(tmp.toString, segDir.toString)
+    }
+    StoreManifest.commit(spark, dir, cur + 1,
+      (live :+ s"seg=$seg").sorted.map("seg\t" + _)) // THE commit point
     true
   }
 
+  /** Fold the current version's segments into ONE (the Lucene-style
+    * merge that keeps streaming lookup fan-in bounded): read every live
+    * segment's postings, re-aggregate (term, doc_id) → merged
+    * positions, write one new segment, and flip the manifest pointer to
+    * it — readers on version N keep their own segment list while (and
+    * after) version N+1 commits, so search never sees a posting twice
+    * or a term missing. Old segments become unreferenced once the
+    * retention window passes and are swept here ([[vacuum]] semantics,
+    * `retainVersions` like the snapshot store).
+    *
+    * Cost is one shuffle of the index (the same class as a fresh
+    * build) — amortized by running it every `targetSegs` appends, which
+    * [[graft.streaming.IndexSink]] does automatically. Returns the
+    * number of segments merged (0 = below threshold, a no-op).
+    */
+  def compact(spark: SparkSession, dir: String, buckets: Int = 32,
+              targetSegs: Int = 1, retainVersions: Int = 2): Int = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    val live =
+      if (cur >= 0) StoreManifest.read(spark, dir, cur, "seg")
+      else Option(new java.io.File(dir).listFiles()).toSeq.flatten // legacy adopt
+        .map(_.getName).filter(_.startsWith("seg="))
+    if (live.size <= targetSegs) return 0
+    val next = cur + 1
+    val merged = spark.read.option("basePath", dir)
+      .parquet(live.map(s => s"$dir/$s"): _*)
+      .groupBy("term", "doc_id")
+      .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
+        sum("tf").as("tf"))
+    val segName = s"seg=c$next"
+    val segDir = new java.io.File(dir, segName)
+    graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
+    val tmp = new java.io.File(dir, s".tmp_$segName")
+    graft.Fs.rmTree(tmp.toString)
+    writeSegment(merged, tmp.toString, buckets)
+    graft.Fs.atomicMove(tmp.toString, segDir.toString)
+    StoreManifest.commit(spark, dir, next, Seq(s"seg\t$segName")) // THE commit point
+    vacuum(spark, dir, retainVersions)
+    live.size
+  }
+
+  /** Expire manifests beyond the newest `retain` versions and delete
+    * segment dirs no surviving manifest references.
+    */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
+    if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
+    val keep = StoreManifest.expire(spark, dir, retain)
+    val referenced = keep.flatMap(v => StoreManifest.read(spark, dir, v, "seg")).toSet
+    val stale = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("seg=") && !referenced(f.getName))
+    stale.foreach(f => graft.Fs.rmTree(f.toString))
+    stale.size.toLong
+  }
+
   /** Read ONLY the buckets that can hold `terms` — the directory-level
-    * prune that makes an index lookup O(terms), not O(index).
+    * prune that makes an index lookup O(terms), not O(index). Segments
+    * resolve through the manifest pointer (a committed version is read
+    * in full or not at all); a legacy un-manifested dir falls back to
+    * directory discovery.
     */
   def readForTerms(spark: SparkSession, dir: String, terms: Seq[String],
                    buckets: Int = 32): DataFrame = {
     val wanted = terms.map(t => bucketOf(t, buckets)).distinct
-    spark.read.parquet(dir)
+    val cur = StoreManifest.currentVersion(spark, dir)
+    val base =
+      if (cur < 0) spark.read.parquet(dir) // legacy layout
+      else {
+        val segs = StoreManifest.read(spark, dir, cur, "seg")
+        if (segs.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "term STRING, doc_id BIGINT, positions ARRAY<INT>, tf BIGINT, " +
+                "seg STRING, bucket INT"))
+        spark.read.option("basePath", dir).parquet(segs.map(s => s"$dir/$s"): _*)
+      }
+    base
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
   }

@@ -70,33 +70,20 @@ object MergeInto {
   // snapshot-isolated readers, time travel, vacuum.
   // ---------------------------------------------------------------------
 
-  private val ManifestDir = "_graft_manifest"
-  private val ManifestRe = """v(\d+)\.manifest""".r
-
-  private def esc(v: String): String =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
-
-  private def unesc(v: String): String =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+  private def esc(v: String): String = StoreManifest.esc(v)
+  private def unesc(v: String): String = StoreManifest.unesc(v)
 
   private def hfs(spark: org.apache.spark.sql.SparkSession,
-                  p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  p: org.apache.hadoop.fs.Path) = StoreManifest.hfs(spark, p)
 
   /** Latest committed snapshot version, -1 if the dir has no manifest.
     * The newest complete manifest IS the commit pointer: manifests are
     * written tmp-then-rename, so a half-written one is never visible
-    * under its final name — the rename is the atomic "flip".
+    * under its final name — the rename is the atomic "flip". (Manifest
+    * IO is [[StoreManifest]], shared with the index/rollup stores.)
     */
-  def currentVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val mDir = new Path(dir, ManifestDir)
-    val fs = hfs(spark, mDir)
-    if (!fs.exists(mDir)) -1L
-    else fs.listStatus(mDir).map(_.getPath.getName)
-      .collect { case ManifestRe(n) => n.toLong }
-      .foldLeft(-1L)(math.max)
-  }
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreManifest.currentVersion(spark, dir)
 
   /** (schema, relative data-file paths) of a committed version.
     * `private[operators]`: ZoneMaps keys its per-file stats off the same
@@ -104,13 +91,7 @@ object MergeInto {
     */
   private[operators] def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
                            version: Long): (org.apache.spark.sql.types.StructType, Seq[String]) = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(new Path(dir, ManifestDir), s"v$version.manifest")
-    val fs = hfs(spark, p)
-    require(fs.exists(p), s"snapshot version $version does not exist under $dir")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val lines = StoreManifest.readLines(spark, dir, version)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(lines.head.stripPrefix("schema\t"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -127,20 +108,9 @@ object MergeInto {
   private def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
                             version: Long,
                             schema: org.apache.spark.sql.types.StructType,
-                            files: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val mDir = new Path(dir, ManifestDir)
-    val fs = hfs(spark, mDir)
-    fs.mkdirs(mDir)
-    val tmp = new Path(mDir, s".v$version-${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(
-      (s"schema\t${schema.json}" +: files.sorted.map("file\t" + _))
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(mDir, s"v$version.manifest")
-    require(fs.rename(tmp, dst), s"manifest commit $tmp -> $dst failed")
-  }
+                            files: Seq[String]): Unit =
+    StoreManifest.commit(spark, dir, version,
+      s"schema\t${schema.json}" +: files.sorted.map("file\t" + _))
 
   /** Read a committed snapshot version (default: latest) — the ONLY read
     * path that sees exactly one consistent version: the file list comes
@@ -229,11 +199,8 @@ object MergeInto {
     require(retain >= 1, s"must retain at least the current version, got $retain")
     val root = new Path(dir)
     val fs = hfs(spark, root)
-    val mDir = new Path(root, ManifestDir)
-    if (!fs.exists(mDir)) return 0L
-    val versions = fs.listStatus(mDir).map(_.getPath.getName)
-      .collect { case ManifestRe(n) => n.toLong }.sorted.reverse
-    val keep = versions.take(retain)
+    if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
+    val keep = StoreManifest.expire(spark, dir, retain)
     val referenced: Set[String] =
       keep.flatMap(v => readManifest(spark, dir, v)._2).toSet
     var deleted = 0L
@@ -251,8 +218,6 @@ object MergeInto {
         }
         if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
       }
-    versions.drop(retain).foreach(v =>
-      fs.delete(new Path(mDir, s"v$v.manifest"), false))
     deleted
   }
 
@@ -471,30 +436,8 @@ object MergeInto {
   private def moveIn(spark: org.apache.spark.sql.SparkSession,
                      root: org.apache.hadoop.fs.Path, df: DataFrame,
                      partitionCol: String, values: Set[String],
-                     next: Long): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val fs = hfs(spark, root)
-    val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
-    df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
-    val moved = Seq.newBuilder[String]
-    values.foreach { v =>
-      val dstDir = new Path(root, s"$partitionCol=${esc(v)}")
-      val srcDir = new Path(tmp, s"$partitionCol=${esc(v)}")
-      if (fs.exists(srcDir)) {
-        fs.mkdirs(dstDir)
-        fs.listStatus(srcDir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            val name = s"v$next-${f.getPath.getName}"
-            val to = new Path(dstDir, name)
-            require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
-            moved += s"${dstDir.getName}/$name"
-          }
-      }
-    }
-    fs.delete(tmp, true)
-    moved.result()
-  }
+                     next: Long): Seq[String] =
+    StoreManifest.stageAndMove(spark, root, df, partitionCol, Some(values), next)
 
   /** Small-file compaction as a NEW snapshot version — the OPTIMIZE-style
     * operational pass over the versioned store ([[Compaction]] is the

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * back to the fact table. (A DISTINCT-style measure would be a
   * counter-example to additivity — that is what the mergeable-sketch
   * rollup in [[SketchStore]] is for; compose the two for distincts.)
+  * [[graft.plans.RollupRewrite]] applies the same test inside the
+  * optimizer, so a plain fact-table aggregate can route with no caller
+  * opt-in at all.
+  *
+  * Storage commits through the [[StoreManifest]] pointer (r10 — ADVICE
+  * r9 found the old per-day directory swap let a concurrent reader
+  * transiently see a day missing): every maintenance batch writes its
+  * day files FIRST (one staged `partitionBy("day")` job regardless of
+  * how many days the batch spans — a 365-day backfill is one write, not
+  * 365), then ONE manifest rename commits them. Readers resolve the
+  * manifest, so they see the cube before the batch or after it, never
+  * between; a crash before the commit leaves only unreferenced orphans
+  * the next [[vacuum]] sweeps. Single-writer, like every store here.
   */
 object RollupNav {
 
@@ -42,70 +55,103 @@ object RollupNav {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Materialize `base` (already carrying a `day` column and long
-    * measures) into a day-partitioned rollup at `dir`. One shuffle of
-    * the fact table; stored rows = |days × dim combinations|.
+  private def dayOf(rel: String): String = rel.takeWhile(_ != '/')
+
+  private def commit(spark: SparkSession, dir: String, version: Long,
+                     schema: org.apache.spark.sql.types.StructType,
+                     files: Seq[String], batchId: Option[Long]): Unit =
+    StoreManifest.commit(spark, dir, version,
+      s"schema\t${schema.json}" +:
+        (files.sorted.map("file\t" + _) ++ batchId.map("batch\t" + _)))
+
+  private def readManifest(spark: SparkSession, dir: String, version: Long)
+      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    val lines = StoreManifest.readLines(spark, dir, version)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(lines.head.stripPrefix("schema\t"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (schema, lines.collect { case l if l.startsWith("file\t") => l.substring(5) })
+  }
+
+  /** The current committed cube as a frame (day STRING + dims +
+    * partial-aggregate columns) — the ONLY read path: file list and
+    * schema come from the manifest, so an in-flight maintenance batch
+    * is invisible until its one-rename commit. A legacy un-manifested
+    * dir falls back to plain partitioned discovery.
     */
-  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit =
-    aggregateRollup(base, rollup)
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(dir)
+  def readStore(spark: SparkSession, dir: String): DataFrame = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    if (cur < 0)
+      return spark.read.parquet(dir).withColumn("day", col("day").cast("string"))
+    val (schema, files) = readManifest(spark, dir, cur)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", dir).schema(schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Materialize `base` (already carrying a `day` column and long
+    * measures) into a day-partitioned rollup at `dir` and commit it as
+    * manifest version 0. One shuffle of the fact table; stored rows =
+    * |days × dim combinations|.
+    */
+  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit = {
+    val spark = base.sparkSession
+    val agg = aggregateRollup(base, rollup).repartition(col("day"))
+    val schema = agg.schema
+    val next = StoreManifest.currentVersion(spark, dir) + 1
+    val moved = StoreManifest.stageAndMove(spark,
+      new org.apache.hadoop.fs.Path(dir), agg, "day", None, next)
+    commit(spark, dir, next, schema, moved, None)
+    vacuum(spark, dir)
+  }
 
   /** INCREMENTAL maintenance: fold a batch of new fact rows into the
     * rollup without rescanning history. The batch partial-aggregates to
     * day grain, merges with the stored partials of ONLY the touched
-    * days (directory-pruned read — partials re-aggregate because every
-    * measure is additive: sums add, counts add, min/max fold), and each
-    * touched day rewrites copy-on-write: tmp dir, then an atomic
-    * directory swap, so a reader sees the old day or the new day, never
-    * a half-written one. Driver work is bounded by days-touched per
-    * batch, not data size — the foreachBatch carrier for a streaming
-    * fact feed (RollupNavSpec proves batched maintenance ≡ one-shot
+    * days (manifest-file-pruned read — partials re-aggregate because
+    * every measure is additive: sums add, counts add, min/max fold),
+    * and publishes as ONE new manifest version: touched days' new files
+    * move in (one staged write job — day count does NOT multiply jobs,
+    * so a 365-day backfill costs the same scheduling as a 1-day
+    * trigger), untouched days' manifest entries carry forward verbatim,
+    * one rename commits. Work is bounded by days-touched per batch, not
+    * cube size (RollupNavSpec proves batched maintenance ≡ one-shot
     * materialize, byte-identical answers).
     *
     * DELTAS ARE NOT IDEMPOTENT — a replayed batch would double-count —
-    * so streaming callers pass the trigger's `batchId`: an
-    * `_applied_<id>` marker is written INTO each day's tmp dir before
-    * the swap, making (data + marker) publish in the same atomic
-    * rename. On replay, days already carrying the marker are skipped
-    * and the rest re-derive from their (still pre-batch) stored state;
-    * a crash between day swaps therefore recovers to exactly-once per
-    * day (RollupNavSpec's replay and partial-apply tests).
-    *
-    * Swap discipline (every window audited): the OLD day dir is renamed
-    * aside (`.old_day_<d>`) before the new one renames in — never
-    * deleted first — so pre-batch state survives any crash. The entry
-    * sweep heals leftovers: an aside WITHOUT a published day dir moves
-    * back (crash between the two renames), an aside WITH one deletes
-    * (crash before cleanup), and stale `.tmp_day_*` staging always
-    * deletes (it restages from scratch).
+    * so streaming callers pass the trigger's `batchId`, recorded in the
+    * manifest it commits: a replay finds its id in the CURRENT manifest
+    * and no-ops. The whole batch commits in one rename, so there is no
+    * partially-applied state to recover — a crash anywhere before the
+    * commit leaves version N intact plus unreferenced orphans, and the
+    * replay re-derives every day from N. Only the current manifest is
+    * consulted (sufficient: Structured Streaming replays only the
+    * in-flight trigger, never one that a later trigger has already
+    * superseded — the same argument the r9 per-day markers rested on).
     */
   def maintain(spark: SparkSession, dir: String, rollup: Rollup,
                batch: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
-    recoverSwaps(dir)
-    val delta0 = aggregateRollup(batch, rollup)
-    val allDays = delta0.select("day").distinct().as[String].collect().sorted
-    val days = batchId.fold(allDays) { id =>
-      allDays.filterNot(d =>
-        new java.io.File(dir, s"day=$d/_applied_$id").exists())
-    }
+    val cur = StoreManifest.currentVersion(spark, dir)
+    // cur < 0: never materialized — the batch bootstraps version 0 (lets
+    // a streaming rollup sink start from an empty dir)
+    val applied =
+      if (cur >= 0) StoreManifest.read(spark, dir, cur, "batch") else Seq.empty
+    if (batchId.exists(id => applied.contains(id.toString))) return // replay no-op
+    val delta = aggregateRollup(batch, rollup)
+    val days = delta.select("day").distinct().as[String].collect().sorted
     if (days.isEmpty) return
-    // on a partial-apply replay, already-applied days must not reach the
-    // merge: their delta-only rows would be wrong (history-missing)
-    val delta =
-      if (days.length == allDays.length) delta0
-      else delta0.filter(col("day").isin(days: _*))
-    // an empty cube (materialized over zero days, or day one of a fresh
-    // stream) has no files to read — the delta IS the store content
-    val hasDays = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .exists(_.getName.startsWith("day="))
+    val (schema, curFiles) =
+      if (cur >= 0) readManifest(spark, dir, cur)
+      else (delta.schema, Seq.empty[String])
+    val dayDirs = days.map(d => s"day=${StoreManifest.esc(d)}").toSet
+    val touched = curFiles.filter(f => dayDirs.contains(dayOf(f)))
     val existing =
-      if (!hasDays) delta.filter(lit(false))
-      else spark.read.parquet(dir)
-        .filter(col("day").isin(days: _*)) // directory prune: touched days only
-        .withColumn("day", col("day").cast("string"))
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dir).schema(schema)
+        .parquet(touched.map(f => s"$dir/$f"): _*) // manifest prune: touched days only
     val merged = existing.select(delta.columns.map(col): _*)
       .unionByName(delta)
       .groupBy((col("day") +: rollup.dims.map(col)): _*)
@@ -114,45 +160,43 @@ object RollupNav {
           sum(col(s"${m}_sum")).as(s"${m}_sum"),
           min(col(s"${m}_min")).as(s"${m}_min"),
           max(col(s"${m}_max")).as(s"${m}_max"))): _*)
-      .localCheckpoint() // materialize BEFORE the dirs it reads are swapped
-    try {
-      days.foreach { d =>
-        val tmp = new java.io.File(dir, s".tmp_day_$d") // dot prefix: reader-invisible
-        graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
-        merged.filter(col("day") === d).drop("day")
-          .write.mode("overwrite").parquet(tmp.toString)
-        // the replay marker rides INSIDE the swapped dir: data + marker
-        // publish in one atomic rename ('_' files are reader-invisible)
-        batchId.foreach(id => java.nio.file.Files.createFile(
-          new java.io.File(tmp, s"_applied_$id").toPath))
-        // rename-aside, never delete-first: pre-batch state survives a
-        // crash at any point (the entry sweep restores or cleans it)
-        val live = new java.io.File(dir, s"day=$d")
-        val aside = new java.io.File(dir, s".old_day_$d")
-        graft.Fs.rmTree(aside.toString)
-        if (live.exists())
-          java.nio.file.Files.move(live.toPath, aside.toPath)
-        java.nio.file.Files.move(tmp.toPath, live.toPath)
-        graft.Fs.rmTree(aside.toString)
-      }
-    } finally // free the maintenance checkpoint (persistent-RDD id delta)
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      .repartition(col("day"))
+    val next = cur + 1
+    val moved = StoreManifest.stageAndMove(spark,
+      new org.apache.hadoop.fs.Path(dir), merged, "day", Some(days.toSet), next)
+    val carried = curFiles.filterNot(f => dayDirs.contains(dayOf(f)))
+    commit(spark, dir, next, schema, carried ++ moved, batchId) // THE commit point
+    vacuum(spark, dir)
   }
 
-  /** Heal swap leftovers from a crashed maintain (see swap discipline
-    * above). Idempotent; runs at every maintain entry.
+  /** Expire manifests beyond the newest `retain` versions and delete
+    * data files no surviving manifest references (crashed-batch orphans
+    * included); returns files deleted. retain ≥ 2 keeps the previous
+    * version readable for in-flight readers.
     */
-  private def recoverSwaps(dir: String): Unit =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten.foreach { f =>
-      val n = f.getName
-      if (n.startsWith(".old_day_")) {
-        val live = new java.io.File(dir, s"day=${n.stripPrefix(".old_day_")}")
-        if (live.exists()) graft.Fs.rmTree(f.toString) // swap completed
-        else java.nio.file.Files.move(f.toPath, live.toPath) // swap died mid-way
-      } else if (n.startsWith(".tmp_day_")) graft.Fs.rmTree(f.toString)
-    }
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
+    if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
+    val keep = StoreManifest.expire(spark, dir, retain)
+    val referenced = keep.flatMap(v => readManifest(spark, dir, v)._2).toSet
+    val root = new java.io.File(dir)
+    // sweep crashed staging dirs, then unreferenced data files
+    Option(root.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".merge-tmp"))
+      .foreach(f => graft.Fs.rmTree(f.toString))
+    var deleted = 0L
+    Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+      .foreach { d =>
+        Option(d.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+          val rel = s"${d.getName}/${f.getName}"
+          if (!referenced.contains(rel)) {
+            java.nio.file.Files.deleteIfExists(f.toPath); deleted += 1
+          }
+        }
+        if (Option(d.listFiles()).exists(_.isEmpty)) graft.Fs.rmTree(d.toString)
+      }
+    deleted
+  }
 
   /** Route a (groupDims, grain) aggregate to the rollup. Returns None
     * when the rollup cannot answer it (dims outside the cube or a grain
@@ -175,9 +219,9 @@ object RollupNav {
       case "month" => date_trunc("month", to_date(col("day"))).cast("date").as("grain")
       case _       => return None // finer than stored grain — not answerable
     }
-    val stored = spark.read.parquet(dir)
+    val stored = readStore(spark, dir)
     val ranged = dayRange.fold(stored) { case (lo, hi) =>
-      stored.filter(col("day") >= lo && col("day") <= hi) // directory prune
+      stored.filter(col("day") >= lo && col("day") <= hi) // partition prune
     }
     val aggs = sum(col("n_rows")).as("n_rows") +:
       rollup.measures.flatMap(m => Seq(

@@ -11,19 +11,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactly-once EFFECT from at-least-once delivery: deltas are not
   * content-idempotent (a replayed batch would double-count), so
-  * [[RollupNav.maintain]] is handed the trigger's `batchId` and stamps
-  * an `_applied_<id>` marker inside each day directory in the same
-  * atomic swap that publishes the day's data. A replayed trigger skips
-  * already-stamped days and re-derives the rest from their still
-  * pre-batch state — per-day exactly-once, proven by RollupNavSpec's
-  * replay and partial-apply tests. Older markers become irrelevant the
-  * moment the next batch commits (Structured Streaming replays only the
-  * in-flight trigger), so the stamp never needs compaction discipline.
+  * [[RollupNav.maintain]] is handed the trigger's `batchId`, which
+  * rides in the manifest version the batch commits. The WHOLE batch
+  * publishes in one manifest rename, so there is no partially-applied
+  * state: a replayed trigger finds its id in the current manifest and
+  * no-ops; a crash before the commit leaves the previous version
+  * intact plus unreferenced orphans the next vacuum sweeps — proven by
+  * RollupNavSpec's replay and crash-window tests. Older batch ids
+  * become irrelevant the moment the next trigger commits (Structured
+  * Streaming replays only the in-flight trigger), so the record never
+  * needs compaction discipline.
   *
-  * Scale shape per trigger: one batch-sized aggregate, a directory-
-  * pruned read of just the touched days' partials, and one small file
-  * per touched day — cost tracks the STREAM rate and the day span of
-  * its events, never the cube's history.
+  * Scale shape per trigger: one batch-sized aggregate, a manifest-
+  * pruned read of just the touched days' partials, and ONE staged
+  * write regardless of how many days the batch spans — cost tracks the
+  * STREAM rate and the day span of its events, never the cube's
+  * history, and a backfill batch costs the same job count as a
+  * steady-state one.
   */
 object RollupSink {
 

@@ -112,6 +112,116 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { Fs.rmTree(streamDir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
+  test("compact: search-after-compact == search-before; one live segment; inputs swept") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcpt").toString
+    try {
+      // five appended segments (disjoint doc slices)
+      (0 until 5).foreach { i =>
+        assert(InvertedIndex.append(docs.filter(col("doc_id") % 5 === i),
+          dir, s"b$i"))
+      }
+      assert(InvertedIndex.segments(spark, dir).size == 5)
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      def res() = InvertedIndex.searchPhrase(spark, dir, toks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val before = res()
+      assert(before.nonEmpty)
+      assert(InvertedIndex.compact(spark, dir, retainVersions = 1) == 5)
+      assert(res() == before, "compaction changed search results")
+      assert(InvertedIndex.segments(spark, dir).size == 1,
+        "compaction must leave exactly one live segment")
+      // retainVersions = 1: merged inputs are unreferenced and swept
+      val onDisk = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("seg=")).toSeq
+      assert(onDisk == Seq(InvertedIndex.segments(spark, dir).head),
+        s"merged input segments not swept: $onDisk")
+      // a second compact below threshold is a no-op
+      assert(InvertedIndex.compact(spark, dir) == 0)
+      // posting content (not just phrase counts) matches a fresh build:
+      // (term, doc_id, positions, tf) sets are identical
+      val live = InvertedIndex.segments(spark, dir).head
+      val stored = spark.read.parquet(s"$dir/$live")
+        .select(col("term"), col("doc_id"),
+          concat_ws(",", col("positions").cast("array<string>")).as("p"), col("tf"))
+        .as[(String, Long, String, Long)].collect().toSet
+      val fresh = InvertedIndex.build(docs)
+        .select(col("term"), col("doc_id"),
+          concat_ws(",", col("positions").cast("array<string>")).as("p"), col("tf"))
+        .as[(String, Long, String, Long)].collect().toSet
+      assert(stored == fresh, "compacted postings diverge from a fresh build")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("append crash window: data renamed, manifest not committed — replay commits it") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcw").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0)), dir)
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      // simulate the crash: stage + rename the segment by hand, no commit
+      val tmp = new java.io.File(dir, ".tmp_seg_bX")
+      InvertedIndex.build(fresh)
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(32L)))
+        .repartition(col("bucket")).sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bucket").parquet(tmp.toString)
+      Fs.atomicMove(tmp.toString, new java.io.File(dir, "seg=bX").toString)
+      // readers on the committed version do not see the orphan segment
+      assert(InvertedIndex.segments(spark, dir) == Seq("seg=base"))
+      // the replayed append finds whole data and just commits the pointer
+      assert(InvertedIndex.append(fresh, dir, "bX"))
+      assert(InvertedIndex.segments(spark, dir).toSet == Set("seg=base", "seg=bX"))
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      val full = java.nio.file.Files.createTempDirectory("graft_idxcw_full").toString
+      try {
+        InvertedIndex.write(InvertedIndex.build(docs), full)
+        def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(res(dir) == res(full), "healed index search != full rebuild")
+      } finally Fs.rmTree(full)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("IndexSink bounds segment count: compaction keeps fan-in <= maxSegments") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.t(spark, sfDir, "documents")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val slices = rows.grouped(math.max(1, rows.size / 8)).toSeq // ~8+ triggers
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxbnd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idxbnd_ck").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_idxbnd_full").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.IndexSink.start(
+        in.toDF().toDF("doc_id", "text"), dir, ckpt, maxSegments = 3)
+      val maxSeen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      try slices.foreach { s =>
+        in.addData(s); q.processAllAvailable()
+        maxSeen += InvertedIndex.segments(spark, dir).size
+      } finally q.stop()
+      assert(slices.size >= 8, s"fixture too small: ${slices.size} triggers")
+      assert(maxSeen.max <= 4, // one append past the threshold triggers the merge
+        s"segment count unbounded under streaming: $maxSeen")
+      InvertedIndex.write(InvertedIndex.build(docs), fullDir)
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res(dir) == res(fullDir),
+        "compacting streamed index diverges from batch rebuild")
+    } finally { Fs.rmTree(dir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
+  }
+
   test("persisted search == in-memory recomputation on real documents; prune proven") {
     val docs = Tables.t(spark, sfDir, "documents")
     val idx = InvertedIndex.build(docs)

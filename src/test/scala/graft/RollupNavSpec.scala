@@ -83,7 +83,7 @@ class RollupNavSpec extends SparkSpec {
     } finally Fs.rmTree(oneShot)
   }
 
-  test("batchId markers: partial apply + replay recovers to exactly-once per day") {
+  test("batchId in the manifest: a replayed trigger is an exact no-op") {
     def answers(dir: String) =
       RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
     val dir = tmp()
@@ -91,17 +91,50 @@ class RollupNavSpec extends SparkSpec {
     try {
       RollupNav.materialize(base.filter(col("day") < "2024-01-10"), shape, dir)
       val batch = base.filter(col("day").between("2024-01-10", "2024-01-11"))
-      // crash simulation: the trigger died after applying only Jan 10
-      RollupNav.maintain(spark, dir, shape,
-        batch.filter(col("day") === "2024-01-10"), Some(2L))
-      // replay of the full trigger: Jan 10 skips (marker), Jan 11 applies
       RollupNav.maintain(spark, dir, shape, batch, Some(2L))
-      // a second replay is a complete no-op
+      val vAfter = graft.operators.StoreManifest.currentVersion(spark, dir)
+      // replays of the committed trigger: no new version, no double count
       RollupNav.maintain(spark, dir, shape, batch, Some(2L))
+      RollupNav.maintain(spark, dir, shape, batch, Some(2L))
+      assert(graft.operators.StoreManifest.currentVersion(spark, dir) == vAfter,
+        "a replayed batch must not commit a new version")
       RollupNav.materialize(base.filter(col("day") <= "2024-01-11"), shape, truthDir)
       val (inc, truth) = (answers(dir), answers(truthDir))
       assert(inc.exceptAll(truth).isEmpty && truth.exceptAll(inc).isEmpty,
-        "replayed/partially-applied maintenance double-counted or lost a day")
+        "replayed maintenance double-counted or lost a day")
+    } finally { Fs.rmTree(dir); Fs.rmTree(truthDir) }
+  }
+
+  test("bulk backfill: one maintain over 20+ days costs a day-count-independent job count") {
+    val dir = tmp()
+    val truthDir = tmp()
+    try {
+      RollupNav.materialize(base.filter(col("day") < "2024-01-05"), shape, dir)
+      val backfill = base.filter(col("day") >= "2024-01-05") // 26 distinct days
+      assert(backfill.select("day").distinct().count() >= 20)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        RollupNav.maintain(spark, dir, shape, backfill)
+        // listener delivery is async — wait for the count to stabilize
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // the r9 shape ran one write JOB per touched day (26 here); the
+      // manifest protocol stages every day in ONE write — a handful of
+      // jobs total (delta days + staged write), regardless of day span
+      assert(jobs.get() <= 8,
+        s"backfill ran ${jobs.get()} jobs — day count is leaking into job count")
+      RollupNav.materialize(base, shape, truthDir)
+      val inc = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+      val truth = RollupNav.answer(spark, truthDir, shape, Seq("event_type"), "day").get
+      assert(inc.exceptAll(truth).isEmpty && truth.exceptAll(inc).isEmpty,
+        "backfilled cube diverges from one-shot materialize")
     } finally { Fs.rmTree(dir); Fs.rmTree(truthDir) }
   }
 
@@ -132,31 +165,42 @@ class RollupNavSpec extends SparkSpec {
     } finally { Fs.rmTree(dir); Fs.rmTree(ckpt) }
   }
 
-  test("entry sweep heals a crash between the swap renames (no day ever lost)") {
+  test("crash before the manifest commit: readers keep version N; replay heals; vacuum sweeps orphans") {
     val dir = tmp()
     try {
-      RollupNav.materialize(base, shape, dir)
-      val truth = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
-        .collect().toSeq
-      // simulate the worst crash window: a day renamed aside, the new dir
-      // never moved in, plus a torn staging dir
+      RollupNav.materialize(base.filter(col("day") < "2024-01-10"), shape, dir)
+      val truthBefore = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        .collect().toSet
+      // simulate a maintain that died AFTER moving its day files in but
+      // BEFORE the manifest rename: orphan data + a torn staging dir
       val day = new java.io.File(dir).listFiles()
         .map(_.getName).filter(_.startsWith("day=")).sorted.head
-        .stripPrefix("day=")
-      java.nio.file.Files.move(
-        new java.io.File(dir, s"day=$day").toPath,
-        new java.io.File(dir, s".old_day_$day").toPath)
-      val torn = new java.io.File(dir, s".tmp_day_$day")
+      java.nio.file.Files.writeString(
+        new java.io.File(new java.io.File(dir, day), "v9-orphan.parquet").toPath,
+        "not parquet")
+      val torn = new java.io.File(dir, ".merge-tmp-dead")
       torn.mkdirs()
       java.nio.file.Files.writeString(
         new java.io.File(torn, "junk").toPath, "not parquet")
-      // any maintain call sweeps first; an empty batch is a pure sweep
-      RollupNav.maintain(spark, dir, shape, base.filter(lit(false)))
-      val healed = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
-        .collect().toSeq
-      assert(healed.toSet == truth.toSet, "pre-crash state not restored")
-      assert(!new java.io.File(dir, s".tmp_day_$day").exists())
-      assert(!new java.io.File(dir, s".old_day_$day").exists())
+      // readers resolve the committed manifest — the orphan is invisible
+      val seen = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        .collect().toSet
+      assert(seen == truthBefore, "an uncommitted orphan file leaked into a read")
+      // the replayed trigger applies cleanly; its vacuum sweeps the junk
+      RollupNav.maintain(spark, dir, shape,
+        base.filter(col("day") >= "2024-01-10"), Some(7L))
+      RollupNav.vacuum(spark, dir, retain = 1)
+      assert(!new java.io.File(new java.io.File(dir, day), "v9-orphan.parquet").exists(),
+        "vacuum left the crashed batch's orphan file")
+      assert(!torn.exists(), "vacuum left the crashed batch's staging dir")
+      val truthDir = tmp()
+      try {
+        RollupNav.materialize(base, shape, truthDir)
+        val truth = RollupNav.answer(spark, truthDir, shape, Seq("event_type"), "day").get
+        val healed = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        assert(healed.exceptAll(truth).isEmpty && truth.exceptAll(healed).isEmpty,
+          "post-crash replay diverges from one-shot materialize")
+      } finally Fs.rmTree(truthDir)
     } finally Fs.rmTree(dir)
   }
 
