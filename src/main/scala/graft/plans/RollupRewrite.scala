@@ -1,0 +1,187 @@
+package graft.plans
+
+import graft.operators.RollupNav
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DateType
+
+/** Optimizer rule: route a fact-table aggregate to its materialized
+  * [[RollupNav]] cube — the classic materialized-view rewrite, applied
+  * to the one view shape this engine materializes (day × dims, additive
+  * partials). Callers keep writing the plain aggregate against the fact
+  * table; when a registered cube can answer it, the fact scan is
+  * replaced by the (day-partition-pruned, kilobytes-sized) rollup scan
+  * with each aggregate re-expressed over the stored partials:
+  *
+  *   count(*)        → sum(n_rows)
+  *   sum(m)          → sum(m_sum)
+  *   min(m) / max(m) → min(m_min) / max(m_max)
+  *
+  * Soundness is the same additivity argument as [[RollupNav.answer]]
+  * (exact integer partials re-aggregate losslessly), so the rewrite is
+  * value-IDENTICAL, proven by the q_agg_routed_rollup oracle hash. The
+  * rule is conservative exactly where the router is: it fires only when
+  * every grouping expression is a cube dim, the day column, or a
+  * day-coarsening (trunc/date_trunc/cast over day), and every aggregate
+  * is a plain non-distinct, unfiltered COUNT(*)/SUM/MIN/MAX over a cube
+  * measure — anything else (DISTINCT, AVG, FILTER clauses, non-cube
+  * columns, predicates between the aggregate and the scan) leaves the
+  * plan untouched and the fact table answers as before.
+  *
+  * Matching is by scan identity: [[register]] records the fact table's
+  * qualified root path and freezes the cube's analyzed read plan (file
+  * list resolved through the cube's manifest at registration — re-run
+  * register after maintenance batches, the same freshness contract as
+  * any materialized view). Output attribute ids and names are preserved
+  * through aliases, so parents of the Aggregate are untouched — the
+  * standard view-rewrite discipline.
+  */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  /** One registered cube: fact scan root path → cube read plan + shape. */
+  private case class Reg(factPath: String, rollup: RollupNav.Rollup,
+                         cubePlan: LogicalPlan)
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Reg]()
+
+  private def qualify(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Register `cubeDir` (built by [[RollupNav.materialize]] over the
+    * fact parquet at `factDir`) as the routing target for aggregates
+    * scanning `factDir`. The cube's current manifest version is frozen
+    * into the plan — call again after maintenance to pick up new days.
+    */
+  def register(spark: SparkSession, factDir: String, cubeDir: String,
+               rollup: RollupNav.Rollup): Unit = {
+    val plan = RollupNav.readStore(spark, cubeDir).queryExecution.analyzed
+    registry.put(qualify(spark, factDir), Reg(qualify(spark, factDir), rollup, plan))
+    ()
+  }
+
+  def clear(): Unit = registry.clear()
+
+  /** Idempotently append this rule to the session's extra optimizations. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RollupRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewrite
+    }
+
+  // ---------------------------------------------------------------------
+
+  /** The fact scan under the aggregate plus the Project aliases between
+    * them (the optimizer extracts complex grouping expressions into a
+    * Project as `_groupingexpression#N`); anything but pure
+    * attributes-and-aliases between aggregate and scan → not routable.
+    */
+  private def scanOf(p: LogicalPlan)
+      : Option[(LogicalRelation, Map[ExprId, Expression])] = p match {
+    case lr: LogicalRelation => Some((lr, Map.empty))
+    case Project(projs, lr: LogicalRelation)
+      if projs.forall {
+        case _: AttributeReference => true
+        case Alias(_, _)           => true
+        case _                     => false
+      } =>
+      Some((lr, projs.collect { case a @ Alias(e, _) => a.exprId -> e }.toMap))
+    case _ => None
+  }
+
+  private def rootPath(lr: LogicalRelation): Option[String] = lr.relation match {
+    case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
+      Some(h.location.rootPaths.head.toString)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) =>
+        (for {
+          (lr, aliases) <- scanOf(child)
+          path <- rootPath(lr)
+          reg <- Option(registry.get(path))
+          rewritten <- rewrite(agg, reg, aliases)
+        } yield rewritten).getOrElse(agg)
+    }
+
+  private def rewrite(agg: Aggregate, reg: Reg,
+                      aliases: Map[ExprId, Expression]): Option[LogicalPlan] = {
+    // fresh cube relation instance per rewrite (self-join-safe exprIds)
+    val cube = reg.cubePlan.transformUp {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    val cubeAttr: Map[String, Attribute] = cube.output.map(a => a.name -> a).toMap
+    val dims = reg.rollup.dims.toSet
+    val measures = reg.rollup.measures.toSet
+
+    // map a fact-side GROUPING expression onto the cube; None = not routable
+    def grouping(e: Expression): Option[Expression] = e match {
+      // an extracted `_groupingexpression` alias inlines first
+      case a: AttributeReference if aliases.contains(a.exprId) =>
+        grouping(aliases(a.exprId))
+      case a: AttributeReference if dims.contains(a.name) => cubeAttr.get(a.name)
+      case a: AttributeReference if a.name == "day" =>
+        // cube stores day as the STRING partition value; yyyy-MM-dd casts
+        // back to the fact's DATE exactly
+        cubeAttr.get("day").map(Cast(_, DateType))
+      case t @ TruncDate(sub, _: Literal) =>
+        grouping(sub).map(s => t.copy(date = s))
+      case t @ TruncTimestamp(_: Literal, sub, _) =>
+        grouping(sub).map(s => t.copy(timestamp = s))
+      case c @ Cast(sub, _, _, _) => grouping(sub).map(s => c.copy(child = s))
+      case _ => None
+    }
+
+    // map a fact-side AGGREGATE call onto the stored partials
+    def aggFn(ae: AggregateExpression): Option[AggregateExpression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) =>
+          // COUNT(*) / COUNT(1): n_rows partials re-aggregate by SUM;
+          // sum-of-longs returns LongType, matching count's type
+          cubeAttr.get("n_rows").map(n => ae.copy(aggregateFunction = Sum(n)))
+        case s @ Sum(a: AttributeReference, _) if measures.contains(a.name) =>
+          cubeAttr.get(s"${a.name}_sum")
+            .map(p => ae.copy(aggregateFunction = s.copy(child = p)))
+        case m @ Min(a: AttributeReference) if measures.contains(a.name) =>
+          cubeAttr.get(s"${a.name}_min")
+            .map(p => ae.copy(aggregateFunction = m.copy(child = p)))
+        case m @ Max(a: AttributeReference) if measures.contains(a.name) =>
+          cubeAttr.get(s"${a.name}_max")
+            .map(p => ae.copy(aggregateFunction = m.copy(child = p)))
+        case _ => None
+      }
+    }
+
+    val newGrouping = agg.groupingExpressions.map(grouping)
+    if (newGrouping.exists(_.isEmpty)) return None
+    val groupMap: Map[Expression, Expression] =
+      agg.groupingExpressions.zip(newGrouping.map(_.get)).toMap
+
+    // result expressions: preserve every output name AND exprId so the
+    // Aggregate's parents never notice the swap
+    val newResults: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, name) =>
+        aggFn(ae).map(f => Alias(f, name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata))
+      case al @ Alias(e, name) if groupMap.contains(e) =>
+        Some(Alias(groupMap(e), name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata))
+      case ar: AttributeReference if groupMap.contains(ar) =>
+        Some(Alias(groupMap(ar), ar.name)(exprId = ar.exprId))
+      case _ => None // anything else (expressions over aggs, literals…): bail
+    }
+    if (newResults.exists(_.isEmpty)) return None
+    Some(Aggregate(newGrouping.map(_.get), newResults.map(_.get), cube))
+  }
+}

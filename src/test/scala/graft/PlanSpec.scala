@@ -19,10 +19,10 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
-  test("PLANS_r9.json: covers every query; scans visible; sampled digests match") {
-    val path = java.nio.file.Paths.get("PLANS_r9.json")
+  test("PLANS_r10.json: covers every query; scans visible; sampled digests match") {
+    val path = java.nio.file.Paths.get("PLANS_r10.json")
     assert(java.nio.file.Files.exists(path),
-      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r9.json`")
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r10.json`")
     val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2)).toMap
@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
         .map(m => m.group(1) -> m.group(2).toInt).toMap
       assert(now == want, s"plan drift on $q: committed $want, now $now")
     }
+  }
+
+  test("routed rollup aggregate scans the CUBE, not the fact table") {
+    val df = SparkEntry.queries("q_agg_routed_rollup")(spark, sfDir)
+    df.collect()
+    val scans = PlanDigest.nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    // readStore resolves the cube through its manifest, so rootPaths are
+    // the cube's data FILES — every one must live under .../cube/, none
+    // under .../fact
+    assert(scans.nonEmpty &&
+      scans.forall(p => p.contains("graft_fx_routed") && p.contains("/cube/")),
+      s"RollupRewrite did not swap the fact scan for the cube scan: $scans")
   }
 
   test("filters and projection push into the parquet scan") {
