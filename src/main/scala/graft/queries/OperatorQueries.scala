@@ -564,9 +564,15 @@ object OperatorQueries extends QueryPack {
       (0L to graft.operators.MergeInto.currentVersion(s, base))
         .map { v =>
           val snap_v = graft.operators.MergeInto.readSnapshot(s, base, Some(v))
-          (v, snap_v.count(), snap_v.inputFiles.length.toLong)
+          // n_parts (distinct partition values) instead of a physical
+          // file count: every output column is then derivable in SQL, so
+          // time travel gets a hash-grade oracle (the file-list facts
+          // stay pinned in MergeSpec via inputFiles)
+          val r = snap_v.agg(count(lit(1)),
+            countDistinct(col("o_orderstatus"))).head()
+          (v, r.getLong(0), r.getLong(1))
         }
-        .toDF("version", "n_rows", "n_files").orderBy("version")
+        .toDF("version", "n_rows", "n_parts").orderBy("version")
     }),
 
     // aggregate ROUTING as an optimizer concern (plans.RollupRewrite):
@@ -708,26 +714,32 @@ object OperatorQueries extends QueryPack {
     // zone-map file skipping (operators.ZoneMaps) — the EXECUTED form of
     // s_layout_zorder's locality claim: per-file min/max built in one
     // scan, then a month-range read that only OPENS the surviving files.
-    // Self-proving: the pruned read's row count must equal the full
-    // scan-and-filter count, and the file counts quantify the skip.
+    // Layout is DETERMINISTIC (one file per shipdate month — hash
+    // repartition on the month key, not range sampling, whose boundaries
+    // depend on rdd ids), so the file counts are oracle-checkable:
+    // files_total = distinct months, files_opened = months intersecting
+    // the probe quarter. The pruned read's row count must equal the full
+    // scan-and-filter count (row_mismatch pinned 0). Store built once
+    // per JVM (Fixtures); the measured query is build-map + pruned read.
     "s_layout_skipping" -> ((s, dir) => {
       import s.implicits._
-      val raw = Tables.t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-      val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
-      raw.repartitionByRange(16, col("l_shipdate"))
-        .sortWithinPartitions("l_shipdate")
-        .write.mode("overwrite").parquet(s"$base/t")
+      val (fx, _) = Fixtures.store("skip", dir) { fx =>
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+          .repartition(col("ym"))
+          .write.partitionBy("ym").mode("overwrite").parquet(s"$fx/t")
+        Map.empty
+      }
       val zm = graft.operators.ZoneMaps
-        .build(s, s"$base/t", Seq("l_shipdate")).localCheckpoint()
+        .build(s, s"$fx/t", Seq("l_shipdate")).localCheckpoint()
       val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
       val (pruned, read, total) = graft.operators.ZoneMaps
-        .readPruned(s, s"$base/t", zm, "l_shipdate", lo, hi)
+        .readPruned(s, s"$fx/t", zm, "l_shipdate", lo, hi)
       val nPruned = pruned.count()
-      val nFull = s.read.parquet(s"$base/t")
+      val nFull = s.read.parquet(s"$fx/t")
         .filter(col("l_shipdate").between(lo, hi)).count()
-      rmTree(base)
       Seq(("files_total", total), ("files_opened", read),
         ("rows_pruned_read", nPruned), ("rows_full_filter", nFull),
         ("row_mismatch", nPruned - nFull))
@@ -956,6 +968,77 @@ object OperatorQueries extends QueryPack {
     // rows-only check was leaving free correctness coverage on the
     // table. The operator keeps its scale-path implementation; the SQL
     // twin states the SEMANTICS the custom path must reproduce.
+
+    // Four more deterministic s_* operators promoted to hash-grade
+    // oracles (round 10, VERDICT #5): snapshot delete/evolve/history
+    // and zone-map skipping all emit metric tables whose truths are
+    // derivable in DuckDB from the same parquet slice — the custom
+    // storage paths must reproduce plain-SQL semantics exactly.
+
+    // targeted erasure: every metric recomputed from orders directly —
+    // the versioned COW delete + CDC diff must agree bit for bit
+    "s_snapshot_delete" ->
+      """WITH s AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |           WHERE o_orderkey <= 4000)
+        |SELECT 'cdc_deletes' AS metric,
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 13 = 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'cdc_nondeletes', 0
+        |UNION ALL SELECT 'deleted_keys_remaining', 0
+        |UNION ALL SELECT 'partitions_rewritten',
+        |  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM s
+        |        WHERE o_orderkey % 13 = 0) AS BIGINT)
+        |UNION ALL SELECT 'rows_deleted',
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 13 = 0) AS BIGINT)
+        |UNION ALL SELECT 'rows_surviving',
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 13 <> 0) AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    // metadata-only evolution: zero files rewritten by ADD COLUMN and
+    // the scored/null split of the post-evolution merge, from orders
+    "s_snapshot_evolve" ->
+      """WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 3000)
+        |SELECT 'data_files_rewritten_by_evolve' AS metric, 0 AS value
+        |UNION ALL SELECT 'rows_null_score',
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 4 <> 0) AS BIGINT)
+        |UNION ALL SELECT 'rows_scored',
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 4 = 0) AS BIGINT)
+        |UNION ALL SELECT 'rows_total', CAST((SELECT COUNT(*) FROM s) AS BIGINT)
+        |UNION ALL SELECT 'v0_has_score', 0
+        |ORDER BY metric""".stripMargin,
+
+    // time travel: each retained version's (rows, live partitions)
+    // re-derived from the merge/delete recipe over orders
+    "s_snapshot_history" ->
+      """WITH s AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |           WHERE o_orderkey <= 2000)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_parts FROM s
+        |UNION ALL
+        |SELECT 1, CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM s
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM s
+        |WHERE o_orderkey % 9 <> 0
+        |ORDER BY version""".stripMargin,
+
+    // zone-map skip over the month-partitioned layout: file counts =
+    // month counts (one file per month by construction), row counts =
+    // the exact range filter; mismatch pinned 0
+    "s_layout_skipping" ->
+      """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym FROM lineitem),
+        |f AS (SELECT COUNT(*) AS nf FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59')
+        |SELECT 'files_opened' AS metric,
+        |  CAST((SELECT COUNT(DISTINCT ym) FROM m
+        |        WHERE ym BETWEEN '1996-01' AND '1996-03') AS BIGINT) AS value
+        |UNION ALL SELECT 'files_total',
+        |  CAST((SELECT COUNT(DISTINCT ym) FROM m) AS BIGINT)
+        |UNION ALL SELECT 'row_mismatch', 0
+        |UNION ALL SELECT 'rows_full_filter', CAST((SELECT nf FROM f) AS BIGINT)
+        |UNION ALL SELECT 'rows_pruned_read', CAST((SELECT nf FROM f) AS BIGINT)
+        |ORDER BY metric""".stripMargin,
 
     // identical output contract to q_win_ntile_pct — the operator is its
     // distributed re-plan (range repartition + global-rank arithmetic
