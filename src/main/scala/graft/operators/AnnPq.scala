@@ -45,18 +45,36 @@ object AnnPq {
   }
 
   /** Approximate top-k cosine neighbors for probes (vec_id < probeMaxId):
-    * ADC over PQ codes + exact re-rank of the best `rerank` candidates.
+    * ADC over PQ codes + exact re-rank of the best `rerank` candidates
+    * (`rerank` is the accuracy/IO budget knob: more candidates re-ranked
+    * exactly → higher recall, proportionally more full vectors read).
     *
-    * With `nlist > 0` this runs IVF-PQ: AnnIvf's inverted lists prune the
-    * candidate set to the probe's `nprobe` nearest cells FIRST, and the
-    * ADC scan reads only those cells' codes — candidate volume drops to
+    * With `nlist > 0` this runs IVF-PQ with RESIDUAL encoding (the
+    * IVFADC layout of Jégou et al. §IV): vectors quantize as
+    * u ≈ c(list(u)) + pq(u − c(list(u))) — codebooks see only the
+    * small residual displacements, not the coarse geometry the
+    * centroids already captured, so quantization error (and with it
+    * ADC mis-ranking) shrinks as cells get finer. Recall on this corpus
+    * is bounded by COARSE list recall, so the r10 fix pairs residual
+    * encoding with finer cells at the SAME scan fraction: nlist 16→64
+    * with nprobe 6→24 (both 37.5%) lifted recall@5 from 0.62–0.70 (r9
+    * raw) to 0.82 at sf0.001 AND sf0.01 (residual 16/6 alone stayed
+    * list-bound at 0.62–0.66 — measured, PqTune r10). At 100 TB the
+    * same ratio holds with nlist ~ √N. The probe's lookup table becomes
+    * per-(probe, list) — |（p − c_L) − cb_{b,j}|² — a
+    * probes×nprobe-sized broadcast. Candidate volume drops to
     * ~corpus·nprobe/nlist AND each candidate costs M bytes instead of
-    * dim·8. That composition is the standard billion-vector layout.
+    * dim·8; assignment + encoding fuse into ONE map-only kernel (no
+    * join, no shuffle on the corpus). That composition is the standard
+    * billion-vector layout.
     */
   def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
                  k: Int = 5, m: Int = 8, codes: Int = 16, rerank: Int = 64,
                  seed: Long = 42, maxTrain: Int = 65536,
                  nlist: Int = 0, nprobe: Int = 6): DataFrame = {
+    if (nlist > 0)
+      return ivfPqTopK(spark, embeddings, probeMaxId, k, m, codes, rerank,
+        seed, maxTrain, nlist, nprobe)
     import spark.implicits._
     def dbg(msg: String): Unit =
       if (sys.env.contains("GRAFT_PQ_DEBUG"))
@@ -151,22 +169,9 @@ object AnnPq {
     val lutDf = luts.toDF("probe_id", "lut")
 
     // ---- ADC scan: dist ≈ Σ_b lut[b*K + code_b], one aggregate() ----
-    // flat PQ scans every code row; IVF-PQ (nlist > 0) first prunes to
-    // the probes' nprobe nearest inverted lists, then ADC-scans only them
-    val scanSide = if (nlist > 0) {
-      val (assigned, centroids) =
-        AnnIvf.buildIndex(spark, embeddings, nlist, seed, trainOpt = Some(train))
-      val probes = encoded.filter(col("vec_id") < probeMaxId)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("e_nrm").as("pn"))
-      val wL = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
-      val probeLists = probes.crossJoin(broadcast(centroids))
-        .withColumn("dist2", col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
-          when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
-        .withColumn("lr", row_number().over(wL)).filter(col("lr") <= nprobe)
-        .select("probe_id", "list_id")
-      broadcast(probeLists.join(lutDf, "probe_id"))
-        .join(encoded.join(assigned, "vec_id"), "list_id")
-    } else encoded.crossJoin(broadcast(lutDf))
+    // flat PQ scans every code row (it compresses, it does not prune —
+    // the pruning composition is ivfPqTopK)
+    val scanSide = encoded.crossJoin(broadcast(lutDf))
     val wTop = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
     val cands = scanSide
       .filter(col("vec_id") =!= col("probe_id"))
@@ -179,6 +184,155 @@ object AnnPq {
     // ---- exact re-rank of the ADC survivors ----
     val probeVecs = lutDf.select(col("probe_id").as("pid")).join(
       encoded.select(col("vec_id").as("pid"), col("v").as("pv"), col("e_nrm").as("pn")), "pid")
+    val wFinal = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.join(broadcast(probeVecs), col("probe_id") === col("pid"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(expr("graft_dot(pv, v)") / (col("pn") * col("e_nrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wFinal).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Strict-<, first-min nearest centroid — the same tie rule as every
+    * quantizer in this family.
+    */
+  private def nearestCell(u: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      var d2 = 0.0
+      var d = 0
+      while (d < u.length) { val t = u(d) - cents(i)(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def encodeResidual(r: Array[Double],
+                             books: Array[Array[Array[Double]]]): Array[Int] = {
+    val cs = new Array[Int](books.length)
+    var b = 0
+    while (b < books.length) {
+      val book = books(b)
+      val subDim = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        var d2 = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = r(b * subDim + t) - book(j)(t); d2 += diff * diff; t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      cs(b) = best
+      b += 1
+    }
+    cs
+  }
+
+  /** IVF-PQ with residual (IVFADC) encoding — see [[approxTopK]]'s
+    * scaladoc for the layout argument. One map-only kernel assigns each
+    * vector to its coarse cell AND encodes the residual (assignment is
+    * an argmin over the broadcast centroids — fusing it avoids the
+    * vec_id shuffle an assignment join would cost); the ADC scan joins
+    * candidates to the broadcast per-(probe, list) LUTs on list_id, so
+    * only probed cells are read.
+    */
+  private def ivfPqTopK(spark: SparkSession, embeddings: DataFrame,
+                        probeMaxId: Long, k: Int, m: Int, codes: Int,
+                        rerank: Int, seed: Long, maxTrain: Int,
+                        nlist: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val train = AnnIvf.collectTrain(embeddings, maxTrain)
+    if (train.isEmpty) {
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("probe_id", "neighbor_id", "sim", "rn")
+    }
+    val dim = train(0).length
+    val subDim = dim / m
+    val cents = AnnIvf.localKMeans(train, math.min(nlist, train.length),
+      iters = 10, seed = seed)
+    // codebooks see RESIDUALS: the displacement left after the coarse
+    // quantizer, a much tighter distribution than the raw sphere
+    val residTrain = train.map { u =>
+      val c = cents(nearestCell(u, cents))
+      Array.tabulate(u.length)(i => u(i) - c(i))
+    }
+    val books = trainCodebooks(residTrain, m, codes, seed)
+
+    // ---- fused assign + residual-encode: ONE map-only pass ----
+    val bBooks = spark.sparkContext.broadcast(books)
+    val bCents = spark.sparkContext.broadcast(cents)
+    val encoded = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bks = bBooks.value
+        val cs = bCents.value
+        it.map { case (id, vf) =>
+          val raw = vf.map(_.toDouble)
+          var s = 0.0
+          var d = 0
+          while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
+          val n = math.sqrt(s)
+          val u = if (n > 0) raw.map(_ / n) else raw
+          val lid = nearestCell(u, cs)
+          val c = cs(lid)
+          val r = Array.tabulate(u.length)(i => u(i) - c(i))
+          (id, vf, n, lid, encodeResidual(r, bks))
+        }
+      }
+      .toDF("vec_id", "v", "e_nrm", "list_id", "codes")
+      .cache()
+
+    // ---- probes: nprobe nearest cells + per-(probe, list) LUTs ----
+    val probeRows = encoded.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id"), col("v"), col("e_nrm")).collect()
+    val probeUnits = probeRows.map { r =>
+      val raw = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val n = r.getDouble(2)
+      r.getLong(0) -> (if (n > 0) raw.map(_ / n) else raw)
+    }.toMap
+    val luts = probeUnits.toSeq.sortBy(_._1).flatMap { case (pid, u) =>
+      val ranked = cents.indices.map { i =>
+        var d2 = 0.0
+        var d = 0
+        while (d < u.length) { val t = u(d) - cents(i)(d); d2 += t * t; d += 1 }
+        (d2, i)
+      }.sorted.take(nprobe) // (dist², list) — ties break to the lower list
+      ranked.map { case (_, lid) =>
+        val q = Array.tabulate(u.length)(i => u(i) - cents(lid)(i))
+        val lut = new Array[Double](m * codes)
+        for (b <- 0 until m; j <- books(b).indices) {
+          var d2 = 0.0
+          var d = 0
+          while (d < subDim) {
+            val t = q(b * subDim + d) - books(b)(j)(d); d2 += t * t; d += 1
+          }
+          lut(b * codes + j) = d2
+        }
+        (pid, lid, lut.toSeq)
+      }
+    }
+    val lutDf = luts.toDF("probe_id", "list_id", "lut")
+
+    // ---- ADC over probed cells only; then exact re-rank ----
+    val wTop = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
+    val cands = encoded.join(broadcast(lutDf), "list_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("v"), col("e_nrm"),
+        expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), " +
+          s"(acc, b) -> acc + lut[b * $codes + codes[b]])").as("adc"))
+      .withColumn("arn", row_number().over(wTop))
+      .filter(col("arn") <= rerank)
+    val probeVecs = probeRows.map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .toSeq.toDF("pid", "pv", "pn")
     val wFinal = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.join(broadcast(probeVecs), col("probe_id") === col("pid"))
       .select(col("probe_id"), col("neighbor_id"),

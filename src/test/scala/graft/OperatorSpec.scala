@@ -234,10 +234,10 @@ class OperatorSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
-  test("ann-ivfpq: pruned-scan recall within the IVF scan-fraction regime") {
+  test("ann-ivfpq: residual encoding + finer cells hold recall@5 >= 0.8 at 37.5% scan") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val approx = AnnPq.approxTopK(spark, emb, probeMaxId = 10, k = 5,
-        nlist = 16, nprobe = 6)
+        nlist = 64, nprobe = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
@@ -247,11 +247,13 @@ class OperatorSpec extends SparkSpec {
       approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    // bounded above by the IVF list recall (0.64–0.70 on this corpus at
-    // nprobe=6/16 — random vectors are the worst case); the PQ+rerank
-    // step loses little on top, so the floor mirrors the IVF test's
+    // recall here is bounded by COARSE list recall, not PQ distortion:
+    // residual (IVFADC) codebooks keep ADC ordering accurate while
+    // nlist=64/nprobe=24 holds the r9 scan fraction with finer cells —
+    // measured 0.82 at sf0.001 and sf0.01 (PqTune, r10), floor 0.8 per
+    // the r9 verdict
     info(s"ivfpq mean recall@5 = $mean")
-    assert(mean >= 0.45, s"mean IVF-PQ recall@5 $mean below floor")
+    assert(mean >= 0.8, s"mean IVF-PQ recall@5 $mean below the 0.8 floor")
   }
 
   test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
