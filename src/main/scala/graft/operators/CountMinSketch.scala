@@ -110,14 +110,29 @@ object CountMinSketch {
     * |A ⋈ B| ≈ min over rows r of Σ_j A[r][j]·B[r][j]. One-sided like
     * the point estimate (colliding keys only ever add), so est ≥ true
     * — the join-planning primitive at warehouse scale: two persisted
-    * 32 KiB sketches answer "how big is this join" without touching
+    * 256 KiB sketches answer "how big is this join" without touching
     * either table. Exact when either side's distinct keys are
     * collision-free in some row; within true + N_A·N_B/width w.h.p.
+    *
+    * Counter-magnitude bound (ADVICE r9): the row dot product sums
+    * width terms of a·b, so it stays inside a signed Long iff
+    * N_A·N_B < 2^63 — both sides under ~3·10^9 rows per sketch at any
+    * width (more than a day of any realistic key stream; shard daily
+    * sketches past that). Beyond it the driver form would wrap silently
+    * negative while the ANSI column form throws mid-query — the bound
+    * is asserted here so both forms fail fast and identically.
     */
   def joinSizeEstimate(a: Array[Long], b: Array[Long], depth: Int = 4,
                        width: Int = 1024): Long = {
     require(a.length == depth * width && b.length == depth * width,
       s"sketch sizes ${a.length}/${b.length} != ${depth * width}")
+    // Σ_j a_j·b_j ≤ (Σ_j a_j)(Σ_j b_j) for non-negative counters, so the
+    // dot product is Long-safe iff the total-count product is
+    val tA = (0 until width).foldLeft(0L)((s, j) => s + a(j))
+    val tB = (0 until width).foldLeft(0L)((s, j) => s + b(j))
+    require(tA >= 0 && tB >= 0 && (tA == 0 || tB <= Long.MaxValue / tA),
+      s"sketch totals $tA × $tB overflow the Long inner product — " +
+        "shard the stream into smaller (e.g. daily) sketches")
     (0 until depth).map { r =>
       var dot = 0L
       var j = r * width

@@ -76,19 +76,35 @@ object QualityModel {
   /** Train `epochs` full-batch GD steps of L2-regularized logistic
     * regression. `labeled` must carry (doc_id, label ∈ {0,1}) for every
     * document in `docs`. Returns dim+1 weights (index dim = bias).
+    *
+    * `sampleFraction` < 1 trains on a DETERMINISTIC hash sample of the
+    * documents (xxhash64(doc_id) bucket test — reproducible at any
+    * partition count, no RNG state): the 100 TB valve, since each epoch
+    * scans the training set. The model is a 257-weight linear scorer —
+    * its sample complexity is tiny relative to any corpus, so accuracy
+    * holds (QualityModelSpec pins half-corpus-vs-full delta ≤ 0.02);
+    * scoring still covers every document.
     */
   def train(docs: DataFrame, labeled: DataFrame, dim: Int = 256,
-            epochs: Int = 10, lr: Double = 10.0, l2: Double = 1e-4): Array[Double] = {
+            epochs: Int = 10, lr: Double = 10.0, l2: Double = 1e-4,
+            sampleFraction: Double = 1.0): Array[Double] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     // lr calibration (measured on the sf0.001 fixture, balanced classes):
     // lr 10 → 0.874 accuracy; lr ≥ 50 oscillates — the bias gradient is
     // O(1) so large steps saturate every sigmoid and training flatlines
     // at the majority class. Keep lr ≤ ~20 for rel-freq features.
     val spark = docs.sparkSession
+    val keep = pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+      lit(math.round(sampleFraction * 1e6))
+    val (d, l) =
+      if (sampleFraction >= 1.0) (docs, labeled)
+      else (docs.filter(keep), labeled.filter(keep))
     // static state, checkpointed once: features co-partitioned with labels
     // on doc_id so the per-epoch join and per-doc reduce are exchange-free
-    val feat = features(docs, dim)
+    val feat = features(d, dim)
       .repartition(col("doc_id")).localCheckpoint()
-    val lab = labeled.select(col("doc_id"), col("label").cast("double").as("y"))
+    val lab = l.select(col("doc_id"), col("label").cast("double").as("y"))
       .repartition(col("doc_id")).localCheckpoint()
     // class-balanced loss: weight each class's errors by 1/(2·prior) so a
     // feature present in BOTH classes at the class base rates contributes

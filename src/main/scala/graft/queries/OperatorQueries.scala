@@ -230,7 +230,12 @@ object OperatorQueries extends QueryPack {
     "s_quality_model" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
       val labeled = graft.operators.QualityModel.allowlistLabels(docs)
-      val w = graft.operators.QualityModel.train(docs, labeled)
+      // deterministic half-corpus hash sample: each GD epoch scans half
+      // the training set (the 100 TB valve the r9 verdict asked to wire
+      // in); accuracy delta vs full training ≤ 0.02 — pinned in
+      // QualityModelSpec (measured 0.874 full vs 0.872 half, r10)
+      val w = graft.operators.QualityModel.train(docs, labeled,
+        sampleFraction = 0.5)
       graft.operators.QualityModel.score(docs, w)
         .join(labeled, "doc_id")
         .select(col("doc_id"), col("label"), col("score"),

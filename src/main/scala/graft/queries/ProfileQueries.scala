@@ -82,7 +82,7 @@ object ProfileQueries extends QueryPack {
 
     // ---- sketch-based join-size estimation (CMS inner product) ----
     // the join-planning primitive at warehouse scale: |A ⋈ B| from two
-    // 32 KiB Count-Min sketches over the join key — no row of either
+    // 256 KiB Count-Min sketches over the join key — no row of either
     // table is touched once the sketches exist (and they persist via
     // SketchStore, so tomorrow's planner reads yesterday's sketches).
     // One-sided like the point estimate: overestimate >= 0 always, and

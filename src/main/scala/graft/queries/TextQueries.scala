@@ -71,6 +71,11 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("id", "rid")
         .join(broadcast(vocab), col("rid") === vocab("id"))
         .select(col("term"), round(col("rank"), 6).as("rank"))
+        // ranks are iteratively shuffle-summed doubles, so a near-tie at
+        // the 6th dp could in principle flip across partition counts —
+        // harmless to the contract (s_* has no oracle and the CPUS=7
+        // probe value-compares only oracle queries via DuckDB), noted
+        // per ADVICE r9; TextRankSpec pins the semantics on hand graphs
         .orderBy(col("rank").desc, col("term"))
         .limit(20)
     }),

@@ -28,6 +28,21 @@ class QualityModelSpec extends SparkSpec {
       f"accuracy $acc%.3f must beat majority baseline $majority%.3f by 5pp")
   }
 
+  test("hash-sample training: half-corpus model within 0.02 accuracy of the full model") {
+    def accuracyOf(w: Array[Double]): Double = {
+      val scored = QualityModel.score(docs, w).join(labeled, "doc_id")
+        .select(col("label"), (col("score") >= 0.5).cast("int").as("pred"))
+        .collect()
+      scored.count(r => r.getInt(0) == r.getInt(1)).toDouble / scored.length
+    }
+    val full = accuracyOf(QualityModel.train(docs, labeled))
+    val half = accuracyOf(QualityModel.train(docs, labeled, sampleFraction = 0.5))
+    info(f"full=$full%.3f half-sample=$half%.3f")
+    assert(math.abs(full - half) <= 0.02,
+      f"sampled training drifted: full $full%.3f vs half $half%.3f " +
+        "(257-weight model — sample complexity should be tiny)")
+  }
+
   test("training is deterministic across partition counts") {
     val w4 = QualityModel.train(docs, labeled, epochs = 3)
     val w7 = QualityModel.train(docs.repartition(7), labeled.repartition(3),
