@@ -34,18 +34,18 @@ import org.apache.spark.sql.types.DateType
   * plan untouched and the fact table answers as before.
   *
   * Matching is by scan identity: [[register]] records the fact table's
-  * qualified root path and freezes the cube's analyzed read plan (file
-  * list resolved through the cube's manifest at registration — re-run
-  * register after maintenance batches, the same freshness contract as
-  * any materialized view). Output attribute ids and names are preserved
+  * qualified root path; the cube's file list resolves through its
+  * [[StoreManifest]] pointer at REWRITE time, so a routed answer always
+  * reads the current committed version — maintenance batches need no
+  * re-register. Output attribute ids and names are preserved
   * through aliases, so parents of the Aggregate are untouched — the
   * standard view-rewrite discipline.
   */
 object RollupRewrite extends Rule[LogicalPlan] {
 
-  /** One registered cube: fact scan root path → cube read plan + shape. */
-  private case class Reg(factPath: String, rollup: RollupNav.Rollup,
-                         cubePlan: LogicalPlan)
+  /** One registered cube: fact scan root path → cube dir + shape. */
+  private case class Reg(factPath: String, cubeDir: String,
+                         rollup: RollupNav.Rollup)
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Reg]()
 
@@ -57,13 +57,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   /** Register `cubeDir` (built by [[RollupNav.materialize]] over the
     * fact parquet at `factDir`) as the routing target for aggregates
-    * scanning `factDir`. The cube's current manifest version is frozen
-    * into the plan — call again after maintenance to pick up new days.
+    * scanning `factDir`. The cube's manifest is resolved PER ROUTED
+    * QUERY (a metadata-sized read that only happens when a matching
+    * fact aggregate is being rewritten), so answers are never stale
+    * after [[RollupNav.maintain]] commits new days — no re-register
+    * contract.
     */
   def register(spark: SparkSession, factDir: String, cubeDir: String,
                rollup: RollupNav.Rollup): Unit = {
-    val plan = RollupNav.readStore(spark, cubeDir).queryExecution.analyzed
-    registry.put(qualify(spark, factDir), Reg(qualify(spark, factDir), rollup, plan))
+    registry.put(qualify(spark, factDir),
+      Reg(qualify(spark, factDir), cubeDir, rollup))
     ()
   }
 
@@ -116,10 +119,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, reg: Reg,
                       aliases: Map[ExprId, Expression]): Option[LogicalPlan] = {
-    // fresh cube relation instance per rewrite (self-join-safe exprIds)
-    val cube = reg.cubePlan.transformUp {
-      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
-    }
+    // resolve the cube's CURRENT committed version (manifest read —
+    // metadata-sized, and only on an actually-routed aggregate); fresh
+    // relation instance per rewrite keeps exprIds self-join-safe
+    val cube = RollupNav.readStore(SparkSession.active, reg.cubeDir)
+      .queryExecution.analyzed.transformUp {
+        case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      }
     val cubeAttr: Map[String, Attribute] = cube.output.map(a => a.name -> a).toMap
     val dims = reg.rollup.dims.toSet
     val measures = reg.rollup.measures.toSet

@@ -76,6 +76,42 @@ class RollupRewriteSpec extends SparkSpec {
     } finally { Fs.rmTree(factDir); Fs.rmTree(cubeDir) }
   }
 
+  test("no staleness: a maintained cube routes fresh answers without re-register") {
+    val factDir = java.nio.file.Files.createTempDirectory("graft_rrw3_fact").toString
+    val cubeDir = java.nio.file.Files.createTempDirectory("graft_rrw3_cube").toString
+    try {
+      val all = Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      all.filter(col("day") < "2024-01-15")
+        .write.mode("overwrite").parquet(factDir)
+      RollupNav.materialize(spark.read.parquet(factDir), shape, cubeDir)
+      RollupRewrite.register(spark, factDir, cubeDir, shape)
+      RollupRewrite.install(spark)
+      try {
+        def q() = spark.read.parquet(factDir)
+          .groupBy(col("event_type")).agg(sum("v_us").as("s"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+        val before = q().collect().toSeq
+        // new fact days arrive: fact parquet grows AND the cube maintains
+        all.filter(col("day") >= "2024-01-15")
+          .write.mode("append").parquet(factDir)
+        RollupNav.maintain(spark, cubeDir, shape,
+          spark.read.parquet(factDir).filter(col("day") >= "2024-01-15"))
+        val after = q()
+        assert(scanPaths(after).forall(_.contains("graft_rrw3_cube")),
+          "maintained cube no longer routes")
+        val got = after.collect().toSeq
+        assert(got != before, "routed answer is stale after maintenance")
+        RollupRewrite.clear()
+        val truth = q().collect().toSeq
+        assert(got == truth,
+          "routed answer diverges from the grown fact table after maintenance")
+      } finally RollupRewrite.clear()
+    } finally { Fs.rmTree(factDir); Fs.rmTree(cubeDir) }
+  }
+
   test("day-grain grouping routes through the string partition cast exactly") {
     val factDir = java.nio.file.Files.createTempDirectory("graft_rrw2_fact").toString
     val cubeDir = java.nio.file.Files.createTempDirectory("graft_rrw2_cube").toString
