@@ -288,6 +288,11 @@ object AnnPq {
         }
       }
       .toDF("vec_id", "v", "e_nrm", "list_id", "codes")
+      // cached because the probe collect AND the returned plan's
+      // ADC+rerank branches read it; the returned DataFrame still
+      // references the cache, so it cannot unpersist here — the
+      // harness's between-query Blocks.dropAll (r9) frees it, as with
+      // every cached frame a query hands back
       .cache()
 
     // ---- probes: nprobe nearest cells + per-(probe, list) LUTs ----

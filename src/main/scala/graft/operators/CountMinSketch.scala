@@ -144,15 +144,26 @@ object CountMinSketch {
   /** Column form of [[joinSizeEstimate]] for sketches riding a frame
     * (e.g. two persisted daily sketches joined side by side): min over
     * rows of the per-row inner product, via built-in HOF expressions.
+    * Same counter-magnitude guard as the driver form: past the bound it
+    * raises instead of wrapping (under ANSI the multiply would throw
+    * anyway; the guard makes non-ANSI sessions agree).
     */
   def joinSizeEstimateCol(a: Column, b: Column, depth: Int = 4,
-                          width: Int = 1024): Column =
-    (0 until depth).map { r =>
+                          width: Int = 1024): Column = {
+    def rowTotal(s: Column) =
+      aggregate(slice(s, 1, width), lit(0L), (acc, v) => acc + v)
+    val (tA, tB) = (rowTotal(a), rowTotal(b))
+    val est = (0 until depth).map { r =>
       aggregate(
         zip_with(slice(a, r * width + 1, width), slice(b, r * width + 1, width),
           (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
     }.reduce(least(_, _))
+    when(tA > 0 && tB > lit(Long.MaxValue) / tA,
+      raise_error(lit("sketch totals overflow the Long inner product — " +
+        "shard the stream into smaller (e.g. daily) sketches")))
+      .otherwise(est)
+  }
 
   /** Point estimate of `key`'s frequency against a sketch COLUMN (e.g.
     * the result of [[sketchAgg]]/[[unionAgg]] riding along a join or a

@@ -52,13 +52,20 @@ object InvertedIndex {
     */
   def write(index: DataFrame, dir: String, buckets: Int = 32): Unit = {
     val spark = index.sparkSession
-    val tmp = new java.io.File(dir, ".tmp_seg_base")
+    val next = StoreManifest.currentVersion(spark, dir) + 1
+    // version-unique name on a REBUILD over an existing store: the live
+    // base segment must survive until the new manifest commits (readers
+    // of version N keep resolving it, and a crash here must not destroy
+    // committed data) — it becomes unreferenced and vacuum sweeps it
+    val segName = if (next == 0) "seg=base" else s"seg=r$next"
+    val segDir = new java.io.File(dir, segName)
+    graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
+    val tmp = new java.io.File(dir, s".tmp_$segName")
     graft.Fs.rmTree(tmp.toString)
     writeSegment(index, tmp.toString, buckets)
-    graft.Fs.rmTree(new java.io.File(dir, "seg=base").toString)
-    graft.Fs.atomicMove(tmp.toString, new java.io.File(dir, "seg=base").toString)
-    StoreManifest.commit(spark, dir,
-      StoreManifest.currentVersion(spark, dir) + 1, Seq("seg\tseg=base"))
+    graft.Fs.atomicMove(tmp.toString, segDir.toString)
+    StoreManifest.commit(spark, dir, next, Seq(s"seg\t$segName")) // THE commit point
+    if (next > 0) vacuum(spark, dir)
   }
 
   private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit =

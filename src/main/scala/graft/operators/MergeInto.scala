@@ -90,13 +90,8 @@ object MergeInto {
     * manifest file list readers resolve.
     */
   private[operators] def readManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                           version: Long): (org.apache.spark.sql.types.StructType, Seq[String]) = {
-    val lines = StoreManifest.readLines(spark, dir, version)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(lines.head.stripPrefix("schema\t"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    (schema, lines.tail.map(_.stripPrefix("file\t")))
-  }
+                           version: Long): (org.apache.spark.sql.types.StructType, Seq[String]) =
+    StoreManifest.readFiles(spark, dir, version)
 
   /** Relative data-file paths of a committed version (SHOW FILES): the
     * exact list readers of that version resolve — metadata only.
@@ -109,8 +104,7 @@ object MergeInto {
                             version: Long,
                             schema: org.apache.spark.sql.types.StructType,
                             files: Seq[String]): Unit =
-    StoreManifest.commit(spark, dir, version,
-      s"schema\t${schema.json}" +: files.sorted.map("file\t" + _))
+    StoreManifest.commitFiles(spark, dir, version, schema, files)
 
   /** Read a committed snapshot version (default: latest) — the ONLY read
     * path that sees exactly one consistent version: the file list comes

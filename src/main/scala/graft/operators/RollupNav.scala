@@ -60,18 +60,12 @@ object RollupNav {
   private def commit(spark: SparkSession, dir: String, version: Long,
                      schema: org.apache.spark.sql.types.StructType,
                      files: Seq[String], batchId: Option[Long]): Unit =
-    StoreManifest.commit(spark, dir, version,
-      s"schema\t${schema.json}" +:
-        (files.sorted.map("file\t" + _) ++ batchId.map("batch\t" + _)))
+    StoreManifest.commitFiles(spark, dir, version, schema, files,
+      batchId.map("batch\t" + _).toSeq)
 
   private def readManifest(spark: SparkSession, dir: String, version: Long)
-      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
-    val lines = StoreManifest.readLines(spark, dir, version)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(lines.head.stripPrefix("schema\t"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    (schema, lines.collect { case l if l.startsWith("file\t") => l.substring(5) })
-  }
+      : (org.apache.spark.sql.types.StructType, Seq[String]) =
+    StoreManifest.readFiles(spark, dir, version)
 
   /** The current committed cube as a frame (day STRING + dims +
     * partial-aggregate columns) — the ONLY read path: file list and
@@ -133,9 +127,26 @@ object RollupNav {
   def maintain(spark: SparkSession, dir: String, rollup: Rollup,
                batch: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
-    val cur = StoreManifest.currentVersion(spark, dir)
-    // cur < 0: never materialized — the batch bootstraps version 0 (lets
-    // a streaming rollup sink start from an empty dir)
+    var cur = StoreManifest.currentVersion(spark, dir)
+    // a legacy un-manifested cube (pre-r10 layout: day= dirs, no
+    // manifest) ADOPTS as version 0 before anything else — treating it
+    // as empty would commit a manifest omitting all history and the
+    // trailing vacuum would DELETE the legacy files (review-pass r10)
+    if (cur < 0) {
+      val legacy = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("day="))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}"))
+      if (legacy.nonEmpty) {
+        val schema = spark.read.parquet(dir)
+          .withColumn("day", col("day").cast("string")).schema
+        StoreManifest.commitFiles(spark, dir, 0L, schema, legacy)
+        cur = 0L
+      }
+    }
+    // cur < 0 still: never materialized — the batch bootstraps version 0
+    // (lets a streaming rollup sink start from an empty dir)
     val applied =
       if (cur >= 0) StoreManifest.read(spark, dir, cur, "batch") else Seq.empty
     if (batchId.exists(id => applied.contains(id.toString))) return // replay no-op

@@ -94,6 +94,30 @@ object StoreManifest {
     require(fs.rename(tmp, dst), s"manifest commit $tmp -> $dst failed")
   }
 
+  /** Commit a (pinned schema, data files, extra lines) version — the
+    * shared encoding of every file-listing store (MergeInto snapshots,
+    * RollupNav cubes): one `schema\t<json>` line, sorted `file\t<rel>`
+    * lines, then any store-specific lines (e.g. RollupNav's applied
+    * `batch\t<id>` records).
+    */
+  def commitFiles(spark: SparkSession, dir: String, version: Long,
+                  schema: org.apache.spark.sql.types.StructType,
+                  files: Seq[String], extra: Seq[String] = Nil): Unit =
+    commit(spark, dir, version,
+      s"schema\t${schema.json}" +: (files.sorted.map("file\t" + _) ++ extra))
+
+  /** Decode a [[commitFiles]] manifest: (pinned schema, relative data
+    * file paths).
+    */
+  def readFiles(spark: SparkSession, dir: String, version: Long)
+      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    val lines = readLines(spark, dir, version)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(lines.head.stripPrefix("schema\t"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (schema, lines.collect { case l if l.startsWith("file\t") => l.substring(5) })
+  }
+
   /** Delete manifests older than the newest `retain` versions and return
     * the SURVIVING versions (callers sweep their own unreferenced data
     * from that set — file layouts differ per store).

@@ -148,6 +148,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // a MEASURE reference must be the scan's own column: an attribute
+    // the child Project ALIASED (e.g. v_us redefined as v_us * 2)
+    // shares the name but not the semantics — routing it to the raw
+    // partials would be silently wrong, so those bail
+    def isMeasure(a: AttributeReference): Boolean =
+      measures.contains(a.name) && !aliases.contains(a.exprId)
+
     // map a fact-side AGGREGATE call onto the stored partials
     def aggFn(ae: AggregateExpression): Option[AggregateExpression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
@@ -156,19 +163,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
           // COUNT(*) / COUNT(1): n_rows partials re-aggregate by SUM;
           // sum-of-longs returns LongType, matching count's type
           cubeAttr.get("n_rows").map(n => ae.copy(aggregateFunction = Sum(n)))
-        case s @ Sum(a: AttributeReference, _) if measures.contains(a.name) =>
+        case s @ Sum(a: AttributeReference, _) if isMeasure(a) =>
           cubeAttr.get(s"${a.name}_sum")
             .map(p => ae.copy(aggregateFunction = s.copy(child = p)))
-        case m @ Min(a: AttributeReference) if measures.contains(a.name) =>
+        case m @ Min(a: AttributeReference) if isMeasure(a) =>
           cubeAttr.get(s"${a.name}_min")
             .map(p => ae.copy(aggregateFunction = m.copy(child = p)))
-        case m @ Max(a: AttributeReference) if measures.contains(a.name) =>
+        case m @ Max(a: AttributeReference) if isMeasure(a) =>
           cubeAttr.get(s"${a.name}_max")
             .map(p => ae.copy(aggregateFunction = m.copy(child = p)))
         case _ => None
       }
     }
 
+    // a GLOBAL aggregate must not route: count(*) over an empty cube
+    // would become sum(n_rows) = NULL where count = 0 — the one case
+    // where the partial re-aggregation is not value-identical
+    if (agg.groupingExpressions.isEmpty) return None
     val newGrouping = agg.groupingExpressions.map(grouping)
     if (newGrouping.exists(_.isEmpty)) return None
     val groupMap: Map[Expression, Expression] =

@@ -34,7 +34,8 @@ object Fixtures {
       built.getOrElseUpdate((kind, sfDir), {
         val d = java.nio.file.Files
           .createTempDirectory(s"graft_fx_$kind").toString
-        (d, build(d))
+        try (d, build(d))
+        catch { case e: Throwable => graft.Fs.rmTree(d); throw e }
       })
     }
 }

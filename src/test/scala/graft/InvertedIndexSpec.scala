@@ -222,6 +222,39 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { Fs.rmTree(dir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
+  test("in-place rebuild: committed data survives; old version stays readable until vacuum") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxrb").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0)), dir)
+      val v0Seg = InvertedIndex.segments(spark, dir)
+      assert(v0Seg == Seq("seg=base"))
+      // rebuild IN PLACE over the full corpus: the live base segment
+      // must never be deleted before the new manifest commits
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      assert(InvertedIndex.segments(spark, dir) == Seq("seg=r1"))
+      // retain=2 default: v0's segment is still on disk and resolvable
+      assert(new java.io.File(dir, "seg=base").exists(),
+        "rebuild destroyed the previous version's committed data")
+      assert(graft.operators.StoreManifest
+        .read(spark, dir, 0L, "seg") == Seq("seg=base"))
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      val full = java.nio.file.Files.createTempDirectory("graft_idxrb_full").toString
+      try {
+        InvertedIndex.write(InvertedIndex.build(docs), full)
+        def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(res(dir) == res(full), "rebuilt index search != fresh build")
+      } finally Fs.rmTree(full)
+      // vacuum to 1 retained version sweeps the superseded base segment
+      InvertedIndex.vacuum(spark, dir, retain = 1)
+      assert(!new java.io.File(dir, "seg=base").exists())
+    } finally Fs.rmTree(dir)
+  }
+
   test("persisted search == in-memory recomputation on real documents; prune proven") {
     val docs = Tables.t(spark, sfDir, "documents")
     val idx = InvertedIndex.build(docs)

@@ -204,6 +204,28 @@ class RollupNavSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("legacy un-manifested cube: maintain adopts history instead of destroying it") {
+    val dir = tmp()
+    val truthDir = tmp()
+    try {
+      // simulate a pre-r10 cube: plain day-partitioned parquet, no manifest
+      val old = base.filter(col("day") < "2024-01-15")
+      old.groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("v_us").as("v_us_sum"),
+          min("v_us").as("v_us_min"), max("v_us").as("v_us_max"))
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      assert(graft.operators.StoreManifest.currentVersion(spark, dir) == -1L)
+      // one maintain over the new days must adopt v0 first, then fold
+      RollupNav.maintain(spark, dir, shape,
+        base.filter(col("day") >= "2024-01-15"), Some(1L))
+      RollupNav.materialize(base, shape, truthDir)
+      val got = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+      val truth = RollupNav.answer(spark, truthDir, shape, Seq("event_type"), "day").get
+      assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+        "legacy history was lost or double-counted on adoption")
+    } finally { Fs.rmTree(dir); Fs.rmTree(truthDir) }
+  }
+
   test("day-ranged answer prunes the rollup store at the directory level") {
     val dir = tmp()
     try {

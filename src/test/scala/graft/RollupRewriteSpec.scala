@@ -72,6 +72,21 @@ class RollupRewriteSpec extends SparkSpec {
           .groupBy(col("event_type")).agg(sum("v_us").as("s"))
         assert(scanPaths(filtered).forall(_.contains("graft_rrw_fact")),
           "filtered aggregate was routed — conservatism broken")
+        // a DERIVED column shadowing a measure name — routing it to the
+        // raw partials would silently halve/double values (review r10)
+        val shadowed = spark.read.parquet(factDir)
+          .withColumn("v_us", col("v_us") * 2)
+          .groupBy(col("event_type")).agg(sum("v_us").as("s"))
+        assert(scanPaths(shadowed).forall(_.contains("graft_rrw_fact")),
+          "alias-shadowed measure was routed — unsound")
+        val truthShadow = shadowed.collect().toSeq
+        RollupRewrite.register(spark, factDir, cubeDir, shape)
+        assert(shadowed.collect().toSeq == truthShadow)
+        // a GLOBAL aggregate — sum(n_rows) over an empty cube would be
+        // NULL where count(*) must be 0: must not route
+        val global = spark.read.parquet(factDir).agg(count(lit(1)).as("n"))
+        assert(scanPaths(global).forall(_.contains("graft_rrw_fact")),
+          "global aggregate was routed — empty-cube NULL hazard")
       } finally RollupRewrite.clear()
     } finally { Fs.rmTree(factDir); Fs.rmTree(cubeDir) }
   }
