@@ -89,16 +89,19 @@ object RollupNav {
     * manifest version 0. One shuffle of the fact table; stored rows =
     * |days × dim combinations|.
     */
-  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit = {
-    val spark = base.sparkSession
-    val agg = aggregateRollup(base, rollup).repartition(col("day"))
-    val schema = agg.schema
-    val next = StoreManifest.currentVersion(spark, dir) + 1
-    val moved = StoreManifest.stageAndMove(spark,
-      new org.apache.hadoop.fs.Path(dir), agg, "day", None, next)
-    commit(spark, dir, next, schema, moved, None)
-    vacuum(spark, dir)
-  }
+  def materialize(base: DataFrame, rollup: Rollup, dir: String): Unit =
+    // maintenance work must read the FACTS, never route to a (stale or
+    // half-built) cube — see RollupRewrite.withoutRouting
+    graft.plans.RollupRewrite.withoutRouting {
+      val spark = base.sparkSession
+      val agg = aggregateRollup(base, rollup).repartition(col("day"))
+      val schema = agg.schema
+      val next = StoreManifest.currentVersion(spark, dir) + 1
+      val moved = StoreManifest.stageAndMove(spark,
+        new org.apache.hadoop.fs.Path(dir), agg, "day", None, next)
+      commit(spark, dir, next, schema, moved, None)
+      vacuum(spark, dir)
+    }
 
   /** INCREMENTAL maintenance: fold a batch of new fact rows into the
     * rollup without rescanning history. The batch partial-aggregates to
@@ -125,7 +128,16 @@ object RollupNav {
     * superseded — the same argument the r9 per-day markers rested on).
     */
   def maintain(spark: SparkSession, dir: String, rollup: Rollup,
-               batch: DataFrame, batchId: Option[Long] = None): Unit = {
+               batch: DataFrame, batchId: Option[Long] = None): Unit =
+    // the delta aggregate has exactly the routable shape over what may
+    // be a REGISTERED fact path — without the exemption it would read
+    // the stale cube and fold an empty delta (RollupRewriteSpec)
+    graft.plans.RollupRewrite.withoutRouting {
+      maintainImpl(spark, dir, rollup, batch, batchId)
+    }
+
+  private def maintainImpl(spark: SparkSession, dir: String, rollup: Rollup,
+                           batch: DataFrame, batchId: Option[Long]): Unit = {
     import spark.implicits._
     var cur = StoreManifest.currentVersion(spark, dir)
     // a legacy un-manifested cube (pre-r10 layout: day= dirs, no

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DateType
@@ -26,12 +26,16 @@ import org.apache.spark.sql.types.DateType
   * (exact integer partials re-aggregate losslessly), so the rewrite is
   * value-IDENTICAL, proven by the q_agg_routed_rollup oracle hash. The
   * rule is conservative exactly where the router is: it fires only when
-  * every grouping expression is a cube dim, the day column, or a
-  * day-coarsening (trunc/date_trunc/cast over day), and every aggregate
-  * is a plain non-distinct, unfiltered COUNT(*)/SUM/MIN/MAX over a cube
-  * measure — anything else (DISTINCT, AVG, FILTER clauses, non-cube
-  * columns, predicates between the aggregate and the scan) leaves the
-  * plan untouched and the fact table answers as before.
+  * every grouping expression AND every scan-side filter predicate is a
+  * deterministic function of cube keys (dims, the day column, or any
+  * day-coarsening — a key-only predicate keeps or drops whole
+  * (day, dims) groups, so day-range dashboards route WITH their range,
+  * which prunes the cube's day partitions), and every aggregate is a
+  * plain non-distinct, unfiltered, grouped COUNT(*)/SUM/MIN/MAX over a
+  * cube measure — anything else (DISTINCT, AVG, FILTER clauses,
+  * global aggregates, measure-referencing predicates, non-cube
+  * columns) leaves the plan untouched and the fact table answers as
+  * before.
   *
   * Matching is by scan identity: [[register]] records the fact table's
   * qualified root path; the cube's file list resolves through its
@@ -72,6 +76,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = registry.clear()
 
+  private val suspended = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  /** Run `f` with routing suspended on this thread. [[RollupNav]]'s own
+    * maintenance wraps its work in this: a maintenance batch aggregates
+    * the REGISTERED fact path with exactly the routable shape, so
+    * without the exemption the delta would be computed FROM the stale
+    * cube — an empty delta, silently freezing the cube forever (caught
+    * by RollupRewriteSpec's staleness test when filter routing landed).
+    */
+  def withoutRouting[T](f: => T): T = {
+    val prev = suspended.get()
+    suspended.set(true)
+    try f finally suspended.set(prev)
+  }
+
   /** Idempotently append this rule to the session's extra optimizations. */
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(RollupRewrite)) {
@@ -81,21 +102,30 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   // ---------------------------------------------------------------------
 
-  /** The fact scan under the aggregate plus the Project aliases between
-    * them (the optimizer extracts complex grouping expressions into a
-    * Project as `_groupingexpression#N`); anything but pure
-    * attributes-and-aliases between aggregate and scan → not routable.
+  /** What sits between the aggregate and the fact scan: Project aliases
+    * (the optimizer extracts complex grouping expressions as
+    * `_groupingexpression#N`) and Filter predicates, in any stacking —
+    * anything else → not routable. Filters are collected, not refused:
+    * a predicate over cube KEYS alone (day range, dim membership) keeps
+    * or drops whole (day, dims) groups, so it routes as the same filter
+    * over cube rows (rewrite() verifies the references).
     */
-  private def scanOf(p: LogicalPlan)
-      : Option[(LogicalRelation, Map[ExprId, Expression])] = p match {
-    case lr: LogicalRelation => Some((lr, Map.empty))
-    case Project(projs, lr: LogicalRelation)
+  private case class Shape(lr: LogicalRelation,
+                           aliases: Map[ExprId, Expression],
+                           filters: Seq[Expression])
+
+  private def scanOf(p: LogicalPlan): Option[Shape] = p match {
+    case lr: LogicalRelation => Some(Shape(lr, Map.empty, Nil))
+    case Project(projs, child)
       if projs.forall {
         case _: AttributeReference => true
         case Alias(_, _)           => true
         case _                     => false
       } =>
-      Some((lr, projs.collect { case a @ Alias(e, _) => a.exprId -> e }.toMap))
+      scanOf(child).map(s => s.copy(aliases = s.aliases ++
+        projs.collect { case a @ Alias(e, _) => a.exprId -> e }.toMap))
+    case Filter(cond, child) =>
+      scanOf(child).map(s => s.copy(filters = cond +: s.filters))
     case _ => None
   }
 
@@ -106,19 +136,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+    if (registry.isEmpty || suspended.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
-          (lr, aliases) <- scanOf(child)
-          path <- rootPath(lr)
+          shape <- scanOf(child)
+          path <- rootPath(shape.lr)
           reg <- Option(registry.get(path))
-          rewritten <- rewrite(agg, reg, aliases)
+          rewritten <- rewrite(agg, reg, shape)
         } yield rewritten).getOrElse(agg)
     }
 
   private def rewrite(agg: Aggregate, reg: Reg,
-                      aliases: Map[ExprId, Expression]): Option[LogicalPlan] = {
+                      shape: Shape): Option[LogicalPlan] = {
+    val aliases = shape.aliases
     // resolve the cube's CURRENT committed version (manifest read —
     // metadata-sized, and only on an actually-routed aggregate); fresh
     // relation instance per rewrite keeps exprIds self-join-safe
@@ -130,23 +161,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val dims = reg.rollup.dims.toSet
     val measures = reg.rollup.measures.toSet
 
-    // map a fact-side GROUPING expression onto the cube; None = not routable
-    def grouping(e: Expression): Option[Expression] = e match {
-      // an extracted `_groupingexpression` alias inlines first
+    // map a fact-side KEY expression (grouping expr or filter
+    // predicate) onto the cube. Sound for ANY deterministic function of
+    // day/dims: cube rows are exact on those keys, so grouping or
+    // filtering by f(keys) over partials ≡ over fact rows. None = the
+    // expression touches a measure or unknown column — not routable.
+    def mapKeyExpr(e: Expression): Option[Expression] = e match {
+      // an extracted `_groupingexpression` / projected alias inlines first
       case a: AttributeReference if aliases.contains(a.exprId) =>
-        grouping(aliases(a.exprId))
+        mapKeyExpr(aliases(a.exprId))
       case a: AttributeReference if dims.contains(a.name) => cubeAttr.get(a.name)
       case a: AttributeReference if a.name == "day" =>
         // cube stores day as the STRING partition value; yyyy-MM-dd casts
         // back to the fact's DATE exactly
         cubeAttr.get("day").map(Cast(_, DateType))
-      case t @ TruncDate(sub, _: Literal) =>
-        grouping(sub).map(s => t.copy(date = s))
-      case t @ TruncTimestamp(_: Literal, sub, _) =>
-        grouping(sub).map(s => t.copy(timestamp = s))
-      case c @ Cast(sub, _, _, _) => grouping(sub).map(s => c.copy(child = s))
-      case _ => None
+      case _: AttributeReference => None // measure / unknown column
+      case e if !e.deterministic => None
+      case e if e.children.isEmpty => Some(e) // literals
+      case e =>
+        val mapped = e.children.map(mapKeyExpr)
+        if (mapped.exists(_.isEmpty)) None
+        else Some(e.withNewChildren(mapped.map(_.get)))
     }
+    def grouping(e: Expression): Option[Expression] = mapKeyExpr(e)
 
     // a MEASURE reference must be the scan's own column: an attribute
     // the child Project ALIASED (e.g. v_us redefined as v_us * 2)
@@ -199,6 +236,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None // anything else (expressions over aggs, literals…): bail
     }
     if (newResults.exists(_.isEmpty)) return None
-    Some(Aggregate(newGrouping.map(_.get), newResults.map(_.get), cube))
+    // key-only filters ride along as cube-row filters (day ranges prune
+    // the cube's day partitions; dim predicates drop whole groups)
+    val newFilters = shape.filters.map(mapKeyExpr)
+    if (newFilters.exists(_.isEmpty)) return None
+    val child = newFilters.map(_.get).foldRight(cube: LogicalPlan)(Filter(_, _))
+    Some(Aggregate(newGrouping.map(_.get), newResults.map(_.get), child))
   }
 }

@@ -66,12 +66,26 @@ class RollupRewriteSpec extends SparkSpec {
           .groupBy(col("user_id")).agg(sum("v_us").as("s"))
         assert(scanPaths(offCube).forall(_.contains("graft_rrw_fact")),
           "non-cube dim was routed — unsound")
-        // a filtered fact scan — conservative: must not route
-        val filtered = spark.read.parquet(factDir)
-          .filter(col("event_type") === "view")
+        // a KEY-only filter (dim + day range) routes WITH the filter —
+        // the day-range dashboard shape — and values match the fact
+        def rq() = spark.read.parquet(factDir)
+          .filter(col("event_type") =!= "error" && col("day") >= "2024-01-10")
           .groupBy(col("event_type")).agg(sum("v_us").as("s"))
-        assert(scanPaths(filtered).forall(_.contains("graft_rrw_fact")),
-          "filtered aggregate was routed — conservatism broken")
+          .orderBy("event_type")
+        val ranged = rq()
+        assert(scanPaths(ranged).forall(_.contains("graft_rrw_cube")),
+          "key-only filtered aggregate should route to the cube")
+        val rangedRows = ranged.collect().toSeq
+        RollupRewrite.clear()
+        assert(rq().collect().toSeq == rangedRows,
+          "routed day-range answer diverges from the fact table")
+        RollupRewrite.register(spark, factDir, cubeDir, shape)
+        // a MEASURE-referencing filter — conservative: must not route
+        val measureFiltered = spark.read.parquet(factDir)
+          .filter(col("v_us") > 0)
+          .groupBy(col("event_type")).agg(sum("v_us").as("s"))
+        assert(scanPaths(measureFiltered).forall(_.contains("graft_rrw_fact")),
+          "measure-filtered aggregate was routed — unsound")
         // a DERIVED column shadowing a measure name — routing it to the
         // raw partials would silently halve/double values (review r10)
         val shadowed = spark.read.parquet(factDir)
