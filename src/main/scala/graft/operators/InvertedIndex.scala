@@ -123,6 +123,11 @@ object InvertedIndex {
     }
     StoreManifest.commit(spark, dir, cur + 1,
       (live :+ s"seg=$seg").sorted.map("seg\t" + _)) // THE commit point
+    // appends carry every live segment forward, so expiring old
+    // manifests never orphans a referenced segment — keeps the
+    // manifest count (and with compaction, the whole store) bounded
+    // under an endless stream
+    vacuum(spark, dir)
     true
   }
 

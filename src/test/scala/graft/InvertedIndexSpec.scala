@@ -255,6 +255,43 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("bounded growth: long append+compact stream keeps disk = live + retained segments") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxgrow").toString
+    try {
+      // 12 appended slices with compaction every time the live list
+      // exceeds 3 — the IndexSink loop, run synchronously
+      (0 until 12).foreach { i =>
+        InvertedIndex.append(docs.filter(col("doc_id") % 12 === i), dir, s"b$i")
+        if (InvertedIndex.segments(spark, dir).size > 3)
+          InvertedIndex.compact(spark, dir)
+      }
+      val live = InvertedIndex.segments(spark, dir)
+      assert(live.size <= 4, s"live segments unbounded: $live")
+      // disk = segments referenced by the <= 2 retained manifests
+      val versions = graft.operators.StoreManifest.versions(spark, dir)
+      assert(versions.size <= 2, s"manifests grow with stream age: $versions")
+      val referenced = versions.flatMap(v =>
+        graft.operators.StoreManifest.read(spark, dir, v, "seg")).toSet
+      val onDisk = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      assert(onDisk == referenced,
+        s"unreferenced segments accumulating: ${onDisk -- referenced}")
+      // content still equals a fresh full build
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      val full = java.nio.file.Files.createTempDirectory("graft_idxgrow_full").toString
+      try {
+        InvertedIndex.write(InvertedIndex.build(docs), full)
+        def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(res(dir) == res(full))
+      } finally Fs.rmTree(full)
+    } finally Fs.rmTree(dir)
+  }
+
   test("persisted search == in-memory recomputation on real documents; prune proven") {
     val docs = Tables.t(spark, sfDir, "documents")
     val idx = InvertedIndex.build(docs)

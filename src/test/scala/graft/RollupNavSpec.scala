@@ -226,6 +226,44 @@ class RollupNavSpec extends SparkSpec {
     } finally { Fs.rmTree(dir); Fs.rmTree(truthDir) }
   }
 
+  test("bounded growth: 30 maintenance batches leave <= 2 manifests and only referenced files") {
+    val dir = tmp()
+    try {
+      RollupNav.materialize(base.filter(lit(false)), shape, dir) // empty cube
+      val days = base.select(col("day").cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(days.length == 30)
+      days.zipWithIndex.foreach { case (d, i) =>
+        RollupNav.maintain(spark, dir, shape,
+          base.filter(col("day") === d), Some(i.toLong))
+      }
+      // manifests: vacuum(retain=2) bounds the version count forever
+      val manifests = new java.io.File(dir, "_graft_manifest").listFiles()
+        .map(_.getName).filter(_.endsWith(".manifest"))
+      assert(manifests.length <= 2,
+        s"manifest count grows with stream age: ${manifests.length}")
+      // data files on disk = union of the retained manifests' references
+      // (no orphan accumulation across 30 commits)
+      val versions = graft.operators.StoreManifest.versions(spark, dir)
+      val referenced = versions.flatMap(v =>
+        graft.operators.StoreManifest.read(spark, dir, v, "file")).toSet
+      val onDisk = new java.io.File(dir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("day="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}")).toSet
+      assert(onDisk == referenced,
+        s"unreferenced data accumulating: ${(onDisk -- referenced).take(5)}")
+      // and the 30-batch stream equals the one-shot materialize
+      val truthDir = tmp()
+      try {
+        RollupNav.materialize(base, shape, truthDir)
+        val inc = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        val truth = RollupNav.answer(spark, truthDir, shape, Seq("event_type"), "day").get
+        assert(inc.exceptAll(truth).isEmpty && truth.exceptAll(inc).isEmpty)
+      } finally Fs.rmTree(truthDir)
+    } finally Fs.rmTree(dir)
+  }
+
   test("day-ranged answer prunes the rollup store at the directory level") {
     val dir = tmp()
     try {
