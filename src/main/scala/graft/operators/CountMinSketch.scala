@@ -159,7 +159,13 @@ object CountMinSketch {
           (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
     }.reduce(least(_, _))
-    when(tA > 0 && tB > lit(Long.MaxValue) / tA,
+    // exact integer bound via DECIMAL(38,0) — `/` on longs is DOUBLE
+    // division and Long.MaxValue rounds UP to 2^63 as a double, which
+    // let a boundary case pass here that the driver form rejects
+    // (review r10); tA·tB ≤ (2^63)² < 10^38 fits decimal exactly
+    val overflow = tA.cast("decimal(19,0)") * tB.cast("decimal(19,0)") >
+      lit(Long.MaxValue).cast("decimal(19,0)")
+    when(overflow,
       raise_error(lit("sketch totals overflow the Long inner product — " +
         "shard the stream into smaller (e.g. daily) sketches")))
       .otherwise(est)

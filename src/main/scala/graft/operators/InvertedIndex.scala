@@ -58,6 +58,12 @@ object InvertedIndex {
     // of version N keep resolving it, and a crash here must not destroy
     // committed data) — it becomes unreferenced and vacuum sweeps it
     val segName = if (next == 0) "seg=base" else s"seg=r$next"
+    // a caller-named append segment could collide with the generated
+    // name — NEVER rmTree a segment any retained manifest references
+    // (the pre-commit-delete invariant; review r10)
+    require(!referencedSegs(spark, dir).contains(segName),
+      s"segment name $segName is referenced by a retained manifest — " +
+        "rename the conflicting appended segment or vacuum first")
     val segDir = new java.io.File(dir, segName)
     graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
     val tmp = new java.io.File(dir, s".tmp_$segName")
@@ -161,6 +167,9 @@ object InvertedIndex {
       .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
         sum("tf").as("tf"))
     val segName = s"seg=c$next"
+    require(!referencedSegs(spark, dir).contains(segName), // see write()
+      s"segment name $segName is referenced by a retained manifest — " +
+        "rename the conflicting appended segment or vacuum first")
     val segDir = new java.io.File(dir, segName)
     graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
     val tmp = new java.io.File(dir, s".tmp_$segName")
@@ -171,6 +180,13 @@ object InvertedIndex {
     vacuum(spark, dir, retainVersions)
     live.size
   }
+
+  /** Segment names referenced by ANY retained manifest — the set whose
+    * members must never be deleted or overwritten pre-commit.
+    */
+  private def referencedSegs(spark: SparkSession, dir: String): Set[String] =
+    StoreManifest.versions(spark, dir)
+      .flatMap(v => StoreManifest.read(spark, dir, v, "seg")).toSet
 
   /** Expire manifests beyond the newest `retain` versions and delete
     * segment dirs no surviving manifest references.

@@ -145,10 +145,17 @@ object RollupNav {
     // as empty would commit a manifest omitting all history and the
     // trailing vacuum would DELETE the legacy files (review-pass r10)
     if (cur < 0) {
+      // v<N>- prefixed files are stageAndMove output — on a manifest-less
+      // dir they can only be orphans of a crashed, never-committed
+      // bootstrap batch, NOT legacy history; adopting them would
+      // double-count the replayed batch (review r10). True pre-manifest
+      // layouts carry Spark's own part-*.parquet names.
+      val staged = """v\d+-.*""".r
       val legacy = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName.startsWith("day="))
         .flatMap(d => Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !staged.matches(f.getName))
           .map(f => s"${d.getName}/${f.getName}"))
       if (legacy.nonEmpty) {
         val schema = spark.read.parquet(dir)

@@ -150,13 +150,33 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, reg: Reg,
                       shape: Shape): Option[LogicalPlan] = {
     val aliases = shape.aliases
+    // CHEAP bails before any store IO: a GLOBAL aggregate must not
+    // route (count over an empty cube: sum(n_rows)=NULL ≠ 0), and an
+    // obviously non-routable aggregate list (AVG, DISTINCT, FILTER,
+    // functions other than COUNT/SUM/MIN/MAX) shouldn't pay a manifest
+    // read per optimization pass — .count() over a registered fact
+    // stays free
+    if (agg.groupingExpressions.isEmpty) return None
+    val cheapOk = agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case _: Count | _: Sum | _: Min | _: Max => true
+          case _                                   => false
+        })
+      case _ => true // grouping outputs — judged in the full pass below
+    }
+    if (!cheapOk) return None
     // resolve the cube's CURRENT committed version (manifest read —
-    // metadata-sized, and only on an actually-routed aggregate); fresh
-    // relation instance per rewrite keeps exprIds self-join-safe
-    val cube = RollupNav.readStore(SparkSession.active, reg.cubeDir)
-      .queryExecution.analyzed.transformUp {
-        case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
-      }
+    // metadata-sized, and only on a plausibly-routed aggregate); a
+    // missing/unreadable cube falls back to the fact scan instead of
+    // failing the user's query from inside the optimizer. Fresh
+    // relation instance per rewrite keeps exprIds self-join-safe.
+    val cube = try {
+      RollupNav.readStore(SparkSession.active, reg.cubeDir)
+        .queryExecution.analyzed.transformUp {
+          case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+        }
+    } catch { case scala.util.control.NonFatal(_) => return None }
     val cubeAttr: Map[String, Attribute] = cube.output.map(a => a.name -> a).toMap
     val dims = reg.rollup.dims.toSet
     val measures = reg.rollup.measures.toSet
@@ -171,10 +191,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if aliases.contains(a.exprId) =>
         mapKeyExpr(aliases(a.exprId))
       case a: AttributeReference if dims.contains(a.name) => cubeAttr.get(a.name)
-      case a: AttributeReference if a.name == "day" =>
+      case a: AttributeReference if a.name == "day" && a.dataType == DateType =>
         // cube stores day as the STRING partition value; yyyy-MM-dd casts
-        // back to the fact's DATE exactly
+        // back to the fact's DATE exactly. The type check matters: a fact
+        // whose day column is STRING would need a different (identity)
+        // mapping — bail rather than build a type-incoherent predicate
         cubeAttr.get("day").map(Cast(_, DateType))
+      case a: AttributeReference
+        if a.name == "day" && a.dataType == org.apache.spark.sql.types.StringType =>
+        cubeAttr.get("day") // string fact day ≡ the cube's partition value
       case _: AttributeReference => None // measure / unknown column
       case e if !e.deterministic => None
       case e if e.children.isEmpty => Some(e) // literals
@@ -213,10 +238,6 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
     }
 
-    // a GLOBAL aggregate must not route: count(*) over an empty cube
-    // would become sum(n_rows) = NULL where count = 0 — the one case
-    // where the partial re-aggregation is not value-identical
-    if (agg.groupingExpressions.isEmpty) return None
     val newGrouping = agg.groupingExpressions.map(grouping)
     if (newGrouping.exists(_.isEmpty)) return None
     val groupMap: Map[Expression, Expression] =

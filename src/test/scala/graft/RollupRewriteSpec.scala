@@ -88,14 +88,18 @@ class RollupRewriteSpec extends SparkSpec {
           "measure-filtered aggregate was routed — unsound")
         // a DERIVED column shadowing a measure name — routing it to the
         // raw partials would silently halve/double values (review r10)
-        val shadowed = spark.read.parquet(factDir)
+        def shadowQ() = spark.read.parquet(factDir)
           .withColumn("v_us", col("v_us") * 2)
           .groupBy(col("event_type")).agg(sum("v_us").as("s"))
+          .orderBy("event_type")
+        val shadowed = shadowQ()
         assert(scanPaths(shadowed).forall(_.contains("graft_rrw_fact")),
           "alias-shadowed measure was routed — unsound")
-        val truthShadow = shadowed.collect().toSeq
+        val gotShadow = shadowed.collect().toSeq
+        RollupRewrite.clear() // routing OFF: the ground truth
+        assert(shadowQ().collect().toSeq == gotShadow,
+          "rule-installed shadowed aggregate diverges from ground truth")
         RollupRewrite.register(spark, factDir, cubeDir, shape)
-        assert(shadowed.collect().toSeq == truthShadow)
         // a GLOBAL aggregate — sum(n_rows) over an empty cube would be
         // NULL where count(*) must be 0: must not route
         val global = spark.read.parquet(factDir).agg(count(lit(1)).as("n"))
