@@ -133,6 +133,26 @@ object JoinQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // sketch-planned join (operators.JoinPlanner): NO hand hint — the
+    // strategy comes from per-side (rows, bytes, CMS-over-key) stats,
+    // here broadcasting the orders build side. The oracle is the PLAIN
+    // join: whatever the ladder picks must be semantics-preserving.
+    // JoinPlannerSpec pins the strategy choices (incl. the CMS blowup
+    // veto flipping SHUFFLE_HASH → SMJ on size-identical inputs).
+    "q_join_auto_planned" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.operators.JoinPlanner.autoJoin(l, o, Seq("k"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("qty")).cast("decimal(18,2)").cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // skew-salted shuffle join: the fact side tags a deterministic
     // content-derived salt (l_orderkey % 8 — retry-safe, no rand()), the
     // dim side replicates once per salt via explode, and the join key
@@ -237,6 +257,15 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the PLAIN join — the sketch-planned strategy must preserve it
+    "q_join_auto_planned" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_join_bloom_reduce" ->
       """SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

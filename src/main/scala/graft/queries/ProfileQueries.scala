@@ -101,10 +101,49 @@ object ProfileQueries extends QueryPack {
         .crossJoin(est)
         .select(col("exact_rows"), col("est_rows"),
           (col("est_rows") - col("exact_rows")).as("overestimate"))
+    }),
+
+    // ANALYZE → catalog (operators.Analyze): the real `ANALYZE TABLE …
+    // FOR COLUMNS` runs against the nation parquet and the emitted
+    // metrics come BACK OUT of the catalog (DESCRIBE EXTENDED), where
+    // CostBasedJoinReorder reads them — hash-proving the stats pipeline
+    // end to end (ndv is HLL++-based but exact at dim cardinalities;
+    // CboSpec proves the join-reorder consumption separately).
+    "q_profile_analyze" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Analyze.table(s, "graft_stats_nation",
+        s"$dir/nation.parquet", Seq("n_nationkey", "n_regionkey"))
+      val rows = Seq("n_nationkey", "n_regionkey").map { c =>
+        val kv = s.sql(s"DESCRIBE EXTENDED graft_stats_nation $c").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        (c, kv("distinct_count").toLong, kv("min").toLong,
+          kv("max").toLong, kv("num_nulls").toLong)
+      }
+      s.sql("DROP TABLE IF EXISTS graft_stats_nation")
+      rows.toDF("col_name", "distinct_count", "min_val", "max_val", "num_nulls")
+        .orderBy("col_name")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // catalog stats must equal direct recomputation over the table
+    "q_profile_analyze" ->
+      """SELECT 'n_nationkey' AS col_name,
+        |  CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS distinct_count,
+        |  CAST(MIN(n_nationkey) AS BIGINT) AS min_val,
+        |  CAST(MAX(n_nationkey) AS BIGINT) AS max_val,
+        |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS num_nulls
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey',
+        |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+        |  CAST(MIN(n_regionkey) AS BIGINT),
+        |  CAST(MAX(n_regionkey) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM nation
+        |ORDER BY col_name""".stripMargin,
+
     "q_profile_observe" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(value) AS BIGINT) AS n_nonnull,
