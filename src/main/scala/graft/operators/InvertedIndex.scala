@@ -57,21 +57,33 @@ object InvertedIndex {
     // base segment must survive until the new manifest commits (readers
     // of version N keep resolving it, and a crash here must not destroy
     // committed data) — it becomes unreferenced and vacuum sweeps it
-    val segName = if (next == 0) "seg=base" else s"seg=r$next"
-    // a caller-named append segment could collide with the generated
-    // name — NEVER rmTree a segment any retained manifest references
-    // (the pre-commit-delete invariant; review r10)
-    require(!referencedSegs(spark, dir).contains(segName),
-      s"segment name $segName is referenced by a retained manifest — " +
-        "rename the conflicting appended segment or vacuum first")
+    // pick a name that neither any retained manifest references NOR
+    // exists on disk: an existing-but-unreferenced dir might be a
+    // crashed APPEND's complete data awaiting its replay — deleting or
+    // overwriting it would lose that batch (review r10). Our own
+    // crashed attempts stay untouched too and vacuum sweeps them once
+    // unreferenced.
+    val segName = freshSegName(spark, dir,
+      i => if (i == 0) "seg=base" else s"seg=r$i", next)
     val segDir = new java.io.File(dir, segName)
-    graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
     val tmp = new java.io.File(dir, s".tmp_$segName")
     graft.Fs.rmTree(tmp.toString)
     writeSegment(index, tmp.toString, buckets)
     graft.Fs.atomicMove(tmp.toString, segDir.toString)
     StoreManifest.commit(spark, dir, next, Seq(s"seg\t$segName")) // THE commit point
     if (next > 0) vacuum(spark, dir)
+  }
+
+  /** First generated segment name (index ≥ `from`) that no retained
+    * manifest references and that has no dir on disk — the
+    * never-delete-before-commit discipline for generated names.
+    */
+  private def freshSegName(spark: SparkSession, dir: String,
+                           name: Long => String, from: Long): String = {
+    val referenced = referencedSegs(spark, dir)
+    Iterator.iterate(from)(_ + 1).map(name)
+      .find(n => !referenced(n) && !new java.io.File(dir, n).exists())
+      .get
   }
 
   private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit =
@@ -166,12 +178,8 @@ object InvertedIndex {
       .groupBy("term", "doc_id")
       .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
         sum("tf").as("tf"))
-    val segName = s"seg=c$next"
-    require(!referencedSegs(spark, dir).contains(segName), // see write()
-      s"segment name $segName is referenced by a retained manifest — " +
-        "rename the conflicting appended segment or vacuum first")
+    val segName = freshSegName(spark, dir, i => s"seg=c$i", next) // see write()
     val segDir = new java.io.File(dir, segName)
-    graft.Fs.rmTree(segDir.toString) // unreferenced leftover of a crashed attempt
     val tmp = new java.io.File(dir, s".tmp_$segName")
     graft.Fs.rmTree(tmp.toString)
     writeSegment(merged, tmp.toString, buckets)
@@ -189,7 +197,11 @@ object InvertedIndex {
       .flatMap(v => StoreManifest.read(spark, dir, v, "seg")).toSet
 
   /** Expire manifests beyond the newest `retain` versions and delete
-    * segment dirs no surviving manifest references.
+    * segment dirs no surviving manifest references. Single-writer,
+    * replay-first (the store-wide contract): a crashed append's
+    * complete-but-uncommitted segment is also unreferenced, and only
+    * the guarantee that the append REPLAYS before any other writer
+    * acts keeps it from being swept here first.
     */
   def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
     if (StoreManifest.currentVersion(spark, dir) < 0) return 0L

@@ -145,18 +145,29 @@ object RollupNav {
     // as empty would commit a manifest omitting all history and the
     // trailing vacuum would DELETE the legacy files (review-pass r10)
     if (cur < 0) {
-      // v<N>- prefixed files are stageAndMove output — on a manifest-less
-      // dir they can only be orphans of a crashed, never-committed
-      // bootstrap batch, NOT legacy history; adopting them would
-      // double-count the replayed batch (review r10). True pre-manifest
-      // layouts carry Spark's own part-*.parquet names.
-      val staged = """v\d+-.*""".r
-      val legacy = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      // v0- prefixed files on a manifest-less dir can only be orphans
+      // of a crashed, never-committed BOOTSTRAP batch (bootstrap is the
+      // sole writer that stages at version 0), NOT legacy history —
+      // adopting them would double-count the replayed batch (review
+      // r10). v1+- files here mean the manifest dir was lost/stripped:
+      // we cannot know which files the lost manifest referenced, so
+      // REFUSE loudly rather than commit a guess and let vacuum delete
+      // the rest (second review pass). True pre-manifest layouts carry
+      // Spark's own part-*.parquet names.
+      val crashedBootstrap = """v0-.*""".r
+      val strippedManifest = """v[1-9]\d*-.*""".r
+      val all = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName.startsWith("day="))
         .flatMap(d => Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-            !staged.matches(f.getName))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(f => s"${d.getName}/${f.getName}"))
+      require(!all.exists(f =>
+        strippedManifest.matches(f.substring(f.indexOf('/') + 1))),
+        s"cube at $dir holds versioned data files but no manifest — the " +
+          "manifest dir was lost; restore it (or rebuild with materialize) " +
+          "instead of adopting an unknowable file set")
+      val legacy = all.filterNot(f =>
+        crashedBootstrap.matches(f.substring(f.indexOf('/') + 1)))
       if (legacy.nonEmpty) {
         val schema = spark.read.parquet(dir)
           .withColumn("day", col("day").cast("string")).schema

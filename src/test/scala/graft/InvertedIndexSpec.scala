@@ -188,6 +188,46 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("rebuild never claims a crashed append's segment name; the replayed batch survives") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxclaim").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(old), dir) // v0: seg=base
+      // a crashed append whose caller-chosen name collides with the
+      // rebuild's generated one: data renamed in, manifest never committed
+      val tmp = new java.io.File(dir, ".tmp_seg_r1")
+      InvertedIndex.build(fresh)
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(32L)))
+        .repartition(col("bucket")).sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bucket").parquet(tmp.toString)
+      Fs.atomicMove(tmp.toString, new java.io.File(dir, "seg=r1").toString)
+      // an in-place rebuild interleaves BEFORE the replay: claiming
+      // seg=r1 would make the replay see its name committed and no-op —
+      // the appended batch would be silently lost forever
+      InvertedIndex.write(InvertedIndex.build(old), dir)
+      assert(InvertedIndex.segments(spark, dir) == Seq("seg=r2"),
+        "rebuild claimed the crashed append's segment name")
+      // the replay re-applies the batch (restaging from source if the
+      // rebuild's vacuum already swept the unreferenced orphan)
+      assert(InvertedIndex.append(fresh, dir, "r1"),
+        "replay of the crashed append no-opped — its batch is lost")
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      val full = java.nio.file.Files.createTempDirectory("graft_idxclaim_full").toString
+      try {
+        InvertedIndex.write(InvertedIndex.build(docs), full)
+        def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(res(dir) == res(full),
+          "rebuild + replayed append diverges from a full rebuild")
+      } finally Fs.rmTree(full)
+    } finally Fs.rmTree(dir)
+  }
+
   test("IndexSink bounds segment count: compaction keeps fan-in <= maxSegments") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -226,6 +226,49 @@ class RollupNavSpec extends SparkSpec {
     } finally { Fs.rmTree(dir); Fs.rmTree(truthDir) }
   }
 
+  test("manifest-less versioned files: crashed bootstrap replays clean; stripped manifest refuses") {
+    // crashed bootstrap: v0- files staged on a manifest-less dir are
+    // orphans of the batch about to replay — adopting them as legacy
+    // history would double-count it (and reading this junk file would
+    // fail loudly, proving adoption never ran)
+    val dir = tmp()
+    try {
+      val batch = base.filter(col("day") < "2024-01-10")
+      val day = new java.io.File(dir, "day=2024-01-01")
+      day.mkdirs()
+      val orphan = new java.io.File(day, "v0-crashed.parquet")
+      java.nio.file.Files.writeString(orphan.toPath, "not parquet")
+      RollupNav.maintain(spark, dir, shape, batch, Some(0L))
+      assert(!orphan.exists(), "vacuum left the crashed bootstrap's orphan")
+      val truthDir = tmp()
+      try {
+        RollupNav.materialize(batch, shape, truthDir)
+        val got = RollupNav.answer(spark, dir, shape, Seq("event_type"), "day").get
+        val truth = RollupNav.answer(spark, truthDir, shape, Seq("event_type"), "day").get
+        assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+          "crashed-bootstrap replay double-counted or lost rows")
+      } finally Fs.rmTree(truthDir)
+    } finally Fs.rmTree(dir)
+
+    // stripped manifest: v1+ files prove a manifest once committed them —
+    // the lost manifest's file set is unknowable, so maintain must refuse
+    // rather than adopt a guess and let vacuum delete the rest
+    val dir2 = tmp()
+    try {
+      RollupNav.materialize(base.filter(col("day") < "2024-01-10"), shape, dir2)
+      RollupNav.maintain(spark, dir2, shape,
+        base.filter(col("day").between("2024-01-10", "2024-01-11")), Some(1L))
+      Fs.rmTree(new java.io.File(dir2,
+        graft.operators.StoreManifest.ManifestDir).toString)
+      val e = intercept[IllegalArgumentException] {
+        RollupNav.maintain(spark, dir2, shape,
+          base.filter(col("day") >= "2024-01-12"), Some(2L))
+      }
+      assert(e.getMessage.contains("manifest"),
+        s"refusal must name the lost manifest: ${e.getMessage}")
+    } finally Fs.rmTree(dir2)
+  }
+
   test("bounded growth: 30 maintenance batches leave <= 2 manifests and only referenced files") {
     val dir = tmp()
     try {
