@@ -86,11 +86,18 @@ object InvertedIndex {
       .get
   }
 
-  private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit =
+  private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit = {
     index.withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(segDir)
+    // per-doc token counts (the BM25 length normalizer), derived from
+    // the same postings and co-committed by the segment's one rename.
+    // The underscore prefix hides the dir from posting-scan file
+    // discovery, so phrase search never reads it.
+    index.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$segDir/_doclen")
+  }
 
   /** Live segment dirs of the current committed version (empty for a
     * dir that was never written). Falls back to directory listing for a
@@ -149,20 +156,25 @@ object InvertedIndex {
     true
   }
 
-  /** Fold the current version's segments into ONE (the Lucene-style
-    * merge that keeps streaming lookup fan-in bounded): read every live
-    * segment's postings, re-aggregate (term, doc_id) → merged
-    * positions, write one new segment, and flip the manifest pointer to
-    * it — readers on version N keep their own segment list while (and
-    * after) version N+1 commits, so search never sees a posting twice
-    * or a term missing. Old segments become unreferenced once the
-    * retention window passes and are swept here ([[vacuum]] semantics,
+  /** SIZE-TIERED segment merge (the Lucene-style policy that keeps
+    * streaming lookup fan-in bounded WITHOUT unbounded write
+    * amplification): fold only the SMALLEST `live − targetSegs + 1`
+    * segments into one new segment, carrying the largest
+    * `targetSegs − 1` forward untouched — so the big, old segments stop
+    * being rewritten once they graduate out of the merge pool, and the
+    * bytes a document is rewritten is O(log corpus), not O(merges).
+    * (`targetSegs = 1` degenerates to a full fold — the one-shot
+    * "optimize".) One manifest flip commits kept + merged: readers on
+    * version N keep their own segment list while (and after) version
+    * N+1 commits, so search never sees a posting twice or a term
+    * missing. Old segments become unreferenced once the retention
+    * window passes and are swept here ([[vacuum]] semantics,
     * `retainVersions` like the snapshot store).
     *
-    * Cost is one shuffle of the index (the same class as a fresh
-    * build) — amortized by running it every `targetSegs` appends, which
-    * [[graft.streaming.IndexSink]] does automatically. Returns the
-    * number of segments merged (0 = below threshold, a no-op).
+    * Sound because appends carry disjoint doc_ids (the [[append]]
+    * precondition), so a (term, doc_id) posting lives in exactly one
+    * segment and any SUBSET of segments can merge independently.
+    * Returns the number of segments merged (0 = at/below target).
     */
   def compact(spark: SparkSession, dir: String, buckets: Int = 32,
               targetSegs: Int = 1, retainVersions: Int = 2): Int = {
@@ -173,8 +185,12 @@ object InvertedIndex {
         .map(_.getName).filter(_.startsWith("seg="))
     if (live.size <= targetSegs) return 0
     val next = cur + 1
+    // smallest first (name tiebreak keeps the pick deterministic)
+    val bySize = live.sortBy(s => (segBytes(new java.io.File(dir, s)), s))
+    val toMerge = bySize.take(live.size - targetSegs + 1)
+    val kept = bySize.drop(live.size - targetSegs + 1)
     val merged = spark.read.option("basePath", dir)
-      .parquet(live.map(s => s"$dir/$s"): _*)
+      .parquet(toMerge.map(s => s"$dir/$s"): _*)
       .groupBy("term", "doc_id")
       .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
         sum("tf").as("tf"))
@@ -184,10 +200,19 @@ object InvertedIndex {
     graft.Fs.rmTree(tmp.toString)
     writeSegment(merged, tmp.toString, buckets)
     graft.Fs.atomicMove(tmp.toString, segDir.toString)
-    StoreManifest.commit(spark, dir, next, Seq(s"seg\t$segName")) // THE commit point
+    StoreManifest.commit(spark, dir, next, // THE commit point
+      (kept :+ segName).sorted.map("seg\t" + _))
     vacuum(spark, dir, retainVersions)
-    live.size
+    toMerge.size
   }
+
+  /** Recursive on-disk size of a segment (driver-side metadata walk —
+    * local-FS form of the FileSystem.getContentSummary an HDFS port
+    * would use).
+    */
+  private def segBytes(d: java.io.File): Long =
+    Option(d.listFiles()).toSeq.flatten
+      .map(f => if (f.isDirectory) segBytes(f) else f.length()).sum
 
   /** Segment names referenced by ANY retained manifest — the set whose
     * members must never be deleted or overwritten pre-commit.
@@ -239,6 +264,58 @@ object InvertedIndex {
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
   }
+
+  /** Per-doc token counts (doc_id, dl) of the current version — the
+    * union of the live segments' co-committed `_doclen` tables. Exact
+    * because a doc's postings live in exactly ONE segment (the append
+    * precondition), so no re-aggregation is needed. Requires a store
+    * written by a `_doclen`-aware version; legacy dirs lack the aux.
+    */
+  def docLengths(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(spark, dir)
+    require(segs.nonEmpty, s"no live segments under $dir")
+    spark.read.parquet(segs.map(s => s"$dir/$s/_doclen"): _*)
+  }
+
+  /** The BM25 per-(term, doc) score term over columns
+    * (tf, df, dl, n_docs, tot_dl), k1 = 1.2, b = 0.75, as ONE textual
+    * SQL expression — the DuckDB oracle embeds the identical text, so
+    * both engines execute the same IEEE operation sequence and the
+    * 6-dp-rounded sums hash-match (the q_text_perplexity precedent for
+    * ln-based scores).
+    */
+  val Bm25ScoreSql: String =
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+      "(tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))"
+
+  /** BM25 ranked retrieval from posting rows already filtered to the
+    * query's terms: per candidate doc, n_terms matched and the summed
+    * score ROUND(·, 6). df comes from the posting-list lengths (one
+    * tiny per-term aggregate that broadcasts), corpus stats from ONE
+    * aggregate over the doc-length table — so the cost tracks the
+    * query terms' posting lists plus one narrow doc-length scan, never
+    * the corpus text. Output order unspecified; callers sort by the
+    * unique doc_id (never by the rounded double — the tie-flip
+    * doctrine).
+    */
+  def bm25(postings: DataFrame, docLens: DataFrame): DataFrame = {
+    val stats = docLens.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.select("term", "doc_id", "tf")
+      .join(broadcast(df), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(expr(Bm25ScoreSql)), 6).as("bm25"))
+  }
+
+  /** End-to-end: BM25-score a PERSISTED index for query `terms`,
+    * reading only those terms' buckets plus the doc-length aux.
+    */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+                 buckets: Int = 32): DataFrame =
+    bm25(readForTerms(spark, dir, terms, buckets), docLengths(spark, dir))
 
   /** The writer's bucket function, computed locally: xxhash64 of the
     * term string under Spark's default seed, mod `buckets`.

@@ -24,11 +24,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ≤ `buckets` files — cost tracks the STREAM rate, not index size.
   * Segment COUNT stays bounded: once the live list exceeds
   * `maxSegments`, the trigger runs [[InvertedIndex.compact]] — a
-  * Lucene-style merge into one segment behind the same manifest flip,
-  * so lookup fan-in is O(maxSegments) forever instead of one segment
-  * per trigger for the stream's lifetime (the r9 verdict's one genuine
-  * scale defect). Compaction cost is one index-sized shuffle amortized
-  * over `maxSegments` triggers; readers racing it resolve the
+  * Lucene-style SIZE-TIERED merge (fold the smallest segments down to
+  * half the cap, carry the largest forward untouched) behind the same
+  * manifest flip, so lookup fan-in is O(maxSegments) forever instead
+  * of one segment per trigger for the stream's lifetime (the r9
+  * verdict's one genuine scale defect), while a long-lived stream's
+  * big, old segments stop being rewritten — merge cost tracks the
+  * RECENT segments, not index size, so write amplification per
+  * document stays O(log corpus). Readers racing a merge resolve the
   * pre-compact manifest and never double-count.
   */
 object IndexSink {
@@ -43,7 +46,8 @@ object IndexSink {
         if (!batch.isEmpty) {
           InvertedIndex.append(batch, dir, s"b$batchId", buckets)
           if (InvertedIndex.segments(batch.sparkSession, dir).size > maxSegments)
-            InvertedIndex.compact(batch.sparkSession, dir, buckets)
+            InvertedIndex.compact(batch.sparkSession, dir, buckets,
+              targetSegs = math.max(1, maxSegments / 2))
         }
         ()
       }

@@ -262,6 +262,91 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { Fs.rmTree(dir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
+  test("tiered compaction: smallest segments fold; the largest segment's files are not rewritten") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxtier").toString
+    try {
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 10 < 7), dir, "big"))
+      (7 to 9).foreach { i =>
+        assert(InvertedIndex.append(docs.filter(col("doc_id") % 10 === i), dir, s"s$i"))
+      }
+      def filesOf(seg: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(dir, seg))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val bigBefore = filesOf("seg=big")
+      // 4 live, target 2: the 3 smallest (the s* slices) fold into one;
+      // the big segment graduates out of the merge pool untouched —
+      // write amplification must not track index size
+      assert(InvertedIndex.compact(spark, dir, targetSegs = 2) == 3)
+      val live = InvertedIndex.segments(spark, dir)
+      assert(live.size == 2 && live.contains("seg=big"),
+        s"tiered merge rewrote the large segment: $live")
+      assert(filesOf("seg=big") == bigBefore,
+        "the kept segment's files were rewritten or touched")
+      // at/below target: no-op
+      assert(InvertedIndex.compact(spark, dir, targetSegs = 2) == 0)
+      // search parity with a full rebuild
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      val full = java.nio.file.Files.createTempDirectory("graft_idxtier_full").toString
+      try {
+        InvertedIndex.write(InvertedIndex.build(docs), full)
+        def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(res(dir) == res(full), "tiered compaction changed search results")
+      } finally Fs.rmTree(full)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("bm25: hand-checked scores; persisted retrieval == in-memory formula") {
+    import spark.implicits._
+    // hand corpus, query {a, b}: N=4, dl = (6,3,3,2), df(a)=4, df(b)=3
+    val idx = InvertedIndex.build(handCorpus)
+    val dls = idx.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val got = InvertedIndex.bm25(idx.filter(col("term").isin("a", "b")), dls)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def s(tf: Long, df: Long, dl: Long): Double = // Bm25ScoreSql, same op order
+      math.log(1.0 + (4L - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (14L.toDouble / 4L)))
+    val exp = Map(
+      1L -> (2L, s(2, 4, 6) + s(2, 3, 6)),
+      2L -> (1L, s(3, 4, 3)),
+      3L -> (2L, s(1, 4, 3) + s(1, 3, 3)),
+      4L -> (2L, s(1, 4, 2) + s(1, 3, 2)))
+    assert(got.keySet == exp.keySet, s"candidate set wrong: ${got.keySet}")
+    exp.foreach { case (d, (n, sc)) =>
+      assert(got(d)._1 == n, s"doc $d matched-term count")
+      assert(math.abs(got(d)._2 - sc) < 2e-6,
+        s"doc $d score ${got(d)._2} != expected $sc")
+    }
+    // persisted path (pruned buckets + _doclen aux) == in-memory formula
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxbm25").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val full = InvertedIndex.build(docs).localCheckpoint()
+      val direct = InvertedIndex.bm25(
+          full.filter(col("term").isin(terms: _*)),
+          full.groupBy("doc_id").agg(sum("tf").as("dl")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val stored = InvertedIndex.searchBm25(spark, dir, terms)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(stored.keySet == direct.keySet && stored.nonEmpty)
+      direct.foreach { case (d, (n, sc)) =>
+        assert(stored(d)._1 == n, s"doc $d matched-term count diverges")
+        assert(math.abs(stored(d)._2 - sc) < 2e-6,
+          s"doc $d: stored ${stored(d)._2} != direct $sc")
+      }
+    } finally Fs.rmTree(dir)
+  }
+
   test("in-place rebuild: committed data survives; old version stays readable until vacuum") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
