@@ -109,6 +109,19 @@ class InvertedIndexSpec extends SparkSpec {
       val (streamed, full) = (res(streamDir), res(fullDir))
       assert(streamed == full, "streamed index search != batch rebuild")
       assert(streamed.nonEmpty)
+      // the _doclen aux rides every streamed segment's commit too: BM25
+      // off the stream-built store == off a batch build (2e-6: the
+      // per-term scores are bit-identical, only the ≤|terms|-summand
+      // per-doc sum order may differ between stores)
+      def bm(dir: String) = InvertedIndex.searchBm25(spark, dir, toks.distinct)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val (sb, fb) = (bm(streamDir), bm(fullDir))
+      assert(sb.keySet == fb.keySet && sb.nonEmpty)
+      fb.foreach { case (d, (n, sc)) =>
+        assert(sb(d)._1 == n, s"doc $d matched-term count diverges streamed-vs-batch")
+        assert(math.abs(sb(d)._2 - sc) < 2e-6,
+          s"doc $d: streamed bm25 ${sb(d)._2} != batch $sc")
+      }
     } finally { Fs.rmTree(streamDir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
@@ -300,6 +313,12 @@ class InvertedIndexSpec extends SparkSpec {
         def res(d: String) = InvertedIndex.searchPhrase(spark, d, toks)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(res(dir) == res(full), "tiered compaction changed search results")
+        // doc lengths survive the merge: the folded segment's _doclen is
+        // re-derived from its merged postings, kept segments keep theirs
+        def dls(d: String) = InvertedIndex.docLengths(spark, d)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dls(dir) == dls(full),
+          "doc-length aux diverges from a fresh build after tiered merge")
       } finally Fs.rmTree(full)
     } finally Fs.rmTree(dir)
   }
