@@ -1076,6 +1076,51 @@ object OperatorQueries extends QueryPack {
         |WHERE o_orderkey % 9 <> 0
         |ORDER BY version""".stripMargin,
 
+    // CDC class counts re-derived from the merge recipe: deletes are
+    // the %30 tombstones, inserts the +1e6 keys, updates the remaining
+    // %10 rows (price+1 always changes them) — the file-level
+    // symmetric-difference diff must reproduce the logical row diff
+    "s_snapshot_diff" ->
+      """WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 4000)
+        |SELECT 'delete' AS change,
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 30 = 0) AS BIGINT) AS n_rows
+        |UNION ALL SELECT 'insert',
+        |  CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 7 = 0) AS BIGINT)
+        |UNION ALL SELECT 'update',
+        |  CAST((SELECT COUNT(*) FROM s
+        |        WHERE o_orderkey % 10 = 0 AND o_orderkey % 30 <> 0) AS BIGINT)
+        |ORDER BY change""".stripMargin,
+
+    // IVM self-proof metrics re-derived from the same recipe: the CDC
+    // volume is |batch| (every update row genuinely changes — price+1),
+    // group counts are the final state's distinct statuses (including
+    // the %20 'X' moves), and the maintained-vs-recomputed mismatch
+    // count is pinned 0 — the +x/−x decimal fold must be exact
+    "s_agg_ivm" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |                CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |              FROM orders WHERE o_orderkey <= 4000),
+        |upd AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 20 = 0 THEN 'X'
+        |               ELSE o_orderstatus END AS o_orderstatus,
+        |          price + 1 AS price, o_orderkey % 30 = 0 AS del
+        |        FROM base WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 1000000 AS o_orderkey, o_orderstatus,
+        |          price, FALSE AS del FROM base WHERE o_orderkey % 7 = 0),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |final AS (
+        |  SELECT b.o_orderstatus FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |  UNION ALL SELECT o_orderstatus FROM batch WHERE NOT del)
+        |SELECT 'cdc_rows_consumed' AS metric,
+        |  CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS value
+        |UNION ALL SELECT 'groups_maintained',
+        |  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM final) AS BIGINT)
+        |UNION ALL SELECT 'groups_recomputed',
+        |  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM final) AS BIGINT)
+        |UNION ALL SELECT 'value_mismatches', 0
+        |ORDER BY metric""".stripMargin,
+
     // zone-map skip over the month-partitioned layout: file counts =
     // month counts (one file per month by construction), row counts =
     // the exact range filter; mismatch pinned 0

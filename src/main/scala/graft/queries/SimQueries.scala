@@ -110,6 +110,54 @@ object SimQueries extends QueryPack {
         .select(d("doc_id"), d("lang"), d("n_chars"), e("label"))
         .orderBy(col("n_chars").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // HYBRID retrieval, query-by-example on doc 0: keyword top-20
+    // (docs sharing the probe's first-5-token vocabulary, ranked by the
+    // INTEGER triple matched-terms / total-tf / doc_id — rank fusion
+    // doesn't care which keyword scorer supplies the ranks, and the
+    // integer ranking is cross-engine exact where a BM25 ordering would
+    // sit on the float-sum tie boundary) ∪ cosine top-20 (the proven
+    // bitwise graft_dot ≡ list_dot_product kernel), fused by reciprocal
+    // rank: rrf = Σ_side 1/(60 + rank), the Cormack/Clarke/Büttcher
+    // constant. Ranks are small integers so both engines compute
+    // bit-identical doubles in the same textual order; a doc absent
+    // from one side contributes 0 (rank reported as 0). Scale shape:
+    // each side is a bounded top-k (global windows over candidate sets
+    // — at 100 TB swap in GraftTopK.perKey / per-partition pre-top-k),
+    // the fusion join touches ≤ 40 rows.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val probeTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(slice(split(col("text"), " "), 1, 5)).as("term"))
+        .distinct()
+      val kw = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(probeTerms), "term")
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("n_t"), count(lit(1)).as("tf"))
+      val wk = Window.orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
+      val kw20 = kw
+        .withColumn("kw_rank", row_number().over(wk).cast("long"))
+        .filter(col("kw_rank") <= 20)
+        .select("doc_id", "kw_rank")
+      val e = withNorm(s, dir)
+      val p = e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nrm").as("pn"))
+      val wv = Window.orderBy(col("sim_raw").desc, col("doc_id"))
+      val vec20 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(p))
+        .select(col("vec_id").as("doc_id"),
+          (dot("pv", "v") / (col("pn") * col("nrm"))).as("sim_raw"))
+        .withColumn("vec_rank", row_number().over(wv).cast("long"))
+        .filter(col("vec_rank") <= 20)
+        .select("doc_id", "vec_rank")
+      kw20.join(vec20, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          expr("round(coalesce(cast(1 as double) / (60 + kw_rank), cast(0 as double)) + " +
+            "coalesce(cast(1 as double) / (60 + vec_rank), cast(0 as double)), 6)").as("rrf"))
+        .orderBy("doc_id")
     })
   )
 
@@ -168,6 +216,37 @@ object SimQueries extends QueryPack {
       """SELECT d.doc_id, d.lang, d.n_chars, e.label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |WHERE d.lang = 'en' AND e.label IN (0, 1)
-        |ORDER BY d.n_chars DESC, d.doc_id LIMIT 20""".stripMargin
+        |ORDER BY d.n_chars DESC, d.doc_id LIMIT 20""".stripMargin,
+
+    // the rrf expression is textually identical to the Spark side:
+    // ranks are small integers, so both engines produce bit-identical
+    // doubles before the single ROUND
+    "q_hybrid_rrf" ->
+      """WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')[1:5]) AS term
+        |            FROM documents WHERE doc_id = 0),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE doc_id <> 0),
+        |kw AS (SELECT doc_id, COUNT(DISTINCT term) AS n_t, COUNT(*) AS tf
+        |       FROM tok JOIN qt USING (term) GROUP BY 1),
+        |kwr AS (SELECT doc_id, CAST(row_number() OVER
+        |          (ORDER BY n_t DESC, tf DESC, doc_id) AS BIGINT) AS kw_rank FROM kw),
+        |kw20 AS (SELECT doc_id, kw_rank FROM kwr WHERE kw_rank <= 20),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = 0),
+        |sims AS (SELECT c.vec_id AS doc_id,
+        |           list_dot_product(p.pv, c.v) / (p.pn * c.nrm) AS sim_raw
+        |         FROM n c CROSS JOIN p WHERE c.vec_id <> 0),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY sim_raw DESC, doc_id) AS BIGINT) AS vec_rank FROM sims),
+        |v20 AS (SELECT doc_id, vec_rank FROM vr WHERE vec_rank <= 20)
+        |SELECT doc_id,
+        |  COALESCE(kw_rank, 0) AS kw_rank,
+        |  COALESCE(vec_rank, 0) AS vec_rank,
+        |  round(coalesce(cast(1 as double) / (60 + kw_rank), cast(0 as double)) +
+        |        coalesce(cast(1 as double) / (60 + vec_rank), cast(0 as double)), 6) AS rrf
+        |FROM kw20 FULL OUTER JOIN v20 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }
