@@ -268,13 +268,26 @@ object InvertedIndex {
   /** Per-doc token counts (doc_id, dl) of the current version — the
     * union of the live segments' co-committed `_doclen` tables. Exact
     * because a doc's postings live in exactly ONE segment (the append
-    * precondition), so no re-aggregation is needed. Requires a store
-    * written by a `_doclen`-aware version; legacy dirs lack the aux.
+    * precondition), so no re-aggregation is needed. Segments written
+    * before the aux existed (legacy adopts) fall back to deriving
+    * lengths from their own postings — correct but it scans those
+    * segments' full posting lists; the first compaction that folds
+    * them rewrites the aux and retires the fallback.
     */
   def docLengths(spark: SparkSession, dir: String): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"no live segments under $dir")
-    spark.read.parquet(segs.map(s => s"$dir/$s/_doclen"): _*)
+    val (withAux, legacy) =
+      segs.partition(s => new java.io.File(s"$dir/$s/_doclen").exists())
+    val parts =
+      withAux.headOption.map(_ => spark.read
+        .parquet(withAux.map(s => s"$dir/$s/_doclen"): _*)
+        .select("doc_id", "dl")).toSeq ++
+      legacy.headOption.map(_ => spark.read.option("basePath", dir)
+        .parquet(legacy.map(s => s"$dir/$s"): _*)
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+        .select("doc_id", "dl")).toSeq
+    parts.reduce(_ unionByName _)
   }
 
   /** The BM25 per-(term, doc) score term over columns

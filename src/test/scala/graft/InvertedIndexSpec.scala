@@ -366,6 +366,24 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("docLengths: segments stripped of the _doclen aux fall back to their postings") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxdl").toString
+    try {
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 0), dir, "a"))
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), dir, "b"))
+      def dls() = InvertedIndex.docLengths(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val aux = dls()
+      // simulate a pre-aux (legacy-adopted) segment: strip one aux dir
+      Fs.rmTree(s"$dir/seg=a/_doclen")
+      assert(dls() == aux, "postings-derived lengths diverge from the aux")
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      assert(InvertedIndex.searchBm25(spark, dir, terms).collect().nonEmpty)
+    } finally Fs.rmTree(dir)
+  }
+
   test("in-place rebuild: committed data survives; old version stays readable until vacuum") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
