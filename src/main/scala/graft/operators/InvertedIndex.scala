@@ -28,16 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** (term, doc_id, positions ARRAY<INT> sorted, tf) posting rows from a
-    * whitespace-tokenized text column.
+  /** (term, doc_id, dl, positions ARRAY<INT> sorted, tf) posting rows
+    * from a whitespace-tokenized text column. `dl` is the document's
+    * token count, computed BEFORE the explode (free — no extra shuffle;
+    * it rides the (term, doc) group-by as a key that is functionally
+    * dependent on doc_id) and denormalized onto every posting row —
+    * the Lucene norms-inline layout that lets BM25 score candidates
+    * from the pruned posting read alone, with no corpus-sized
+    * doc-length join at query time.
     */
   def build(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .groupBy("term", "doc_id")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id", "dl")
       .agg(sort_array(collect_list("pos")).as("positions"),
         count(lit(1)).as("tf"))
+      .select("term", "doc_id", "positions", "tf", "dl")
 
   /** Persist posting rows as the index's BASE segment and commit
     * manifest version 0 referencing it. Layout is
@@ -87,16 +95,24 @@ object InvertedIndex {
   }
 
   private def writeSegment(index: DataFrame, segDir: String, buckets: Int): Unit = {
+    require(index.columns.contains("dl"),
+      "writeSegment expects dl-bearing postings (the build() schema)")
     index.withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("bucket").mode("overwrite").parquet(segDir)
-    // per-doc token counts (the BM25 length normalizer), derived from
-    // the same postings and co-committed by the segment's one rename.
-    // The underscore prefix hides the dir from posting-scan file
-    // discovery, so phrase search never reads it.
+    // per-doc token counts (the standalone doc-length table backing
+    // [[docLengths]]) plus a ONE-ROW `_stats` (n_docs, tot_dl) summary,
+    // both derived from the same postings and co-committed by the
+    // segment's one rename. The underscore prefix hides them from
+    // posting-scan file discovery, so phrase search never reads them;
+    // BM25 reads dl inline off the posting rows and its corpus stats
+    // from `_stats` — O(segments) at query time, never a corpus scan.
     index.groupBy("doc_id").agg(sum("tf").as("dl"))
       .write.mode("overwrite").parquet(s"$segDir/_doclen")
+    index.sparkSession.read.parquet(s"$segDir/_doclen")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$segDir/_stats")
   }
 
   /** Live segment dirs of the current committed version (empty for a
@@ -189,11 +205,19 @@ object InvertedIndex {
     val bySize = live.sortBy(s => (segBytes(new java.io.File(dir, s)), s))
     val toMerge = bySize.take(live.size - targetSegs + 1)
     val kept = bySize.drop(live.size - targetSegs + 1)
+    // re-derive dl per doc from the merged postings (window by doc_id)
+    // instead of carrying the column through the group-by: uniform for
+    // legacy segments that predate the inline-dl layout, and exact
+    // because a doc's postings are wholly contained in the merged set
+    // (the disjoint-doc append precondition again)
     val merged = spark.read.option("basePath", dir)
       .parquet(toMerge.map(s => s"$dir/$s"): _*)
+      .select("term", "doc_id", "positions", "tf")
       .groupBy("term", "doc_id")
       .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
         sum("tf").as("tf"))
+      .withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val segName = freshSegName(spark, dir, i => s"seg=c$i", next) // see write()
     val segDir = new java.io.File(dir, segName)
     val tmp = new java.io.File(dir, s".tmp_$segName")
@@ -301,22 +325,35 @@ object InvertedIndex {
     "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
       "(tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))"
 
-  /** BM25 ranked retrieval from posting rows already filtered to the
-    * query's terms: per candidate doc, n_terms matched and the summed
-    * score ROUND(·, 6). df comes from the posting-list lengths (one
-    * tiny per-term aggregate that broadcasts), corpus stats from ONE
-    * aggregate over the doc-length table — so the cost tracks the
-    * query terms' posting lists plus one narrow doc-length scan, never
-    * the corpus text. Output order unspecified; callers sort by the
-    * unique doc_id (never by the rounded double — the tie-flip
-    * doctrine).
+  /** One-row (n_docs, tot_dl) corpus summary of the current version —
+    * the union of the live segments' co-committed `_stats` rows (sums
+    * are exact by the disjoint-doc append precondition). O(segments)
+    * tiny files; requires every live segment to carry the aux (the
+    * inline-dl layout) — [[searchBm25]] routes legacy stores through
+    * [[docLengths]] instead.
     */
-  def bm25(postings: DataFrame, docLens: DataFrame): DataFrame = {
-    val stats = docLens.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(spark, dir)
+    require(segs.nonEmpty, s"no live segments under $dir")
+    spark.read.parquet(segs.map(s => s"$dir/$s/_stats"): _*)
+      .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
+  }
+
+  /** BM25 ranked retrieval from dl-bearing posting rows (the [[build]]
+    * schema) already filtered to the query's terms, plus a one-row
+    * (n_docs, tot_dl) corpus summary: per candidate doc, n_terms
+    * matched and the summed score ROUND(·, 6). df comes from the
+    * posting-list lengths (one tiny per-term aggregate that
+    * broadcasts) and dl rides the posting rows themselves — so the
+    * cost tracks the query terms' posting lists ALONE; nothing
+    * corpus-sized is read or joined. Output order unspecified; callers
+    * sort by the unique doc_id (never by the rounded double — the
+    * tie-flip doctrine).
+    */
+  def bm25(postings: DataFrame, stats: DataFrame): DataFrame = {
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.select("term", "doc_id", "tf")
+    postings.select("term", "doc_id", "tf", "dl")
       .join(broadcast(df), "term")
-      .join(docLens, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
@@ -324,11 +361,24 @@ object InvertedIndex {
   }
 
   /** End-to-end: BM25-score a PERSISTED index for query `terms`,
-    * reading only those terms' buckets plus the doc-length aux.
+    * reading only those terms' buckets plus the per-segment one-row
+    * `_stats` aux. A store with any pre-inline-dl segment falls back
+    * to joining [[docLengths]] (corpus-width but narrow); the first
+    * compaction that folds the legacy segments retires the fallback.
     */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
-                 buckets: Int = 32): DataFrame =
-    bm25(readForTerms(spark, dir, terms, buckets), docLengths(spark, dir))
+                 buckets: Int = 32): DataFrame = {
+    val posts = readForTerms(spark, dir, terms, buckets)
+    val inlined = posts.columns.contains("dl") &&
+      segments(spark, dir)
+        .forall(s => new java.io.File(s"$dir/$s/_stats").exists())
+    if (inlined) bm25(posts, corpusStats(spark, dir))
+    else {
+      val dls = docLengths(spark, dir)
+      bm25(posts.drop("dl").join(dls, "doc_id"),
+        dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
+    }
+  }
 
   /** The writer's bucket function, computed locally: xxhash64 of the
     * term string under Spark's default seed, mod `buckets`.

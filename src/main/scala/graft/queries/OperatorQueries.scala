@@ -824,8 +824,9 @@ object OperatorQueries extends QueryPack {
     }),
 
     // persisted BM25 ranked retrieval: the same bucket-pruned posting
-    // read plus the segments' co-committed `_doclen` aux (one narrow
-    // scan for N/avgdl) — DuckDB recomputes the identical score
+    // read (dl inline on every posting row) plus the segments'
+    // co-committed one-row `_stats` aux for N/avgdl — nothing
+    // corpus-sized is read — DuckDB recomputes the identical score
     // expression (InvertedIndex.Bm25ScoreSql) straight from documents,
     // so the on-disk store must reproduce corpus-truth relevance bit
     // for bit at 6 dp. Query = the corpus's top trigram's distinct

@@ -109,17 +109,21 @@ object TextQueries extends QueryPack {
     // VALUE column — never ordered/limited by the rounded double (the
     // tie-flip doctrine); both engines execute the textually identical
     // score expression (InvertedIndex.Bm25ScoreSql). Cost tracks the
-    // query terms' posting lists + one narrow doc-length aggregate; the
-    // persisted, bucket-pruned variant is s_text_index_bm25.
+    // query terms' posting lists alone — dl rides every posting row
+    // (the Lucene norms-inline layout), so there is no corpus-sized
+    // length join; the persisted, bucket-pruned variant is
+    // s_text_index_bm25.
     "q_text_bm25" -> ((s, dir) => {
       import graft.operators.InvertedIndex
       val docs = Tables.t(s, dir, "documents")
       val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
-      // postings feed both the candidate filter and the doc-length
-      // normalizer — checkpoint so the tokenize+aggregate runs once
+      // postings feed both the candidate filter and the corpus stats —
+      // checkpoint so the tokenize+aggregate runs once; dl rides the
+      // posting rows (the build() inline layout), so no length join
       val idx = InvertedIndex.build(docs).localCheckpoint()
       InvertedIndex.bm25(idx.filter(col("term").isin(terms: _*)),
-          idx.groupBy("doc_id").agg(sum("tf").as("dl")))
+          idx.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
         .select(col("doc_id"), col("n_terms"), col("bm25"))
         .orderBy("doc_id")
     }),

@@ -327,8 +327,10 @@ class InvertedIndexSpec extends SparkSpec {
     import spark.implicits._
     // hand corpus, query {a, b}: N=4, dl = (6,3,3,2), df(a)=4, df(b)=3
     val idx = InvertedIndex.build(handCorpus)
-    val dls = idx.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val got = InvertedIndex.bm25(idx.filter(col("term").isin("a", "b")), dls)
+    def stats(ix: org.apache.spark.sql.DataFrame) =
+      ix.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val got = InvertedIndex.bm25(idx.filter(col("term").isin("a", "b")), stats(idx))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     def s(tf: Long, df: Long, dl: Long): Double = // Bm25ScoreSql, same op order
       math.log(1.0 + (4L - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
@@ -344,7 +346,7 @@ class InvertedIndexSpec extends SparkSpec {
       assert(math.abs(got(d)._2 - sc) < 2e-6,
         s"doc $d score ${got(d)._2} != expected $sc")
     }
-    // persisted path (pruned buckets + _doclen aux) == in-memory formula
+    // persisted path (pruned buckets + one-row _stats) == in-memory formula
     val docs = Tables.t(spark, sfDir, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_idxbm25").toString
     try {
@@ -352,8 +354,7 @@ class InvertedIndexSpec extends SparkSpec {
       val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
       val full = InvertedIndex.build(docs).localCheckpoint()
       val direct = InvertedIndex.bm25(
-          full.filter(col("term").isin(terms: _*)),
-          full.groupBy("doc_id").agg(sum("tf").as("dl")))
+          full.filter(col("term").isin(terms: _*)), stats(full))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val stored = InvertedIndex.searchBm25(spark, dir, terms)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -366,21 +367,32 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
-  test("docLengths: segments stripped of the _doclen aux fall back to their postings") {
+  test("docLengths/searchBm25: segments stripped of their aux fall back gracefully") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_idxdl").toString
     try {
       assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 0), dir, "a"))
       assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), dir, "b"))
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      def bm() = InvertedIndex.searchBm25(spark, dir, terms)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       def dls() = InvertedIndex.docLengths(spark, dir)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val aux = dls()
-      // simulate a pre-aux (legacy-adopted) segment: strip one aux dir
+      val (truth, aux) = (bm(), dls())
+      // simulate a pre-aux (legacy-adopted) segment: strip its aux dirs
       Fs.rmTree(s"$dir/seg=a/_doclen")
       assert(dls() == aux, "postings-derived lengths diverge from the aux")
-      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
-      assert(InvertedIndex.searchBm25(spark, dir, terms).collect().nonEmpty)
+      Fs.rmTree(s"$dir/seg=a/_stats")
+      // searchBm25 routes through the docLengths join now; same inputs,
+      // same score expression -> same scores
+      val legacy = bm()
+      assert(legacy.keySet == truth.keySet && legacy.nonEmpty)
+      truth.foreach { case (d, (n, sc)) =>
+        assert(legacy(d)._1 == n, s"doc $d matched-term count diverges on fallback")
+        assert(math.abs(legacy(d)._2 - sc) < 2e-6,
+          s"doc $d: fallback ${legacy(d)._2} != inlined $sc")
+      }
     } finally Fs.rmTree(dir)
   }
 
