@@ -103,14 +103,24 @@ object InvertedIndex {
       .write.partitionBy("bucket").mode("overwrite").parquet(segDir)
     // per-doc token counts (the standalone doc-length table backing
     // [[docLengths]]) plus a ONE-ROW `_stats` (n_docs, tot_dl) summary,
-    // both derived from the same postings and co-committed by the
-    // segment's one rename. The underscore prefix hides them from
-    // posting-scan file discovery, so phrase search never reads them;
-    // BM25 reads dl inline off the posting rows and its corpus stats
-    // from `_stats` — O(segments) at query time, never a corpus scan.
-    index.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // co-committed by the segment's one rename. Both derive from the
+    // JUST-WRITTEN parquet, not the input frame — re-evaluating a lazy
+    // `index` lineage here would re-run the whole tokenize/merge
+    // shuffle a second time per streaming trigger. The underscore
+    // prefix hides them from posting-scan file discovery, so phrase
+    // search never reads them; BM25 reads dl inline off the posting
+    // rows and its corpus stats from `_stats` — O(segments) at query
+    // time, never a corpus scan.
+    val spark = index.sparkSession
+    // explicit schemas: pruned reads, and an EMPTY segment (no part
+    // files) must not die in schema inference
+    // select BEFORE distinct: partition discovery appends the bucket
+    // column, and a doc's terms span many buckets — distinct over
+    // (doc_id, dl, bucket) would duplicate docs and corrupt _stats
+    spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(segDir)
+      .select("doc_id", "dl").distinct()
       .write.mode("overwrite").parquet(s"$segDir/_doclen")
-    index.sparkSession.read.parquet(s"$segDir/_doclen")
+    spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(s"$segDir/_doclen")
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
       .write.mode("overwrite").parquet(s"$segDir/_stats")
   }
@@ -201,8 +211,17 @@ object InvertedIndex {
         .map(_.getName).filter(_.startsWith("seg="))
     if (live.size <= targetSegs) return 0
     val next = cur + 1
-    // smallest first (name tiebreak keeps the pick deterministic)
-    val bySize = live.sortBy(s => (segBytes(new java.io.File(dir, s)), s))
+    // smallest first (name tiebreak keeps the pick deterministic);
+    // segments missing the inline-dl `_stats` aux sort as size −1 so a
+    // legacy segment — however large — is folded by the NEXT merge,
+    // which rewrites it with the aux and actually retires searchBm25's
+    // corpus-width fallback (size-tiering alone would graduate a big
+    // legacy segment out of the pool forever)
+    val bySize = live.sortBy { s =>
+      val sz = if (new java.io.File(dir, s"$s/_stats").exists())
+        segBytes(new java.io.File(dir, s)) else -1L
+      (sz, s)
+    }
     val toMerge = bySize.take(live.size - targetSegs + 1)
     val kept = bySize.drop(live.size - targetSegs + 1)
     // re-derive dl per doc from the merged postings (window by doc_id)
@@ -281,7 +300,7 @@ object InvertedIndex {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType.fromDDL(
               "term STRING, doc_id BIGINT, positions ARRAY<INT>, tf BIGINT, " +
-                "seg STRING, bucket INT"))
+                "dl BIGINT, seg STRING, bucket INT"))
         spark.read.option("basePath", dir).parquet(segs.map(s => s"$dir/$s"): _*)
       }
     base
@@ -301,6 +320,15 @@ object InvertedIndex {
   def docLengths(spark: SparkSession, dir: String): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"no live segments under $dir")
+    docLengthsOf(spark, dir, segs)
+  }
+
+  /** [[docLengths]] over an already-resolved segment list — the form
+    * [[searchBm25]] uses so every read in one query shares one
+    * committed version.
+    */
+  private def docLengthsOf(spark: SparkSession, dir: String,
+                           segs: Seq[String]): DataFrame = {
     val (withAux, legacy) =
       segs.partition(s => new java.io.File(s"$dir/$s/_doclen").exists())
     val parts =
@@ -317,13 +345,47 @@ object InvertedIndex {
   /** The BM25 per-(term, doc) score term over columns
     * (tf, df, dl, n_docs, tot_dl), k1 = 1.2, b = 0.75, as ONE textual
     * SQL expression — the DuckDB oracle embeds the identical text, so
-    * both engines execute the same IEEE operation sequence and the
-    * 6-dp-rounded sums hash-match (the q_text_perplexity precedent for
-    * ln-based scores).
+    * both engines execute the same IEEE operation sequence per row.
+    * The per-doc SUM of these scores is where naive float summation
+    * would reintroduce order-dependence (shuffle partials merge in
+    * arrival order — the q_evt_interpolate rounding-tie lesson), so
+    * [[bm25]] and [[Bm25OracleSql]] both fold the scores in TERM-SORTED
+    * order left-to-right: bit-identical totals in any partition layout,
+    * making the final ROUND(·, 6) safe.
     */
   val Bm25ScoreSql: String =
     "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
       "(tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))"
+
+  /** The full DuckDB oracle for BM25 retrieval on the `documents`
+    * table with the top-trigram query derivation — shared verbatim by
+    * q_text_bm25 and s_text_index_bm25 so the score text cannot drift
+    * between the in-memory and persisted proofs. The per-doc sum is
+    * `list_reduce(list(score ORDER BY term), +)`: the same term-sorted
+    * left fold [[bm25]] runs (DuckDB's init-less reduce starts at the
+    * first element; Spark folds from +0.0, and 0.0 + x ≡ x for the
+    * strictly positive scores), so the rounded totals are bit-equal.
+    */
+  val Bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
+       |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
+       |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
+       |        ORDER BY c DESC, span LIMIT 1),
+       |qt AS (SELECT DISTINCT unnest(string_split((SELECT span FROM top), ' ')) AS term),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok JOIN qt USING (term) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  ROUND(list_reduce(list($Bm25ScoreSql ORDER BY term),
+       |                    (acc, x) -> acc + x), 6) AS bm25
+       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** One-row (n_docs, tot_dl) corpus summary of the current version —
     * the union of the live segments' co-committed `_stats` rows (sums
@@ -357,24 +419,48 @@ object InvertedIndex {
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
-        round(sum(expr(Bm25ScoreSql)), 6).as("bm25"))
+        // ORDERED left fold over term-sorted scores — the per-doc sum
+        // is bit-identical in any partition layout and to the oracle's
+        // list_reduce(list(... ORDER BY term)); a plain sum() would
+        // merge shuffle partials in arrival order and put the ROUND at
+        // the mercy of a 1-ulp tie (see Bm25ScoreSql scaladoc)
+        round(expr(
+          s"aggregate(array_sort(collect_list(struct(term, $Bm25ScoreSql AS s)))," +
+            " cast(0 as double), (acc, x) -> acc + x.s)"), 6).as("bm25"))
   }
 
   /** End-to-end: BM25-score a PERSISTED index for query `terms`,
     * reading only those terms' buckets plus the per-segment one-row
     * `_stats` aux. A store with any pre-inline-dl segment falls back
-    * to joining [[docLengths]] (corpus-width but narrow); the first
-    * compaction that folds the legacy segments retires the fallback.
+    * to joining [[docLengths]] (corpus-width but narrow); [[compact]]
+    * folds aux-less segments FIRST, so one merge retires the fallback.
+    *
+    * The manifest resolves exactly ONCE: postings, corpus stats, and
+    * any fallback length join all read the SAME committed segment list
+    * — resolving per-read would let a concurrent append/compact supply
+    * stats for documents whose postings were never read, producing
+    * scores that match no committed snapshot.
     */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
                  buckets: Int = 32): DataFrame = {
-    val posts = readForTerms(spark, dir, terms, buckets)
+    val segs = segments(spark, dir)
+    if (segs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_terms BIGINT, bm25 DOUBLE"))
+    val wanted = terms.map(t => bucketOf(t, buckets)).distinct
+    val posts = spark.read.option("basePath", dir)
+      .parquet(segs.map(s => s"$dir/$s"): _*)
+      .filter(col("bucket").isin(wanted: _*))
+      .filter(col("term").isin(terms: _*))
     val inlined = posts.columns.contains("dl") &&
-      segments(spark, dir)
-        .forall(s => new java.io.File(s"$dir/$s/_stats").exists())
-    if (inlined) bm25(posts, corpusStats(spark, dir))
+      segs.forall(s => new java.io.File(s"$dir/$s/_stats").exists())
+    if (inlined)
+      bm25(posts, spark.read.parquet(segs.map(s => s"$dir/$s/_stats"): _*)
+        .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl")))
     else {
-      val dls = docLengths(spark, dir)
+      val dls = docLengthsOf(spark, dir, segs)
       bm25(posts.drop("dl").join(dls, "doc_id"),
         dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
     }

@@ -929,31 +929,12 @@ object OperatorQueries extends QueryPack {
         |FROM sp WHERE sp.span = (SELECT span FROM top)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
 
-    // hash-grade proof of the persisted BM25 path: identical score text
-    // to InvertedIndex.Bm25ScoreSql / the q_text_bm25 oracle, computed
-    // by DuckDB straight from documents while Spark's came off the
-    // on-disk postings + _doclen aux
-    "s_text_index_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
-        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
-        |        ORDER BY c DESC, span LIMIT 1),
-        |qt AS (SELECT DISTINCT unnest(string_split((SELECT span FROM top), ' ')) AS term),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |                 CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tok JOIN qt USING (term) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
-        |    (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))), 6)
-        |    AS bm25
-        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // hash-grade proof of the persisted BM25 path: the SAME shared
+    // oracle constant as q_text_bm25 (InvertedIndex.Bm25OracleSql —
+    // one copy, so the score text cannot drift between the proofs),
+    // computed by DuckDB straight from documents while Spark's came
+    // off the on-disk postings (dl inline) + per-segment _stats
+    "s_text_index_bm25" -> graft.operators.InvertedIndex.Bm25OracleSql,
 
     // hash-grade proof of the OPTIMIZER routing path (plans.
     // RollupRewrite): DuckDB computes the month aggregate directly from

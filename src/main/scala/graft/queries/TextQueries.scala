@@ -288,30 +288,11 @@ object TextQueries extends QueryPack {
         |FROM sp WHERE sp.span = (SELECT span FROM top)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
 
-    // the score expression is textually identical to
-    // InvertedIndex.Bm25ScoreSql so both engines run the same IEEE
-    // operation sequence (ln precedent: q_text_perplexity)
-    "q_text_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
-        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
-        |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
-        |        ORDER BY c DESC, span LIMIT 1),
-        |qt AS (SELECT DISTINCT unnest(string_split((SELECT span FROM top), ' ')) AS term),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |                 CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tok JOIN qt USING (term) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-        |  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
-        |    (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))), 6)
-        |    AS bm25
-        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ONE shared oracle constant (InvertedIndex.Bm25OracleSql, also
+    // the s_text_index_bm25 oracle) interpolating the same score text
+    // Spark executes, with the per-doc sum as a term-sorted left fold
+    // in BOTH engines — bit-equal totals, so the ROUND(·, 6) is safe
+    "q_text_bm25" -> graft.operators.InvertedIndex.Bm25OracleSql,
 
     "q_pii_pseudonymize" ->
       """WITH ev AS (SELECT sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR)) AS uid,

@@ -109,19 +109,15 @@ class InvertedIndexSpec extends SparkSpec {
       val (streamed, full) = (res(streamDir), res(fullDir))
       assert(streamed == full, "streamed index search != batch rebuild")
       assert(streamed.nonEmpty)
-      // the _doclen aux rides every streamed segment's commit too: BM25
-      // off the stream-built store == off a batch build (2e-6: the
-      // per-term scores are bit-identical, only the ≤|terms|-summand
-      // per-doc sum order may differ between stores)
+      // the aux rides every streamed segment's commit too: BM25 off the
+      // stream-built store must equal a batch build BITWISE — per-term
+      // scores are IEEE-identical and the per-doc sum is a term-sorted
+      // left fold, so no layout-dependent summation order survives
       def bm(dir: String) = InvertedIndex.searchBm25(spark, dir, toks.distinct)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val (sb, fb) = (bm(streamDir), bm(fullDir))
-      assert(sb.keySet == fb.keySet && sb.nonEmpty)
-      fb.foreach { case (d, (n, sc)) =>
-        assert(sb(d)._1 == n, s"doc $d matched-term count diverges streamed-vs-batch")
-        assert(math.abs(sb(d)._2 - sc) < 2e-6,
-          s"doc $d: streamed bm25 ${sb(d)._2} != batch $sc")
-      }
+      assert(sb == fb, "streamed-store BM25 != batch-store BM25 (bitwise)")
+      assert(sb.nonEmpty)
     } finally { Fs.rmTree(streamDir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
@@ -358,22 +354,21 @@ class InvertedIndexSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val stored = InvertedIndex.searchBm25(spark, dir, terms)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      assert(stored.keySet == direct.keySet && stored.nonEmpty)
-      direct.foreach { case (d, (n, sc)) =>
-        assert(stored(d)._1 == n, s"doc $d matched-term count diverges")
-        assert(math.abs(stored(d)._2 - sc) < 2e-6,
-          s"doc $d: stored ${stored(d)._2} != direct $sc")
-      }
+      // bitwise: the ordered fold makes persisted == in-memory exact
+      assert(stored == direct, "persisted BM25 != in-memory BM25 (bitwise)")
+      assert(stored.nonEmpty)
     } finally Fs.rmTree(dir)
   }
 
-  test("docLengths/searchBm25: segments stripped of their aux fall back gracefully") {
+  test("docLengths/searchBm25: aux-stripped segments fall back; compaction retires the fallback FIRST") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_idxdl").toString
     try {
-      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 0), dir, "a"))
-      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), dir, "b"))
+      // a is the LARGEST segment (half the corpus); b and c split the rest
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 4 < 2), dir, "a"))
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 4 === 2), dir, "b"))
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 4 === 3), dir, "c"))
       val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
       def bm() = InvertedIndex.searchBm25(spark, dir, terms)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -385,14 +380,20 @@ class InvertedIndexSpec extends SparkSpec {
       assert(dls() == aux, "postings-derived lengths diverge from the aux")
       Fs.rmTree(s"$dir/seg=a/_stats")
       // searchBm25 routes through the docLengths join now; same inputs,
-      // same score expression -> same scores
+      // same score expression, same ordered fold -> bitwise-same scores
       val legacy = bm()
-      assert(legacy.keySet == truth.keySet && legacy.nonEmpty)
-      truth.foreach { case (d, (n, sc)) =>
-        assert(legacy(d)._1 == n, s"doc $d matched-term count diverges on fallback")
-        assert(math.abs(legacy(d)._2 - sc) < 2e-6,
-          s"doc $d: fallback ${legacy(d)._2} != inlined $sc")
-      }
+      assert(legacy == truth, "fallback BM25 != inlined BM25 (bitwise)")
+      assert(legacy.nonEmpty)
+      // size-tiering alone would keep the LARGEST segment forever; the
+      // aux-less segment sorts as size -1, so one merge folds it and
+      // rewrites its aux — the corpus-width fallback actually retires
+      assert(InvertedIndex.compact(spark, dir, targetSegs = 2) == 2)
+      val live = InvertedIndex.segments(spark, dir)
+      assert(live.size == 2 && !live.contains("seg=a"),
+        s"legacy segment must be folded by the next merge: $live")
+      assert(live.forall(s => new java.io.File(s"$dir/$s/_stats").exists()),
+        "merged segment must carry the aux")
+      assert(bm() == truth, "post-retirement BM25 diverges (bitwise)")
     } finally Fs.rmTree(dir)
   }
 
