@@ -844,6 +844,52 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PERSISTED hybrid retrieval — the two on-disk stores COMPOSE:
+    // keyword candidates off the inverted index's bucket-pruned
+    // postings (integer matched-terms/tf ranking — posting data is
+    // exact, so these ranks must equal q_hybrid_rrf's corpus-truth kw
+    // side bit for bit, pinned in AnnStoreSpec), vector candidates off
+    // the ANN store's probed cells (approximate — recall tracks
+    // nprobe/nlist, spec floor vs the exact twin), fused by the same
+    // 1/(60+rank) reciprocal-rank formula. At 100 TB each side reads
+    // only its pruned slice: ≤|terms| posting buckets + nprobe list
+    // dirs; the fusion join touches ≤ 40 rows.
+    "s_hybrid_store_rrf" -> ((s, dir) => {
+      import graft.operators.{AnnIndexStore, InvertedIndex}
+      val docs = Tables.t(s, dir, "documents")
+      val emb = Tables.t(s, dir, "embeddings")
+      val (idx, _) = Fixtures.store("invidx", dir) { fx =>
+        InvertedIndex.write(InvertedIndex.build(docs), fx)
+        Map.empty
+      }
+      val (ann, _) = Fixtures.store("annstore", dir) { fx =>
+        AnnIndexStore.save(s, emb, fx, nlist = 64)
+        Map.empty
+      }
+      // query-by-example on doc 0, same derivation as q_hybrid_rrf
+      val qt = docs.filter(col("doc_id") === 0)
+        .select(slice(split(col("text"), " "), 1, 5).as("t"))
+        .head().getSeq[String](0).distinct
+      val kw = InvertedIndex.readForTerms(s, idx, qt)
+        .filter(col("doc_id") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_t"), sum("tf").as("tf"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
+      val kw20 = kw.withColumn("kw_rank", row_number().over(wk).cast("long"))
+        .filter(col("kw_rank") <= 20).select("doc_id", "kw_rank")
+      val vec20 = AnnIndexStore.searchTopK(s, ann,
+          emb.filter(col("vec_id") === 0), k = 20, nprobe = 24)
+        .select(col("neighbor_id").as("doc_id"), col("rn").as("vec_rank"))
+      kw20.join(vec20, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          expr("round(coalesce(cast(1 as double) / (60 + kw_rank), cast(0 as double)) + " +
+            "coalesce(cast(1 as double) / (60 + vec_rank), cast(0 as double)), 6)").as("rrf"))
+        .orderBy("doc_id")
+    }),
+
     // aggregate NAVIGATOR (operators.RollupNav): events materialize ONCE
     // into a day × event_type rollup (exact µ-unit sums), then the
     // month-grain question is ANSWERED FROM THE ROLLUP — the fact table

@@ -16,6 +16,26 @@ class AnnStoreSpec extends SparkSpec {
     df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
 
+  test("s_hybrid_store_rrf: persisted kw ranks == exact twin; ANN side overlaps the exact cosine top-20") {
+    def triples(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = triples("q_hybrid_rrf")
+    val stored = triples("s_hybrid_store_rrf")
+    // posting data is exact, so the store-side keyword ranking must
+    // reproduce the corpus-truth kw side bit for bit
+    val exKw = exact.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
+    val stKw = stored.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
+    assert(stKw == exKw, "persisted keyword ranks diverge from corpus truth")
+    // the ANN side is approximate by design — recall floor vs the
+    // exact cosine top-20 (64/24 coarse scan, exact vectors in lists)
+    val exVec = exact.filter(_._3 > 0).map(_._1).toSet
+    val stVec = stored.filter(_._3 > 0).map(_._1).toSet
+    assert(exVec.size == 20 && stVec.nonEmpty)
+    val overlap = (exVec & stVec).size
+    assert(overlap >= 12, s"ANN top-20 overlap with exact cosine too low: $overlap/20")
+  }
+
   test("search after save+reload equals the fresh in-memory build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     try {
