@@ -397,9 +397,16 @@ object InvertedIndex {
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"no live segments under $dir")
+    statsOf(spark, dir, segs)
+  }
+
+  /** [[corpusStats]] over an already-resolved segment list (the
+    * [[searchBm25]] one-version form, mirroring [[docLengthsOf]]).
+    */
+  private def statsOf(spark: SparkSession, dir: String,
+                      segs: Seq[String]): DataFrame =
     spark.read.parquet(segs.map(s => s"$dir/$s/_stats"): _*)
       .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl"))
-  }
 
   /** BM25 ranked retrieval from dl-bearing posting rows (the [[build]]
     * schema) already filtered to the query's terms, plus a one-row
@@ -444,11 +451,18 @@ object InvertedIndex {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
                  buckets: Int = 32): DataFrame = {
     val segs = segments(spark, dir)
-    if (segs.isEmpty)
+    if (segs.isEmpty) {
+      // a COMMITTED store with zero segments legitimately answers
+      // "no documents"; zero seg= dirs with no manifest is a flat
+      // legacy layout or a mistyped path — fail loudly like the old
+      // docLengths require did, instead of a silent empty result
+      require(StoreManifest.currentVersion(spark, dir) >= 0,
+        s"no live segments under $dir (not a seg=-layout index store)")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, n_terms BIGINT, bm25 DOUBLE"))
+    }
     val wanted = terms.map(t => bucketOf(t, buckets)).distinct
     val posts = spark.read.option("basePath", dir)
       .parquet(segs.map(s => s"$dir/$s"): _*)
@@ -456,11 +470,13 @@ object InvertedIndex {
       .filter(col("term").isin(terms: _*))
     val inlined = posts.columns.contains("dl") &&
       segs.forall(s => new java.io.File(s"$dir/$s/_stats").exists())
-    if (inlined)
-      bm25(posts, spark.read.parquet(segs.map(s => s"$dir/$s/_stats"): _*)
-        .agg(sum("n_docs").as("n_docs"), sum("tot_dl").as("tot_dl")))
+    if (inlined) bm25(posts, statsOf(spark, dir, segs))
     else {
-      val dls = docLengthsOf(spark, dir, segs)
+      // transitional path: materialize the doc-length table once — it
+      // feeds BOTH the candidate join and the stats aggregate, and for
+      // truly legacy segments each evaluation would re-scan their full
+      // posting lists
+      val dls = docLengthsOf(spark, dir, segs).localCheckpoint()
       bm25(posts.drop("dl").join(dls, "doc_id"),
         dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
     }

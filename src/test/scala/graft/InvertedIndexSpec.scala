@@ -384,6 +384,18 @@ class InvertedIndexSpec extends SparkSpec {
       val legacy = bm()
       assert(legacy == truth, "fallback BM25 != inlined BM25 (bitwise)")
       assert(legacy.nonEmpty)
+      // go further: make seg=a a TRUE pre-inline-dl segment — postings
+      // parquet WITHOUT the dl column (the shape a store written by the
+      // previous code version has), exercising the mixed-schema read
+      // and the posts.drop("dl") leg, not just the missing-aux leg
+      val segA = s"$dir/seg=a"
+      val noDl = spark.read.parquet(segA)
+        .select("term", "doc_id", "positions", "tf", "bucket")
+      val tmpA = java.nio.file.Files.createTempDirectory("graft_idxdl_nodl").toString
+      noDl.write.partitionBy("bucket").mode("overwrite").parquet(tmpA)
+      Fs.rmTree(segA)
+      Fs.atomicMove(tmpA, segA)
+      assert(bm() == truth, "true pre-dl segment BM25 != inlined (bitwise)")
       // size-tiering alone would keep the LARGEST segment forever; the
       // aux-less segment sorts as size -1, so one merge folds it and
       // rewrites its aux — the corpus-width fallback actually retires
