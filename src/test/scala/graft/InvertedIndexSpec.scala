@@ -409,6 +409,20 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("searchBm25: unmanifested dir fails loudly; committed zero-segment store answers empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxempty").toString
+    try {
+      // bare dir, no manifest: a flat legacy layout or a typo'd path —
+      // must raise, not silently report "no relevant documents"
+      intercept[IllegalArgumentException] {
+        InvertedIndex.searchBm25(spark, dir, Seq("x")).collect()
+      }
+      // a COMMITTED store with zero segments legitimately answers empty
+      graft.operators.StoreManifest.commit(spark, dir, 0, Seq.empty)
+      assert(InvertedIndex.searchBm25(spark, dir, Seq("x")).collect().isEmpty)
+    } finally Fs.rmTree(dir)
+  }
+
   test("in-place rebuild: committed data survives; old version stays readable until vacuum") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
