@@ -357,6 +357,12 @@ class InvertedIndexSpec extends SparkSpec {
       // bitwise: the ordered fold makes persisted == in-memory exact
       assert(stored == direct, "persisted BM25 != in-memory BM25 (bitwise)")
       assert(stored.nonEmpty)
+      // the public corpusStats accessor agrees with the doc-length table
+      val st = InvertedIndex.corpusStats(spark, dir).collect()(0)
+      val viaDl = InvertedIndex.docLengths(spark, dir)
+        .agg(count(lit(1)), sum("dl")).collect()(0)
+      assert((st.getLong(0), st.getLong(1)) == (viaDl.getLong(0), viaDl.getLong(1)),
+        "_stats summary diverges from the _doclen table")
     } finally Fs.rmTree(dir)
   }
 
