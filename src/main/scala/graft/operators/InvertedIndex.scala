@@ -78,8 +78,28 @@ object InvertedIndex {
     graft.Fs.rmTree(tmp.toString)
     writeSegment(index, tmp.toString, buckets)
     graft.Fs.atomicMove(tmp.toString, segDir.toString)
-    StoreManifest.commit(spark, dir, next, Seq(s"seg\t$segName")) // THE commit point
+    // the bucket count is part of the committed layout (ADVICE r10: a
+    // store searched with a different `buckets` than it was written with
+    // prunes the wrong dirs and silently returns wrong results) — write
+    // is a REBUILD, so its caller-chosen count becomes the store's
+    StoreManifest.commit(spark, dir, next,
+      Seq(s"buckets\t$buckets", s"seg\t$segName")) // THE commit point
     if (next > 0) vacuum(spark, dir)
+  }
+
+  /** The store's committed bucket count — the manifest line every read
+    * and append path resolves INSTEAD of trusting the caller's
+    * parameter (ADVICE r10: a mismatched caller default made searches
+    * prune the wrong bucket dirs and silently miss postings; compact
+    * could even re-bucket a store out from under its readers). Falls
+    * back to `fallback` only for legacy un-manifested stores and for
+    * manifests that predate the line.
+    */
+  def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    if (cur < 0) fallback
+    else StoreManifest.read(spark, dir, cur, "buckets")
+      .headOption.map(_.toInt).getOrElse(fallback)
   }
 
   /** First generated segment name (index ≥ `from`) that no retained
@@ -169,11 +189,30 @@ object InvertedIndex {
     if (!segDir.exists()) { // else: crashed between rename and commit — data is whole
       val tmp = new java.io.File(dir, s".tmp_seg_$seg") // dot: reader-invisible
       graft.Fs.rmTree(tmp.toString) // a torn earlier attempt restages cleanly
-      writeSegment(build(docs), tmp.toString, buckets)
+      // append joins an existing store: the store's committed bucket
+      // count wins over the caller's parameter — a segment bucketed
+      // differently from its siblings would be pruned wrongly forever
+      writeSegment(build(docs), tmp.toString, storedBuckets(spark, dir, buckets))
       graft.Fs.atomicMove(tmp.toString, segDir.toString)
+    } else {
+      // the crash-window heal (adopt an existing complete dir) is only
+      // sound if NO retained manifest references the dir. A dir that an
+      // OLDER manifest still references is a superseded pre-compaction
+      // segment vacuum kept for in-flight readers — adopting it would
+      // commit stale postings as this batch and silently drop the
+      // batch's real data (ADVICE r10). Hit by restarting a sink on a
+      // compacted store with a FRESH checkpoint (batch ids restart at 0
+      // and collide with retired segment names) — fail loudly; the
+      // operator picks a new checkpoint-unique segment prefix.
+      require(!referencedSegs(spark, dir).contains(s"seg=$seg"),
+        s"seg=$seg exists under $dir but is referenced by an older retained " +
+          "manifest (a superseded pre-compaction segment, not this batch's " +
+          "staged data) — refusing to adopt it; append this batch under a " +
+          "segment name no retained manifest uses")
     }
-    StoreManifest.commit(spark, dir, cur + 1,
-      (live :+ s"seg=$seg").sorted.map("seg\t" + _)) // THE commit point
+    StoreManifest.commit(spark, dir, cur + 1, // THE commit point
+      s"buckets\t${storedBuckets(spark, dir, buckets)}" +:
+        (live :+ s"seg=$seg").sorted.map("seg\t" + _))
     // appends carry every live segment forward, so expiring old
     // manifests never orphans a referenced segment — keeps the
     // manifest count (and with compaction, the whole store) bounded
@@ -241,10 +280,14 @@ object InvertedIndex {
     val segDir = new java.io.File(dir, segName)
     val tmp = new java.io.File(dir, s".tmp_$segName")
     graft.Fs.rmTree(tmp.toString)
-    writeSegment(merged, tmp.toString, buckets)
+    // compact must rewrite in the STORE's bucket count, not the
+    // caller's: a re-bucketed merged segment would be pruned with the
+    // wrong modulus by every reader holding the committed count
+    val b = storedBuckets(spark, dir, buckets)
+    writeSegment(merged, tmp.toString, b)
     graft.Fs.atomicMove(tmp.toString, segDir.toString)
     StoreManifest.commit(spark, dir, next, // THE commit point
-      (kept :+ segName).sorted.map("seg\t" + _))
+      s"buckets\t$b" +: (kept :+ segName).sorted.map("seg\t" + _))
     vacuum(spark, dir, retainVersions)
     toMerge.size
   }
@@ -289,7 +332,9 @@ object InvertedIndex {
     */
   def readForTerms(spark: SparkSession, dir: String, terms: Seq[String],
                    buckets: Int = 32): DataFrame = {
-    val wanted = terms.map(t => bucketOf(t, buckets)).distinct
+    // prune with the COMMITTED bucket count — the caller's parameter is
+    // only the legacy-store fallback (ADVICE r10)
+    val wanted = terms.map(t => bucketOf(t, storedBuckets(spark, dir, buckets))).distinct
     val cur = StoreManifest.currentVersion(spark, dir)
     val base =
       if (cur < 0) spark.read.parquet(dir) // legacy layout
@@ -463,7 +508,8 @@ object InvertedIndex {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, n_terms BIGINT, bm25 DOUBLE"))
     }
-    val wanted = terms.map(t => bucketOf(t, buckets)).distinct
+    val wanted = // committed bucket count, never the caller's (ADVICE r10)
+      terms.map(t => bucketOf(t, storedBuckets(spark, dir, buckets))).distinct
     val posts = spark.read.option("basePath", dir)
       .parquet(segs.map(s => s"$dir/$s"): _*)
       .filter(col("bucket").isin(wanted: _*))

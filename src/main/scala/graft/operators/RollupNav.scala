@@ -51,7 +51,17 @@ object RollupNav {
       sum(col(m)).as(s"${m}_sum"),
       min(col(m)).as(s"${m}_min"),
       max(col(m)).as(s"${m}_max")))
-    base.groupBy((col("day").cast("string") +: rollup.dims.map(col)): _*)
+    // a NULL day (e.g. an unparseable ts through to_date) is not
+    // representable in the day-partitioned cube — before this guard the
+    // two maintenance paths DISAGREED on it: materialize silently routed
+    // the rows to __HIVE_DEFAULT_PARTITION__ while maintain NPE'd on the
+    // collected day list mid-protocol (ADVICE r10). Fail fast in the
+    // shared aggregate so both paths raise the same contract error.
+    val day = when(col("day").isNotNull, col("day").cast("string"))
+      .otherwise(raise_error(lit(
+        "null day fact row: not representable in the day-partitioned " +
+          "rollup cube — filter or repair unparseable timestamps upstream")))
+    base.groupBy((day.as("day") +: rollup.dims.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 

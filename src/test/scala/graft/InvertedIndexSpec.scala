@@ -121,6 +121,70 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { Fs.rmTree(streamDir); Fs.rmTree(ckpt); Fs.rmTree(fullDir) }
   }
 
+  test("bucket count is committed: reads ignore a mismatched caller; append/compact inherit it") {
+    // ADVICE r10: a store written with B buckets but searched with the
+    // default pruned the wrong dirs and silently missed postings; the
+    // count is now a manifest line every path resolves
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxbkt").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0)),
+        dir, buckets = 8)
+      // caller passes a WRONG count everywhere from here on — the store's
+      // committed 8 must win
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1),
+        dir, "inc1", buckets = 16))
+      def bucketDirs(seg: String): Set[String] =
+        Option(new java.io.File(dir, seg).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.startsWith("bucket=")).toSet
+      for (seg <- InvertedIndex.segments(spark, dir))
+        assert(bucketDirs(seg).forall(_.stripPrefix("bucket=").toInt < 8),
+          s"$seg was written outside the store's 8-bucket layout")
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).toSeq
+      def phr(b: Int) = InvertedIndex.searchPhrase(spark, dir, toks, buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = phr(8)
+      assert(truth.nonEmpty)
+      assert(phr(32) == truth, "default-bucket search diverged from the store's count")
+      def bm(b: Int) = InvertedIndex.searchBm25(spark, dir, toks.distinct, buckets = b)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(bm(32) == bm(8) && bm(8).nonEmpty)
+      // compact with yet another caller count must NOT re-bucket the store
+      assert(InvertedIndex.compact(spark, dir, buckets = 64) > 0)
+      for (seg <- InvertedIndex.segments(spark, dir))
+        assert(bucketDirs(seg).forall(_.stripPrefix("bucket=").toInt < 8),
+          s"compact re-bucketed $seg out from under committed readers")
+      assert(phr(32) == truth, "post-compact default search diverged")
+      assert(InvertedIndex.storedBuckets(spark, dir, 32) == 8)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("append refuses to adopt a superseded pre-compaction segment dir") {
+    // ADVICE r10: a compacted-away segment dir, retained on disk for an
+    // older manifest's readers, passed the crash-window heal under a
+    // reused name (fresh checkpoint restarting at b0) — the new batch's
+    // data was silently replaced by stale pre-compaction postings
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxadopt").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") % 3 === 0)), dir)
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 3 === 1), dir, "b0"))
+      assert(InvertedIndex.compact(spark, dir) > 0)
+      // default retention keeps the pre-compaction manifest, so its
+      // segment dirs survive vacuum — exactly the trap
+      assert(new java.io.File(dir, "seg=b0").exists(),
+        "test premise: superseded seg dir must still be on disk")
+      val before = InvertedIndex.segments(spark, dir)
+      val e = intercept[IllegalArgumentException](
+        InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2), dir, "b0"))
+      assert(e.getMessage.contains("older retained manifest"), e.getMessage)
+      assert(InvertedIndex.segments(spark, dir) == before,
+        "refused append must commit nothing")
+    } finally Fs.rmTree(dir)
+  }
+
   test("compact: search-after-compact == search-before; one live segment; inputs swept") {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")

@@ -43,6 +43,32 @@ class RollupNavSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("null-day fact rows fail fast, identically on both maintenance paths") {
+    // ADVICE r10: materialize silently routed null days to
+    // __HIVE_DEFAULT_PARTITION__ while maintain NPE'd collecting the day
+    // list — now both paths raise the same contract error pre-commit
+    val withNull = base.unionByName(
+      base.limit(1).withColumn("day", lit(null).cast("date")))
+    val dir = tmp()
+    try {
+      val eM = intercept[Exception](RollupNav.materialize(withNull, shape, dir))
+      // a failed materialize must not have committed anything
+      assert(graft.operators.StoreManifest.currentVersion(spark, dir) < 0,
+        "failed materialize left a committed manifest behind")
+      RollupNav.materialize(base, shape, dir)
+      val eI = intercept[Exception](
+        RollupNav.maintain(spark, dir, shape, withNull, batchId = Some(7L)))
+      for ((e, path) <- Seq((eM, "materialize"), (eI, "maintain"))) {
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("null day fact row")),
+          s"$path raised, but not the named contract error: $e")
+      }
+      // the failed batch committed nothing: routing still answers from v0
+      assert(RollupNav.answer(spark, dir, shape, Seq("event_type"), "month").isDefined)
+    } finally Fs.rmTree(dir)
+  }
+
   test("router refuses dims outside the cube and grains finer than stored") {
     val dir = tmp()
     try {
