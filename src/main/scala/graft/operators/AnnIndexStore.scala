@@ -105,6 +105,160 @@ object AnnIndexStore {
     fs.create(marker, true).close() // THE commit point for this batch
   }
 
+  /** Erase vectors from the index — the ANN half of the derived-store
+    * erasure story (VERDICT r10 gap #1; [[InvertedIndex.delete]] is the
+    * full-text half). Logical delete, physical drop at [[purgeDeletes]]:
+    * the ids land as ONE parquet file under `_tombstones/`, staged
+    * outside it and committed by a single atomic file rename (this
+    * store's commit primitive — it has deterministic names + markers,
+    * not a manifest), and [[searchTopK]] anti-joins candidates against
+    * the accumulated tombstones, so an erased vector is unreturnable
+    * the instant its rename lands. Ids already tombstoned (a replay) or
+    * never indexed are dropped before the write — a no-op delete
+    * commits nothing. Returns the count of newly tombstoned ids.
+    *
+    * Like [[appendBatch]]'s unique-id contract, a tombstoned vec_id
+    * must not be re-appended while its tombstone lives (the tombstone
+    * would mask it, and the purge would erase it) — purge first.
+    */
+  def delete(spark: SparkSession, vecIds: DataFrame, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val existing = loadTombstones(spark, dir)
+    val newly = ids.join(existing, Seq("vec_id"), "left_anti").localCheckpoint()
+    val n = newly.count()
+    if (n == 0L) return 0L
+    val tmp = new Path(root, ".tomb-tmp") // single-writer: fixed stage name
+    fs.delete(tmp, true) // a torn earlier attempt restages cleanly
+    newly.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val tombDir = new Path(root, TombDir)
+    fs.mkdirs(tombDir)
+    val taken = tombFiles(fs, tombDir).map(_.getPath.getName).toSet
+    val name = Iterator.from(0).map(i => s"t$i.parquet").filterNot(taken).next()
+    val part = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected 1 staged tombstone file, got ${part.length}")
+    // THE commit point for this delete batch
+    require(fs.rename(part.head.getPath, new Path(tombDir, name)),
+      s"tombstone commit ${part.head.getPath} -> $tombDir/$name failed")
+    fs.delete(tmp, true)
+    n
+  }
+
+  /** [[delete]] for a literal id list. */
+  def delete(spark: SparkSession, dir: String, vecIds: Seq[Long]): Long = {
+    import spark.implicits._
+    delete(spark, vecIds.toDF("vec_id"), dir)
+  }
+
+  val TombDir = "_tombstones"
+
+  private def tombFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        tombDir: org.apache.hadoop.fs.Path) =
+    (if (fs.exists(tombDir)) fs.listStatus(tombDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+  /** Whether any delete has committed (and not yet purged) — a
+    * driver-side listing, used to keep tomb-less search plans identical
+    * to pre-delete ones.
+    */
+  def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val tombDir = new Path(new Path(dir), TombDir)
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tombFiles(fs, tombDir).nonEmpty
+  }
+
+  /** Accumulated tombstoned vec_ids (empty frame if none). */
+  def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val tombDir = new Path(new Path(dir), TombDir)
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = tombFiles(fs, tombDir)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+    else spark.read.schema("vec_id BIGINT")
+      .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .select("vec_id")
+  }
+
+  /** Physically drop tombstoned vectors from `lists/` and retire the
+    * tombstones — the bytes-are-gone step of erasure (compact's role in
+    * the inverted index). Only the AFFECTED cells rewrite (found via a
+    * vec_id-column semi-join — a column-pruned scan, no vector data
+    * read): their surviving rows rewrite in ONE partitionBy job staged
+    * outside `lists/`, move in under purge-generation-deterministic
+    * names (`p<g>-<i>.parquet`), superseded files delete per cell, and
+    * the snapshot tombstone files drop LAST — so a crash at any point
+    * leaves the tombstones in place and a replay re-runs to the same
+    * content (rows are deduped by vec_id on rewrite, and [[searchTopK]]
+    * dedups candidates, so the transient add-before-delete overlap
+    * inside one cell is invisible). Returns vectors physically erased.
+    */
+  def purgeDeletes(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new Path(root, TombDir)
+    val snapshot = tombFiles(fs, tombDir).map(_.getPath).toIndexedSeq
+    if (snapshot.isEmpty) return 0L
+    val tomb = spark.read.schema("vec_id BIGINT")
+      .parquet(snapshot.map(_.toString): _*).select("vec_id")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val affected = lists.join(tomb, Seq("vec_id"), "left_semi")
+      .select("list_id").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val purged = if (affected.isEmpty) 0L else {
+      val n = lists.filter(col("list_id").isin(affected: _*))
+        .join(tomb, Seq("vec_id"), "left_semi").count()
+      // purge generation: deterministic target names so a replay after a
+      // crash overwrites the same files with the same rows
+      val commits = new Path(root, "_ann_commits")
+      val g = (if (fs.exists(commits)) fs.listStatus(commits) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath.getName).collect { case s if s.startsWith("p") => s.drop(1).toLong }
+        .foldLeft(-1L)(math.max) + 1
+      val tmp = new Path(root, ".purge-tmp")
+      fs.delete(tmp, true)
+      lists.filter(col("list_id").isin(affected: _*))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .dropDuplicates("vec_id") // replays of a crashed purge converge
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(tmp.toString)
+      val listsRoot = new Path(root, "lists")
+      affected.foreach { cell =>
+        val dst = new Path(listsRoot, s"list_id=$cell")
+        val src = new Path(tmp, s"list_id=$cell")
+        val fresh = if (!fs.exists(src)) Seq.empty[String] // cell fully erased
+        else fs.listStatus(src)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (f, i) =>
+            val to = new Path(dst, s"p$g-$i.parquet")
+            fs.delete(to, false) // replay overwrite, not duplicate
+            require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
+            to.getName
+          }.toSeq
+        // superseded originals go only AFTER their replacement is in
+        // place; the brief both-visible overlap dedups away (scaladoc)
+        fs.listStatus(dst)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !fresh.contains(f.getPath.getName))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+      fs.delete(tmp, true)
+      fs.mkdirs(commits)
+      fs.create(new Path(commits, s"p$g"), true).close()
+      n
+    }
+    // tombstones retire LAST (only the snapshot — not batches raced in
+    // by a later delete): until here every read still filters them, so
+    // any crash above replays to the same end state
+    snapshot.foreach(p => fs.delete(p, false))
+    purged
+  }
+
   /** Persisted PQ sub-codebooks as codebooks(subspace)(code) = centroid. */
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$dir/codebooks")
@@ -165,8 +319,14 @@ object AnnIndexStore {
     // are read (the searched fraction IS the I/O fraction)
     val needed = probeLists.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$dir/lists")
+    val pruned = spark.read.parquet(s"$dir/lists")
       .filter(col("list_id").isin(needed: _*))
+    // erased vectors are unreturnable from the moment their delete
+    // commits; plan unchanged for stores with no tombstones (a
+    // driver-side file-listing check, no Spark job)
+    val lists = if (!hasTombstones(spark, dir)) pruned
+      else pruned.join(broadcast(loadTombstones(spark, dir)),
+        Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(probeLists).join(lists, Seq("list_id"))
       .filter(col("vec_id") =!= col("probe_id"))

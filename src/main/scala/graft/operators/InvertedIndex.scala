@@ -107,10 +107,17 @@ object InvertedIndex {
     * never-delete-before-commit discipline for generated names.
     */
   private def freshSegName(spark: SparkSession, dir: String,
-                           name: Long => String, from: Long): String = {
-    val referenced = referencedSegs(spark, dir)
+                           name: Long => String, from: Long): String =
+    freshName(spark, dir, "seg", name, from)
+
+  /** [[freshSegName]] generalized over the manifest tag (`seg` dirs and
+    * `tomb` dirs follow the same discipline).
+    */
+  private def freshName(spark: SparkSession, dir: String, tag: String,
+                        name: Long => String, from: Long): String = {
+    val refd = referenced(spark, dir, tag)
     Iterator.iterate(from)(_ + 1).map(name)
-      .find(n => !referenced(n) && !new java.io.File(dir, n).exists())
+      .find(n => !refd(n) && !new java.io.File(dir, n).exists())
       .get
   }
 
@@ -210,9 +217,14 @@ object InvertedIndex {
           "staged data) — refusing to adopt it; append this batch under a " +
           "segment name no retained manifest uses")
     }
+    // tombstones carry forward unchanged: an append introduces new docs
+    // (disjoint ids, the precondition above), so the erased set is the
+    // erased set
+    val tombs = if (cur >= 0) StoreManifest.read(spark, dir, cur, "tomb") else Nil
     StoreManifest.commit(spark, dir, cur + 1, // THE commit point
       s"buckets\t${storedBuckets(spark, dir, buckets)}" +:
-        (live :+ s"seg=$seg").sorted.map("seg\t" + _))
+        (tombs.sorted.map("tomb\t" + _) ++
+          (live :+ s"seg=$seg").sorted.map("seg\t" + _)))
     // appends carry every live segment forward, so expiring old
     // manifests never orphans a referenced segment — keeps the
     // manifest count (and with compaction, the whole store) bounded
@@ -267,10 +279,19 @@ object InvertedIndex {
     // instead of carrying the column through the group-by: uniform for
     // legacy segments that predate the inline-dl layout, and exact
     // because a doc's postings are wholly contained in the merged set
-    // (the disjoint-doc append precondition again)
-    val merged = spark.read.option("basePath", dir)
+    // (the disjoint-doc append precondition again).
+    // Tombstoned docs are dropped HERE — compact is where a logical
+    // delete becomes physical erasure: their postings never enter the
+    // merged segment, whose freshly-derived _doclen/_stats aux then
+    // excludes them for free.
+    val tomb = tombstonesOf(spark, dir, cur)
+    val hasTombs = cur >= 0 && StoreManifest.read(spark, dir, cur, "tomb").nonEmpty
+    val mergedRaw = spark.read.option("basePath", dir)
       .parquet(toMerge.map(s => s"$dir/$s"): _*)
       .select("term", "doc_id", "positions", "tf")
+    val merged = (if (hasTombs)
+      mergedRaw.join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+    else mergedRaw)
       .groupBy("term", "doc_id")
       .agg(sort_array(flatten(collect_list("positions"))).as("positions"),
         sum("tf").as("tf"))
@@ -286,8 +307,29 @@ object InvertedIndex {
     val b = storedBuckets(spark, dir, buckets)
     writeSegment(merged, tmp.toString, b)
     graft.Fs.atomicMove(tmp.toString, segDir.toString)
+    // shrink the tombstone set to docs still PHYSICALLY present — i.e.
+    // those living in kept (untouched) segments, resolved off their
+    // _doclen aux. A full fold (kept empty) retires every tombstone:
+    // the store has genuinely forgotten. Checkpoint before the commit:
+    // the rewrite below must not re-read the OLD tomb dir after vacuum
+    // could sweep it.
+    val keptTomb =
+      if (!hasTombs || kept.isEmpty) tomb.limit(0)
+      else tomb.join(docLengthsOf(spark, dir, kept).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val keptTombRows = keptTomb.localCheckpoint()
+    val tombLines =
+      if (keptTombRows.isEmpty) Nil
+      else {
+        val tombName = freshName(spark, dir, "tomb", i => s"tomb=t$i", next)
+        val tombTmp = new java.io.File(dir, s".tmp_$tombName")
+        graft.Fs.rmTree(tombTmp.toString)
+        keptTombRows.coalesce(1).write.mode("overwrite").parquet(tombTmp.toString)
+        graft.Fs.atomicMove(tombTmp.toString, new java.io.File(dir, tombName).toString)
+        Seq(s"tomb\t$tombName")
+      }
     StoreManifest.commit(spark, dir, next, // THE commit point
-      s"buckets\t$b" +: (kept :+ segName).sorted.map("seg\t" + _))
+      s"buckets\t$b" +: (tombLines ++ (kept :+ segName).sorted.map("seg\t" + _)))
     vacuum(spark, dir, retainVersions)
     toMerge.size
   }
@@ -304,24 +346,139 @@ object InvertedIndex {
     * members must never be deleted or overwritten pre-commit.
     */
   private def referencedSegs(spark: SparkSession, dir: String): Set[String] =
+    referenced(spark, dir, "seg")
+
+  /** `tag`-values referenced by ANY retained manifest (segments AND
+    * tombstone dirs share the never-delete-before-commit discipline).
+    */
+  private def referenced(spark: SparkSession, dir: String, tag: String): Set[String] =
     StoreManifest.versions(spark, dir)
-      .flatMap(v => StoreManifest.read(spark, dir, v, "seg")).toSet
+      .flatMap(v => StoreManifest.read(spark, dir, v, tag)).toSet
 
   /** Expire manifests beyond the newest `retain` versions and delete
-    * segment dirs no surviving manifest references. Single-writer,
-    * replay-first (the store-wide contract): a crashed append's
-    * complete-but-uncommitted segment is also unreferenced, and only
-    * the guarantee that the append REPLAYS before any other writer
-    * acts keeps it from being swept here first.
+    * segment/tombstone dirs no surviving manifest references.
+    * Single-writer, replay-first (the store-wide contract): a crashed
+    * append's complete-but-uncommitted segment is also unreferenced,
+    * and only the guarantee that the append REPLAYS before any other
+    * writer acts keeps it from being swept here first.
     */
   def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
     if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
     val keep = StoreManifest.expire(spark, dir, retain)
-    val referenced = keep.flatMap(v => StoreManifest.read(spark, dir, v, "seg")).toSet
+    val refd = keep.flatMap(v => StoreManifest.read(spark, dir, v, "seg") ++
+      StoreManifest.read(spark, dir, v, "tomb")).toSet
     val stale = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("seg=") && !referenced(f.getName))
+      .filter(f => (f.getName.startsWith("seg=") || f.getName.startsWith("tomb=")) &&
+        !refd(f.getName))
     stale.foreach(f => graft.Fs.rmTree(f.toString))
     stale.size.toLong
+  }
+
+  /** Tombstoned (doc_id, dl) rows of the current committed version —
+    * empty for stores with no deletions (or legacy un-manifested dirs,
+    * which predate the delete API). The carried `dl` is what keeps
+    * post-delete BM25 EXACT: [[searchBm25]] subtracts the erased docs'
+    * counts from the segments' `_stats` sums, so corpus stats (and
+    * therefore every surviving doc's score) equal a fresh index built
+    * without the deleted documents — delete ≡ rebuild-without, to the
+    * bit (ErasureSpec proves it).
+    */
+  def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    tombstonesOf(s, dir, StoreManifest.currentVersion(s, dir))
+  }
+
+  private def tombstonesOf(spark: SparkSession, dir: String,
+                           version: Long): DataFrame = {
+    val tombs =
+      if (version < 0) Nil
+      else StoreManifest.read(spark, dir, version, "tomb")
+    if (tombs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, dl BIGINT"))
+    else spark.read.schema("doc_id BIGINT, dl BIGINT")
+      .parquet(tombs.map(t => s"$dir/$t"): _*)
+  }
+
+  /** Anti-join `df` against the version's tombstones — the one filter
+    * every read path applies so an erased document is unreachable the
+    * instant its delete commits. Skipped (plan-identical to pre-delete)
+    * when the version carries no tombstones.
+    */
+  private def minusTombstones(spark: SparkSession, dir: String, version: Long,
+                              df: DataFrame): DataFrame =
+    if (version < 0 || StoreManifest.read(spark, dir, version, "tomb").isEmpty) df
+    else df.join(broadcast(tombstonesOf(spark, dir, version).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** Erase documents from the index — the derived-store half of the
+    * GDPR story that [[MergeInto.deleteWhere]] starts on the corpus
+    * snapshot (VERDICT r10 gap #1): without it a document erased from
+    * the corpus stayed retrievable via searchBm25/searchPhrase forever.
+    *
+    * Logical delete, physical drop deferred: the doc_ids (with their
+    * dl, resolved from the live segments' `_doclen` aux — an O(aux)
+    * read, never a posting scan) land as a `tomb=` parquet dir, and ONE
+    * manifest rename commits segments-unchanged + the new tombstone
+    * set — the same data-first/pointer-last discipline as every other
+    * mutation here, so a crash leaves only an unreferenced orphan and
+    * readers flip atomically from "retrievable" to "gone". Every read
+    * path filters through the committed tombstones; the next [[compact]]
+    * drops the rows physically and shrinks the tombstone set to the
+    * docs still present in untouched segments. Time travel applies: the
+    * PREVIOUS manifest version still resolves the pre-delete state
+    * until vacuum expires it (the auditable-erasure window, mirroring
+    * deleteWhere; `retainVersions = 1` at the next vacuum erases now).
+    *
+    * Like [[append]]'s disjointness precondition, a deleted doc_id must
+    * not be re-appended while its tombstone lives — the tombstone would
+    * mask the new postings. Compact first (it physically retires the
+    * tombstone), then re-append.
+    *
+    * Returns the number of docs newly erased; ids already tombstoned or
+    * absent from the index are no-ops (so a replay commits nothing).
+    */
+  def delete(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    require(cur >= 0,
+      s"delete requires a manifested index store under $dir (legacy " +
+        "un-manifested dirs have no commit pointer to flip — rebuild first)")
+    val segs = StoreManifest.read(spark, dir, cur, "seg")
+    if (segs.isEmpty) return 0L // zero-segment store: nothing to erase
+    val oldTomb = tombstonesOf(spark, dir, cur)
+    // resolve dl off the _doclen aux (exact: a doc lives in ONE segment)
+    // and drop ids that are absent or already tombstoned — checkpointed
+    // because the tiny result is read twice (count + write) and must
+    // not re-resolve across the commit
+    val newly = docLengthsOf(spark, dir, segs)
+      .join(docIds.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .join(oldTomb.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = newly.count()
+    if (n == 0L) return 0L
+    val next = cur + 1
+    // ONE tomb dir per version (the full accumulated set — tombstones
+    // are erased-doc-sized, so the rewrite is trivial and readers union
+    // nothing): version-unique fresh name, data lands, manifest commits
+    val tombName = freshName(spark, dir, "tomb", i => s"tomb=t$i", next)
+    val tmp = new java.io.File(dir, s".tmp_$tombName")
+    graft.Fs.rmTree(tmp.toString)
+    oldTomb.unionByName(newly).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.Fs.atomicMove(tmp.toString, new java.io.File(dir, tombName).toString)
+    StoreManifest.commit(spark, dir, next, // THE commit point
+      s"buckets\t${storedBuckets(spark, dir, 32)}" +:
+        s"tomb\t$tombName" +: segs.sorted.map("seg\t" + _))
+    vacuum(spark, dir)
+    n
+  }
+
+  /** [[delete]] for a literal id list. */
+  def delete(spark: SparkSession, dir: String, docIds: Seq[Long]): Long = {
+    import spark.implicits._
+    delete(spark, dir, docIds.toDF("doc_id"))
   }
 
   /** Read ONLY the buckets that can hold `terms` — the directory-level
@@ -348,9 +505,11 @@ object InvertedIndex {
                 "dl BIGINT, seg STRING, bucket INT"))
         spark.read.option("basePath", dir).parquet(segs.map(s => s"$dir/$s"): _*)
       }
-    base
+    // erased docs filter out of every posting read — deletion commits
+    // take effect atomically with the manifest flip (delete API)
+    minusTombstones(spark, dir, cur, base
       .filter(col("bucket").isin(wanted: _*))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(terms: _*)))
   }
 
   /** Per-doc token counts (doc_id, dl) of the current version — the
@@ -365,7 +524,8 @@ object InvertedIndex {
   def docLengths(spark: SparkSession, dir: String): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"no live segments under $dir")
-    docLengthsOf(spark, dir, segs)
+    minusTombstones(spark, dir, StoreManifest.currentVersion(spark, dir),
+      docLengthsOf(spark, dir, segs))
   }
 
   /** [[docLengths]] over an already-resolved segment list — the form
@@ -411,15 +571,25 @@ object InvertedIndex {
     * first element; Spark folds from +0.0, and 0.0 + x ≡ x for the
     * strictly positive scores), so the rounded totals are bit-equal.
     */
-  val Bm25OracleSql: String =
+  val Bm25OracleSql: String = bm25OracleSql("TRUE")
+
+  /** [[Bm25OracleSql]] over the sub-corpus `keep` selects — the oracle
+    * twin for the ERASURE path (s_text_index_delete): DuckDB recomputes
+    * BM25 from scratch over `documents WHERE keep`, which is exactly
+    * the delete ≡ rebuild-without contract the tombstoned store must
+    * reproduce bit for bit (probe span, df, dl, corpus stats and the
+    * term-sorted score fold all derive from the kept docs alone).
+    */
+  def bm25OracleSql(keep: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |           WHERE len(string_split(text, ' ')) >= 3),
+       |           WHERE ($keep) AND len(string_split(text, ' ')) >= 3),
        |sp AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS span
        |       FROM d, unnest(range(1, len(toks) - 1)) AS t(i)),
        |top AS (SELECT span FROM (SELECT span, COUNT(*) AS c FROM sp GROUP BY 1)
        |        ORDER BY c DESC, span LIMIT 1),
        |qt AS (SELECT DISTINCT unnest(string_split((SELECT span FROM top), ' ')) AS term),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents WHERE ($keep)),
        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |                 CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
@@ -442,8 +612,23 @@ object InvertedIndex {
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val segs = segments(spark, dir)
     require(segs.nonEmpty, s"no live segments under $dir")
-    statsOf(spark, dir, segs)
+    adjustStats(spark, dir, StoreManifest.currentVersion(spark, dir),
+      statsOf(spark, dir, segs))
   }
+
+  /** Subtract the version's tombstoned docs from a one-row
+    * (n_docs, tot_dl) summary — exact integer arithmetic off the dl the
+    * [[delete]] commit recorded, so post-delete corpus stats (and every
+    * BM25 score built on them) equal a rebuild without the erased docs.
+    */
+  private def adjustStats(spark: SparkSession, dir: String, version: Long,
+                          stats: DataFrame): DataFrame =
+    if (version < 0 || StoreManifest.read(spark, dir, version, "tomb").isEmpty) stats
+    else stats.crossJoin(broadcast(tombstonesOf(spark, dir, version)
+        .agg(count(lit(1)).as("t_docs"),
+          coalesce(sum("dl"), lit(0L)).as("t_dl"))))
+      .select((col("n_docs") - col("t_docs")).as("n_docs"),
+        (col("tot_dl") - col("t_dl")).as("tot_dl"))
 
   /** [[corpusStats]] over an already-resolved segment list (the
     * [[searchBm25]] one-version form, mirroring [[docLengthsOf]]).
@@ -508,21 +693,28 @@ object InvertedIndex {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, n_terms BIGINT, bm25 DOUBLE"))
     }
+    val cur = StoreManifest.currentVersion(spark, dir)
     val wanted = // committed bucket count, never the caller's (ADVICE r10)
       terms.map(t => bucketOf(t, storedBuckets(spark, dir, buckets))).distinct
-    val posts = spark.read.option("basePath", dir)
+    // erased docs drop out of the candidate set here, and adjustStats
+    // subtracts their (count, dl) from the corpus summary — together the
+    // two make post-delete scores bit-equal to a rebuild without them
+    val posts = minusTombstones(spark, dir, cur, spark.read
+      .option("basePath", dir)
       .parquet(segs.map(s => s"$dir/$s"): _*)
       .filter(col("bucket").isin(wanted: _*))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(terms: _*)))
     val inlined = posts.columns.contains("dl") &&
       segs.forall(s => new java.io.File(s"$dir/$s/_stats").exists())
-    if (inlined) bm25(posts, statsOf(spark, dir, segs))
+    if (inlined) bm25(posts, adjustStats(spark, dir, cur, statsOf(spark, dir, segs)))
     else {
       // transitional path: materialize the doc-length table once — it
       // feeds BOTH the candidate join and the stats aggregate, and for
       // truly legacy segments each evaluation would re-scan their full
-      // posting lists
-      val dls = docLengthsOf(spark, dir, segs).localCheckpoint()
+      // posting lists. Tombstones already filtered out of dls, so the
+      // derived stats need no adjustment.
+      val dls = minusTombstones(spark, dir, cur,
+        docLengthsOf(spark, dir, segs)).localCheckpoint()
       bm25(posts.drop("dl").join(dls, "doc_id"),
         dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
     }

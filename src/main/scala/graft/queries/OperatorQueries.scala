@@ -854,6 +854,63 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // ERASURE through the persisted index (operators.InvertedIndex
+    // .delete — the derived-store half of the deleteWhere GDPR story):
+    // the fixture clones the committed full index and tombstone-deletes
+    // every doc_id % 7 == 0 (one manifest flip; segments untouched), and
+    // the measured query is the bucket-pruned BM25 search over the
+    // SURVIVORS — posting candidates anti-join the tombstones and the
+    // _stats corpus sums subtract the erased docs' (count, dl) exactly,
+    // so DuckDB recomputing BM25 from scratch over the kept documents
+    // must match bit for bit at 6 dp: delete ≡ rebuild-without, proven
+    // hash-grade. Probe = the top trigram of the kept corpus.
+    "s_text_index_delete" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val docs = Tables.t(s, dir, "documents")
+      val kept = docs.filter(col("doc_id") % 7 =!= 0)
+      val (base, _) = Fixtures.store("invidx_del", dir) { fx =>
+        val (full, _) = Fixtures.store("invidx", dir) { f =>
+          InvertedIndex.write(InvertedIndex.build(docs), f)
+          Map.empty
+        }
+        graft.Fs.cpTree(full, fx)
+        InvertedIndex.delete(s, fx, docs.filter(col("doc_id") % 7 === 0)
+          .select("doc_id"))
+        Map.empty
+      }
+      val terms = InvertedIndex.topSpan(kept).split(' ').toSeq.distinct
+      InvertedIndex.searchBm25(s, base, terms)
+        .select(col("doc_id"), col("n_terms"), col("bm25"))
+        .orderBy("doc_id")
+    }),
+
+    // ERASURE through the persisted ANN store (operators.AnnIndexStore
+    // .delete): the fixture clones the committed store and tombstones
+    // every vec_id ≥ 10 with vec_id % 7 == 3 (one atomic tombstone-file
+    // rename, lists untouched — the purge is exercised in ErasureSpec);
+    // the measured query is the partition-pruned probe search with the
+    // tombstone anti-join live, self-proving via hit_deleted (a deleted
+    // neighbor anywhere in the top-k flips it to 1; must stay 0).
+    "s_sim_ann_delete" -> ((s, dir) => {
+      import graft.operators.AnnIndexStore
+      val emb = Tables.t(s, dir, "embeddings")
+      val deadPred = col("vec_id") >= 10 && col("vec_id") % 7 === 3
+      val (base, _) = Fixtures.store("annstore_del", dir) { fx =>
+        val (full, _) = Fixtures.store("annstore", dir) { f =>
+          AnnIndexStore.save(s, emb, f, nlist = 64)
+          Map.empty
+        }
+        graft.Fs.cpTree(full, fx)
+        AnnIndexStore.delete(s, emb.filter(deadPred).select("vec_id"), fx)
+        Map.empty
+      }
+      AnnIndexStore.searchTopK(s, base, emb.filter(col("vec_id") < 10),
+          k = 5, nprobe = 24)
+        .withColumn("hit_deleted",
+          (col("neighbor_id") >= 10 && col("neighbor_id") % 7 === 3).cast("int"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // PERSISTED hybrid retrieval — the two on-disk stores COMPOSE:
     // keyword candidates off the inverted index's bucket-pruned
     // postings (integer matched-terms/tf ranking — posting data is
@@ -991,6 +1048,14 @@ object OperatorQueries extends QueryPack {
     // computed by DuckDB straight from documents while Spark's came
     // off the on-disk postings (dl inline) + per-segment _stats
     "s_text_index_bm25" -> graft.operators.InvertedIndex.Bm25OracleSql,
+
+    // hash-grade proof of the ERASURE path: same parameterized oracle,
+    // DuckDB rebuilding BM25 from scratch over the SURVIVING documents
+    // (doc_id % 7 <> 0) — the tombstoned store must reproduce the
+    // rebuild-without truth bit for bit (candidates filtered, corpus
+    // stats integer-adjusted, same score text, same term-sorted fold)
+    "s_text_index_delete" ->
+      graft.operators.InvertedIndex.bm25OracleSql("doc_id % 7 <> 0"),
 
     // hash-grade proof of the OPTIMIZER routing path (plans.
     // RollupRewrite): DuckDB computes the month aggregate directly from

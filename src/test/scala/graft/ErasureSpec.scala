@@ -1,0 +1,250 @@
+package graft
+
+import graft.operators.{AnnIndexStore, InvertedIndex, StoreManifest}
+import org.apache.spark.sql.functions._
+
+/** End-to-end erasure through the DERIVED stores (VERDICT r10 gap #1):
+  * MergeInto.deleteWhere erases the corpus snapshot, but a real
+  * pipeline with deletion obligations also needs the full-text index
+  * and the ANN store to forget. Contract proven here:
+  *
+  *  - the instant a delete commits, the doc/vector is unreachable via
+  *    every search path (logical erasure, atomic with the commit);
+  *  - post-delete BM25 is BIT-EQUAL to an index rebuilt without the
+  *    erased docs (the tombstone carries dl, so corpus stats adjust
+  *    exactly — delete ≡ rebuild-without);
+  *  - deletes replay as no-ops; a crashed delete (data dir landed,
+  *    commit didn't) is invisible and vacuum sweeps it;
+  *  - compact / purgeDeletes make the bytes physically gone while
+  *    search results stay identical, and tombstones retire.
+  */
+class ErasureSpec extends SparkSpec {
+
+  private def docs = Tables.t(spark, sfDir, "documents")
+
+  private def bm25Rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.select("doc_id", "n_terms", "bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+
+  /** Raw posting scan of the LIVE segments (bypassing the read-path
+    * tombstone filter) — the "are the bytes still there" probe.
+    */
+  private def rawDocIds(dir: String): Set[Long] = {
+    val segs = InvertedIndex.segments(spark, dir)
+    spark.read.option("basePath", dir).parquet(segs.map(s => s"$dir/$s"): _*)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  test("InvertedIndex.delete: unreachable everywhere at commit; BM25 ≡ rebuild-without, bit for bit") {
+    val full = java.nio.file.Files.createTempDirectory("graft_era_full").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_era_reb").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), full)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val before = InvertedIndex.searchBm25(spark, full, terms)
+      val matched = before.select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(matched.length >= 3, "fixture too small to exercise deletion")
+      val dead = matched.take(2).toSeq // provably-reachable docs
+      val n = InvertedIndex.delete(spark, full, dead)
+      assert(n == 2L, s"expected 2 newly erased, got $n")
+
+      // unreachable via every read path, immediately
+      val after = InvertedIndex.searchBm25(spark, full, terms)
+      assert(bm25Rows(after).forall(r => !dead.contains(r._1)))
+      assert(InvertedIndex.readForTerms(spark, full, terms)
+        .filter(col("doc_id").isin(dead: _*)).isEmpty)
+      assert(InvertedIndex.docLengths(spark, full)
+        .filter(col("doc_id").isin(dead: _*)).isEmpty)
+
+      // delete ≡ rebuild-without: scores (stats-adjusted) bit-equal
+      InvertedIndex.write(
+        InvertedIndex.build(docs.filter(!col("doc_id").isin(dead: _*))), rebuilt)
+      assert(bm25Rows(after) == bm25Rows(
+        InvertedIndex.searchBm25(spark, rebuilt, terms)))
+
+      // replay no-op: nothing new tombstoned, no new version committed
+      val v = StoreManifest.currentVersion(spark, full)
+      assert(InvertedIndex.delete(spark, full, dead) == 0L)
+      assert(StoreManifest.currentVersion(spark, full) == v)
+
+      // absent ids are no-ops too
+      assert(InvertedIndex.delete(spark, full, Seq(-1L, Long.MaxValue)) == 0L)
+    } finally { Fs.rmTree(full); Fs.rmTree(rebuilt) }
+  }
+
+  test("InvertedIndex.delete: phrase search forgets; crash-window tomb dir invisible and swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_ph").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val span = InvertedIndex.topSpan(docs)
+      val toks = span.split(' ').toSeq
+      val hits = InvertedIndex.searchPhrase(spark, dir, toks)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(hits.nonEmpty, "top span must occur somewhere")
+      val dead = hits.head
+
+      // CRASH WINDOW: a tomb dir that landed without its commit must be
+      // invisible to readers and swept by vacuum
+      val orphan = new java.io.File(dir, "tomb=t99")
+      import spark.implicits._
+      Seq((dead, 1L)).toDF("doc_id", "dl")
+        .coalesce(1).write.parquet(orphan.toString)
+      assert(InvertedIndex.searchPhrase(spark, dir, toks)
+        .filter(col("doc_id") === dead).count() == 1L,
+        "uncommitted tombstone must not hide the doc")
+      InvertedIndex.vacuum(spark, dir)
+      assert(!orphan.exists(), "vacuum must sweep the unreferenced tomb dir")
+
+      // committed delete: phrase search forgets the doc, keeps the rest
+      InvertedIndex.delete(spark, dir, Seq(dead))
+      val after = InvertedIndex.searchPhrase(spark, dir, toks)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(after.toSeq == hits.filterNot(_ == dead).toSeq)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("InvertedIndex: compact drops erased bytes, shrinks tombstones, search unchanged; erased id re-appendable after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_cmp").toString
+    try {
+      // two segments so a PARTIAL fold exercises the kept-tombstone path
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      InvertedIndex.write(InvertedIndex.build(old), dir)
+      InvertedIndex.append(fresh, dir, "b1")
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val matched = InvertedIndex.searchBm25(spark, dir, terms)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val deadEven = matched.find(_ % 2 == 0).get
+      val deadOdd = matched.find(_ % 2 == 1).get
+      InvertedIndex.delete(spark, dir, Seq(deadEven, deadOdd))
+      val logical = bm25Rows(InvertedIndex.searchBm25(spark, dir, terms))
+      assert(rawDocIds(dir).contains(deadEven), "pre-compact bytes still present")
+
+      // FULL fold: every tombstone physically applies and retires
+      assert(InvertedIndex.compact(spark, dir, targetSegs = 1, retainVersions = 1) == 2)
+      val raw = rawDocIds(dir)
+      assert(!raw.contains(deadEven) && !raw.contains(deadOdd),
+        "compaction must physically drop erased docs")
+      val cur = StoreManifest.currentVersion(spark, dir)
+      assert(StoreManifest.read(spark, dir, cur, "tomb").isEmpty,
+        "a full fold retires every tombstone")
+      assert(Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .forall(f => !f.getName.startsWith("tomb=")),
+        "vacuum at retain=1 sweeps the now-unreferenced tomb dir")
+      assert(bm25Rows(InvertedIndex.searchBm25(spark, dir, terms)) == logical,
+        "physical erasure must not change what search returns")
+
+      // the store has genuinely forgotten: the id is re-appendable
+      InvertedIndex.append(
+        docs.filter(col("doc_id") === deadEven), dir, "b2")
+      assert(InvertedIndex.searchBm25(spark, dir, terms)
+        .filter(col("doc_id") === deadEven).count() == 1L)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("InvertedIndex: PARTIAL compact keeps tombstones for docs in kept segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_part").toString
+    try {
+      // big base (kept by size-tiering) + two small appends (merged)
+      InvertedIndex.write(
+        InvertedIndex.build(docs.filter(col("doc_id") % 4 =!= 1)
+          .filter(col("doc_id") % 4 =!= 2)), dir)
+      InvertedIndex.append(docs.filter(col("doc_id") % 4 === 1), dir, "s1")
+      InvertedIndex.append(docs.filter(col("doc_id") % 4 === 2), dir, "s2")
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val deadKept = ids.find(_ % 4 == 0).get  // lives in the big base
+      val deadMerged = ids.find(_ % 4 == 1).get // lives in a small seg
+      InvertedIndex.delete(spark, dir, Seq(deadKept, deadMerged))
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val logical = bm25Rows(InvertedIndex.searchBm25(spark, dir, terms))
+
+      assert(InvertedIndex.compact(spark, dir, targetSegs = 2, retainVersions = 1) == 2)
+      val cur = StoreManifest.currentVersion(spark, dir)
+      val tomb = InvertedIndex.tombstones(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(tomb == Set(deadKept),
+        s"tombstones must shrink to kept-segment docs, got $tomb")
+      val raw = rawDocIds(dir)
+      assert(!raw.contains(deadMerged), "merged-away doc physically gone")
+      assert(raw.contains(deadKept), "kept-segment doc still physical (masked)")
+      assert(StoreManifest.read(spark, dir, cur, "tomb").nonEmpty)
+      assert(bm25Rows(InvertedIndex.searchBm25(spark, dir, terms)) == logical)
+      assert(InvertedIndex.docLengths(spark, dir)
+        .filter(col("doc_id").isin(deadKept, deadMerged)).isEmpty)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("AnnIndexStore.delete + purgeDeletes: unreturnable at commit, bytes gone at purge, results stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_ann").toString
+    try {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      AnnIndexStore.save(spark, emb, dir, nlist = 16)
+      val probes = emb.filter(col("vec_id") < 5)
+      val before = AnnIndexStore.searchTopK(spark, dir, probes, k = 5, nprobe = 6)
+      // erase two vectors that provably appear as neighbors
+      val dead = before.select("neighbor_id").distinct()
+        .collect().map(_.getLong(0)).sorted.take(2).toSeq
+      assert(AnnIndexStore.delete(spark, dir, dead) == 2L)
+      assert(AnnIndexStore.delete(spark, dir, dead) == 0L, "replay is a no-op")
+
+      val masked = AnnIndexStore.searchTopK(spark, dir, probes, k = 5, nprobe = 6)
+      val maskedRows = masked.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(maskedRows.forall(r => !dead.contains(r._2)),
+        "tombstoned vectors must be unreturnable immediately")
+
+      // purge: bytes gone, tombstones retired, search IDENTICAL
+      val purged = AnnIndexStore.purgeDeletes(spark, dir)
+      assert(purged == 2L, s"expected 2 physically erased, got $purged")
+      assert(spark.read.parquet(s"$dir/lists")
+        .filter(col("vec_id").isin(dead: _*)).isEmpty, "bytes must be gone")
+      assert(!AnnIndexStore.hasTombstones(spark, dir), "tombstones retired")
+      val after = AnnIndexStore.searchTopK(spark, dir, probes, k = 5, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(after == maskedRows, "purge must not change search results")
+
+      // purge with nothing to purge is a no-op
+      assert(AnnIndexStore.purgeDeletes(spark, dir) == 0L)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("AnnIndexStore: crash-window overlap inside a cell dedups away; replayed purge converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_annc").toString
+    try {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      AnnIndexStore.save(spark, emb, dir, nlist = 8)
+      val probes = emb.filter(col("vec_id") < 3)
+      val dead = AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).take(1).toSeq
+      AnnIndexStore.delete(spark, dir, dead)
+      val masked = AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .collect().toSeq
+
+      // simulate the purge crash window: a purge-file landed in a cell
+      // but the superseded originals (and tombstones) are still there —
+      // readers see some vectors TWICE plus the tombstone filter; the
+      // candidate dedup must make this invisible
+      // the overlap must land in a cell the purge will rewrite — the
+      // dead vector's own cell
+      val deadCell = spark.read.parquet(s"$dir/lists")
+        .filter(col("vec_id") === dead.head)
+        .select("list_id").head().getInt(0)
+      val cell = new java.io.File(dir, s"lists/list_id=$deadCell")
+      val f = cell.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(cell, "p0-dup.parquet").toPath)
+      assert(AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .collect().toSeq == masked,
+        "duplicate rows during a crashed purge must not change results")
+
+      // the real purge then converges: dedups the overlap, drops the rest
+      AnnIndexStore.purgeDeletes(spark, dir)
+      val all = spark.read.parquet(s"$dir/lists")
+      assert(all.filter(col("vec_id").isin(dead: _*)).isEmpty)
+      assert(all.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+        "purge must leave each vector exactly once")
+      assert(AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .collect().toSeq == masked)
+    } finally Fs.rmTree(dir)
+  }
+}
