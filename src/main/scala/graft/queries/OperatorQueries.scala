@@ -1049,6 +1049,47 @@ object OperatorQueries extends QueryPack {
     // off the on-disk postings (dl inline) + per-segment _stats
     "s_text_index_bm25" -> graft.operators.InvertedIndex.Bm25OracleSql,
 
+    // hash-grade promotion of the k-core decomposition (VERDICT r10
+    // item 5): DuckDB re-peels the SAME nation co-trade graph with a
+    // recursive CTE whose state is one (level, alive-list) row per
+    // simultaneous-removal wave — survivors(ids, k) = vertices of the
+    // induced subgraph with degree ≥ k; a stable wave advances the
+    // level, an empty list terminates. coreness(v) = (last level v
+    // appears in) − 1, the textbook definition, independent of Spark's
+    // degree-jumping round structure — coreness is unique, so any
+    // correct peel agrees exactly (integer outputs, no float hazard).
+    "s_graph_kcore" ->
+      """WITH RECURSIVE
+        |ed AS (SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+        |              greatest(c_nationkey, s_nationkey) AS b
+        |       FROM lineitem
+        |       JOIN orders   ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey  = c_custkey
+        |       JOIN supplier ON l_suppkey  = s_suppkey
+        |       WHERE c_nationkey <> s_nationkey),
+        |edges AS (SELECT a AS src, b AS dst FROM ed
+        |          UNION SELECT b AS src, a AS dst FROM ed),
+        |peel(k, ids, r) AS (
+        |  SELECT 1, (SELECT list(DISTINCT src ORDER BY src) FROM edges), 0
+        |  UNION ALL
+        |  SELECT CASE WHEN s = ids THEN k + 1 ELSE k END, s, r + 1
+        |  FROM (SELECT k, ids, r,
+        |          (SELECT coalesce(list(src ORDER BY src), [])
+        |           FROM (SELECT e.src, COUNT(*) AS d
+        |                 FROM edges e
+        |                 WHERE list_contains(peel.ids, e.src)
+        |                   AND list_contains(peel.ids, e.dst)
+        |                 GROUP BY e.src)
+        |           WHERE d >= peel.k) AS s
+        |        FROM peel
+        |        WHERE len(ids) > 0)
+        |)
+        |SELECT CAST(u.id AS BIGINT) AS nationkey,
+        |       CAST(MAX(p.k) - 1 AS BIGINT) AS core
+        |FROM peel p, unnest(p.ids) AS u(id)
+        |GROUP BY u.id
+        |ORDER BY nationkey""".stripMargin,
+
     // hash-grade proof of the ERASURE path: same parameterized oracle,
     // DuckDB rebuilding BM25 from scratch over the SURVIVING documents
     // (doc_id % 7 <> 0) — the tombstoned store must reproduce the
