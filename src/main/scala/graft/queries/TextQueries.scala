@@ -181,6 +181,28 @@ object TextQueries extends QueryPack {
         .distinct()
         .agg(count(lit(1)).as("cnt"))),
 
+    // EXACT duplicate-substring detection (operators.SubstrDedup — the
+    // Lee et al. 2022 suffix-range operator): every maximal token span
+    // ≥ 5 tokens that occurs verbatim elsewhere, minus each span's
+    // globally-first (keeper) occurrence. One gram-keyed aggregate +
+    // co-partitioned join-back, then gaps-and-islands over the
+    // duplicate positions — no pairs, no suffix array. (doc_id,
+    // span_start) is a total order: spans are disjoint within a doc.
+    "q_dedup_substring" -> ((s, dir) =>
+      graft.operators.SubstrDedup
+        .duplicateSpans(Tables.t(s, dir, "documents"), 5)
+        .orderBy("doc_id", "span_start")),
+
+    // the REMOVAL pass over the same spans (keep-first cut): each doc's
+    // text with covered tokens dropped — canonical occurrences intact,
+    // fully-duplicated docs become "", sub-minLen docs pass through.
+    // Reconstruction is order-deterministic (sorted (pos, tok) fold),
+    // so the rewritten strings hash-match DuckDB's string_agg twin.
+    "q_dedup_substr_cut" -> ((s, dir) =>
+      graft.operators.SubstrDedup
+        .removeSpans(Tables.t(s, dir, "documents"), 5)
+        .orderBy("doc_id")),
+
     // vocabulary-distribution profile per language: hapax legomena count
     // and the Zipf head share — two stacked aggregates over the exploded
     // token table, no joins
@@ -275,7 +297,63 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "chunk_id"))
   )
 
+  /** Shared CTE prefix of the two substring-dedup oracles — ONE copy of
+    * the window/first-occurrence/island derivation so the detection and
+    * removal twins can never drift (the Bm25ScoreSql doctrine). 5-token
+    * grams (toks[i:i+4] is 5 elements — DuckDB slices inclusively),
+    * first occurrence = min of the same doc_id·2^20+pos encoding Spark
+    * aggregates, islands break when pos > prev + 5.
+    */
+  private val SubstrCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |             array_to_string(toks[i:i+4], ' ') AS gram
+      |      FROM tok, unnest(range(1, len(toks) - 3)) AS t(i)),
+      |g AS (SELECT gram, MIN(doc_id * 1048576 + pos) AS first_enc
+      |      FROM w GROUP BY 1 HAVING COUNT(*) > 1),
+      |dup AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (gram)
+      |        WHERE w.doc_id * 1048576 + w.pos <> g.first_enc),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM dup),
+      |isl AS (SELECT doc_id, pos,
+      |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM m)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // exact duplicate-substring detection: DuckDB re-derives the maximal
+    // duplicated spans from scratch (same gram windows, same keep-first
+    // encoding, same island merge) — integer outputs, hash-exact
+    "q_dedup_substring" ->
+      s"""WITH $SubstrCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+         |       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the removal pass: rebuild each doc from the tokens NO island
+    // covers (string_agg ORDER BY pos ≡ Spark's sorted (pos, tok)
+    // fold); every doc present, fully-covered docs as ''
+    "q_dedup_substr_cut" ->
+      s"""WITH $SubstrCtes,
+         |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+         |       FROM isl GROUP BY doc_id, grp),
+         |alltok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tk
+         |           FROM tok, unnest(range(1, len(toks) + 1)) AS t(i)),
+         |kept AS (SELECT a.doc_id, string_agg(a.tk, ' ' ORDER BY a.pos) AS text
+         |         FROM alltok a
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |                           WHERE sp.doc_id = a.doc_id
+         |                             AND a.pos BETWEEN sp.s AND sp.e)
+         |         GROUP BY a.doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       COALESCE(k.text, '') AS text
+         |FROM documents d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_phrase" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
