@@ -150,6 +150,17 @@ object InvertedIndex {
     spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(s"$segDir/_doclen")
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
       .write.mode("overwrite").parquet(s"$segDir/_stats")
+    // per-term score-bound aux (the MaxScore/WAND dictionary): df plus
+    // the tf/dl extremes that bound any posting's BM25 tf-norm (the
+    // norm is monotone ↑tf, ↓dl). Vocab-sized, term-sorted in ONE file
+    // so a query's terms resolve via rowgroup pushdown; [[searchBm25TopK]]
+    // uses it to skip scoring docs that cannot reach the top-k.
+    spark.read.schema("term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
+      .parquet(segDir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .coalesce(1).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$segDir/_terms")
   }
 
   /** Live segment dirs of the current committed version (empty for a
@@ -649,9 +660,19 @@ object InvertedIndex {
     * sort by the unique doc_id (never by the rounded double — the
     * tie-flip doctrine).
     */
-  def bm25(postings: DataFrame, stats: DataFrame): DataFrame = {
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    postings.select("term", "doc_id", "tf", "dl")
+  def bm25(postings: DataFrame, stats: DataFrame): DataFrame =
+    bm25Over(postings, postings, stats)
+
+  /** [[bm25]] scoring a doc SUBSET: `scorePosts` feeds the per-doc
+    * aggregate while df still counts over `dfPosts` (the full pruned
+    * posting read) — the split [[searchBm25TopK]] needs so MaxScore
+    * pruning shrinks the expensive aggregate without perturbing a
+    * single surviving score.
+    */
+  private def bm25Over(scorePosts: DataFrame, dfPosts: DataFrame,
+                       stats: DataFrame): DataFrame = {
+    val df = dfPosts.groupBy("term").agg(count(lit(1)).as("df"))
+    scorePosts.select("term", "doc_id", "tf", "dl")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
@@ -694,16 +715,12 @@ object InvertedIndex {
           "doc_id BIGINT, n_terms BIGINT, bm25 DOUBLE"))
     }
     val cur = StoreManifest.currentVersion(spark, dir)
-    val wanted = // committed bucket count, never the caller's (ADVICE r10)
-      terms.map(t => bucketOf(t, storedBuckets(spark, dir, buckets))).distinct
-    // erased docs drop out of the candidate set here, and adjustStats
-    // subtracts their (count, dl) from the corpus summary — together the
-    // two make post-delete scores bit-equal to a rebuild without them
-    val posts = minusTombstones(spark, dir, cur, spark.read
-      .option("basePath", dir)
-      .parquet(segs.map(s => s"$dir/$s"): _*)
-      .filter(col("bucket").isin(wanted: _*))
-      .filter(col("term").isin(terms: _*)))
+    // erased docs drop out of the candidate set inside livePosts, and
+    // adjustStats subtracts their (count, dl) from the corpus summary —
+    // together the two make post-delete scores bit-equal to a rebuild
+    // without them. Bucket pruning uses the committed bucket count,
+    // never the caller's (ADVICE r10).
+    val posts = livePosts(spark, dir, terms, buckets, segs, cur)
     val inlined = posts.columns.contains("dl") &&
       segs.forall(s => new java.io.File(s"$dir/$s/_stats").exists())
     if (inlined) bm25(posts, adjustStats(spark, dir, cur, statsOf(spark, dir, segs)))
@@ -718,6 +735,115 @@ object InvertedIndex {
       bm25(posts.drop("dl").join(dls, "doc_id"),
         dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
     }
+  }
+
+  /** The bucket-pruned, tombstone-filtered posting read of one
+    * committed version — shared by [[searchBm25]]'s phases and
+    * [[searchBm25TopK]] so every read in one query resolves the SAME
+    * segment list.
+    */
+  private def livePosts(spark: SparkSession, dir: String, terms: Seq[String],
+                        buckets: Int, segs: Seq[String], cur: Long): DataFrame = {
+    val wanted =
+      terms.map(t => bucketOf(t, storedBuckets(spark, dir, buckets))).distinct
+    minusTombstones(spark, dir, cur, spark.read
+      .option("basePath", dir)
+      .parquet(segs.map(s => s"$dir/$s"): _*)
+      .filter(col("bucket").isin(wanted: _*))
+      .filter(col("term").isin(terms: _*)))
+  }
+
+  /** MaxScore planning for [[searchBm25TopK]]: per-term score UPPER
+    * bounds off the `_terms` aux (df + the tf/dl extremes — the BM25
+    * tf-norm is monotone ↑tf ↓dl, and IEEE rounding preserves
+    * monotonicity when the bound mirrors [[Bm25ScoreSql]]'s operation
+    * sequence, which this does textually), a θ lower bound on the
+    * true k-th score from FULLY scoring the best-bounded term's docs,
+    * and the ESSENTIAL prefix: the smallest bound-descending prefix
+    * whose complement's bound-sum stays below θ. Any doc matching no
+    * essential term scores ≤ that complement sum < θ ≤ true k-th —
+    * provably outside the top-k, so only essential-term docs are ever
+    * aggregated. Returns (essential terms, θ). Soundness margins: the
+    * persisted df counts tombstoned docs, so idf uses df − |tombstones|
+    * (a lower bound — idf decreases in df); θ is a ROUND(·,6) value, so
+    * the prune comparison backs off 1e-6.
+    */
+  def maxScorePlan(spark: SparkSession, dir: String, terms: Seq[String],
+                   k: Int, buckets: Int = 32): (Seq[String], Option[Double]) = {
+    val segs = segments(spark, dir)
+    val cur = StoreManifest.currentVersion(spark, dir)
+    val statsRow = adjustStats(spark, dir, cur, statsOf(spark, dir, segs)).head()
+    val nDocs = statsRow.getLong(0)
+    val totDl = statsRow.getLong(1)
+    val tombCount =
+      if (cur < 0 || StoreManifest.read(spark, dir, cur, "tomb").isEmpty) 0L
+      else tombstonesOf(spark, dir, cur).count()
+    val qTerms = terms.distinct
+    val tr = spark.read.schema("term STRING, df BIGINT, max_tf BIGINT, min_dl BIGINT")
+      .parquet(segs.map(s => s"$dir/$s/_terms"): _*)
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("term").agg(sum("df").as("df"), max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ub: Map[String, Double] = qTerms.map { t =>
+      t -> tr.get(t).map { case (df, maxTf, minDl) =>
+        val dfLb = math.max(1L, df - tombCount)
+        val tf = maxTf.toDouble
+        val dl = minDl.toDouble
+        // textually mirrors Bm25ScoreSql — see monotonicity note above
+        math.log(1.0 + (nDocs - dfLb + 0.5) / (dfLb + 0.5)) * (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (totDl.toDouble / nDocs)))
+      }.getOrElse(0.0)
+    }.toMap
+    val ordered = qTerms.sortBy(t => (-ub(t), t))
+    val posts = livePosts(spark, dir, qTerms, buckets, segs, cur)
+    val stats = adjustStats(spark, dir, cur, statsOf(spark, dir, segs))
+    val c1 = posts.filter(col("term") === ordered.head).select("doc_id")
+    val top1 = bm25Over(posts.join(c1, Seq("doc_id"), "left_semi"), posts, stats)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select("bm25").collect()
+    val theta = if (top1.length < k) None else Some(top1.last.getDouble(0))
+    val essential = theta match {
+      case None => ordered // fewer than k docs seen: no safe prune yet
+      case Some(th) =>
+        val j = (1 to ordered.length)
+          .find(i => ordered.drop(i).map(ub).sum < th - 1e-6)
+          .getOrElse(ordered.length)
+        ordered.take(j)
+    }
+    (essential, theta)
+  }
+
+  /** EXACT BM25 top-k with MaxScore (WAND-lite) early termination:
+    * identical rows to `searchBm25(...).orderBy(bm25 desc, doc_id)
+    * .limit(k)` — same scores to the bit (df still counts the full
+    * pruned postings; only the per-doc aggregate shrinks) — but only
+    * documents matching an ESSENTIAL term (see [[maxScorePlan]]) enter
+    * the scoring aggregate. On a skewed query (one rare high-idf term
+    * among common ones) the common terms' doc sets never aggregate:
+    * the scored-posting-row reduction is measured in InvertedIndexSpec.
+    * Costs one extra tiny job (phase-1 θ probe). Stores predating the
+    * `_terms` aux fall back to the exhaustive scorer — correct,
+    * unpruned.
+    */
+  def searchBm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int, buckets: Int = 32): DataFrame = {
+    val segs = segments(spark, dir)
+    def exhaustive() = searchBm25(spark, dir, terms, buckets)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    val prunable = segs.nonEmpty && segs.forall(s =>
+      new java.io.File(s"$dir/$s/_stats").exists() &&
+        new java.io.File(s"$dir/$s/_terms").exists())
+    if (!prunable) return exhaustive()
+    val cur = StoreManifest.currentVersion(spark, dir)
+    val (essential, _) = maxScorePlan(spark, dir, terms, k, buckets)
+    val posts = livePosts(spark, dir, terms.distinct, buckets, segs, cur)
+    val cands = posts.filter(col("term").isin(essential: _*))
+      .select("doc_id").distinct()
+    bm25Over(posts.join(cands, Seq("doc_id"), "left_semi"), posts,
+        adjustStats(spark, dir, cur, statsOf(spark, dir, segs)))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
   /** The writer's bucket function, computed locally: xxhash64 of the

@@ -854,6 +854,28 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BM25 top-k with MaxScore (WAND-lite) early termination
+    // (InvertedIndex.searchBm25TopK): per-term score bounds off the
+    // per-segment `_terms` aux pick the ESSENTIAL terms; only docs
+    // matching one enter the scoring aggregate, yet every surviving
+    // score is bit-identical to the exhaustive scorer (df still counts
+    // the full pruned postings). DuckDB recomputes the exhaustive
+    // ranking from scratch and takes the same (bm25 DESC, doc_id)
+    // top-10 — a hash mismatch would catch either a wrong score OR an
+    // unsound prune. Pruning power is proven on a skewed query in
+    // InvertedIndexSpec (this corpus's top-trigram terms are uniform).
+    "s_text_bm25_topk" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val docs = Tables.t(s, dir, "documents")
+      val (base, _) = Fixtures.store("invidx", dir) { fx =>
+        InvertedIndex.write(InvertedIndex.build(docs), fx)
+        Map.empty
+      }
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      InvertedIndex.searchBm25TopK(s, base, terms, k = 10)
+        .select(col("doc_id"), col("n_terms"), col("bm25"))
+    }),
+
     // ERASURE through the persisted index (operators.InvertedIndex
     // .delete — the derived-store half of the deleteWhere GDPR story):
     // the fixture clones the committed full index and tombstone-deletes
@@ -1089,6 +1111,15 @@ object OperatorQueries extends QueryPack {
         |FROM peel p, unnest(p.ids) AS u(id)
         |GROUP BY u.id
         |ORDER BY nationkey""".stripMargin,
+
+    // hash-grade proof of the MaxScore top-k: the same shared BM25
+    // oracle, re-ranked (bm25 DESC, doc_id) and cut at 10 — DuckDB is
+    // exhaustive, so the hash catches an unsound prune as well as a
+    // wrong score; doc_id breaks rank-edge ties totally in both engines
+    "s_text_bm25_topk" ->
+      s"""SELECT doc_id, n_terms, bm25
+         |FROM (${graft.operators.InvertedIndex.Bm25OracleSql})
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     // hash-grade proof of the ERASURE path: same parameterized oracle,
     // DuckDB rebuilding BM25 from scratch over the SURVIVING documents

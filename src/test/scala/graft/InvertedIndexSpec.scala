@@ -598,4 +598,74 @@ class InvertedIndexSpec extends SparkSpec {
           s"(buckets $wanted of 32)")
     } finally Fs.rmTree(dir)
   }
+
+  private def topkRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("searchBm25TopK: identical to the exhaustive top-k on real documents, every k") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct :+ "no_such_term"
+      for (k <- Seq(1, 3, 10, 1000)) {
+        val exhaustive = InvertedIndex.searchBm25(spark, dir, terms)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+        assert(topkRows(InvertedIndex.searchBm25TopK(spark, dir, terms, k)) ==
+          topkRows(exhaustive), s"pruned top-$k diverged from exhaustive")
+      }
+    } finally Fs.rmTree(dir)
+  }
+
+  test("searchBm25TopK: skewed query prunes to the essential term; measured row reduction; sound after delete") {
+    import spark.implicits._
+    // 100 docs all matching the common terms; only 3 match the rare one
+    val docs = (0 until 100).map { i =>
+      val rare = if (i < 3) " zebra" else ""
+      (i.toLong, s"c1 c2 x$i y$i$rare")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand_skew").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val terms = Seq("zebra", "c1", "c2")
+      val (essential, theta) = InvertedIndex.maxScorePlan(spark, dir, terms, k = 2)
+      assert(theta.isDefined, "3 zebra docs must yield a k=2 threshold")
+      assert(essential == Seq("zebra"),
+        s"common terms must prune out of the essential set, got $essential")
+      // measured scored-row reduction: only essential-matching docs'
+      // postings enter the aggregate
+      val posts = InvertedIndex.readForTerms(spark, dir, terms)
+      val candDocs = posts.filter(col("term").isin(essential: _*))
+        .select("doc_id").distinct()
+      val scored = posts.join(candDocs, Seq("doc_id"), "left_semi").count()
+      val all = posts.count()
+      assert(scored <= all / 10,
+        s"expected >=10x scored-row reduction, got $scored of $all")
+      // and the pruned result is still exactly the exhaustive one
+      def exhaustive(k: Int) = InvertedIndex.searchBm25(spark, dir, terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      assert(topkRows(InvertedIndex.searchBm25TopK(spark, dir, terms, 2)) ==
+        topkRows(exhaustive(2)))
+      // after erasing a zebra doc the persisted df over-counts; the plan
+      // compensates (df lower bound) and stays exact
+      InvertedIndex.delete(spark, dir, Seq(0L))
+      assert(topkRows(InvertedIndex.searchBm25TopK(spark, dir, terms, 2)) ==
+        topkRows(exhaustive(2)), "post-delete pruned top-k diverged")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("searchBm25TopK: store predating the _terms aux falls back to the exhaustive scorer") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand_leg").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      InvertedIndex.segments(spark, dir).foreach(s =>
+        Fs.rmTree(s"$dir/$s/_terms"))
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val exhaustive = InvertedIndex.searchBm25(spark, dir, terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+      assert(topkRows(InvertedIndex.searchBm25TopK(spark, dir, terms, 5)) ==
+        topkRows(exhaustive))
+    } finally Fs.rmTree(dir)
+  }
 }
