@@ -220,6 +220,45 @@ object RollupNav {
     vacuum(spark, dir)
   }
 
+  /** REPLACE the given days' partials with a fresh aggregate of
+    * `facts` (the post-change fact rows for those days) — the cube's
+    * ERASURE path, completing the deleteWhere story across all three
+    * derived stores (index and ANN tombstone-delete; the cube cannot:
+    * COUNT/SUM retract, but MIN/MAX partials are not retractable, so
+    * erased days RECOMPUTE from the surviving facts — cost tracks the
+    * touched days' fact partitions, never cube or corpus size).
+    *
+    * Same one-rename discipline as [[maintain]]: the touched days'
+    * new files stage and move in (one write job for any day count),
+    * untouched days carry forward verbatim, one manifest rename
+    * commits. A day with NO surviving facts vanishes from the manifest
+    * (its bytes go at the next vacuum). Unlike maintain's deltas this
+    * is content-idempotent — a replay re-derives the same partials —
+    * so no batchId bookkeeping is needed. The previous version stays
+    * readable until vacuum expires it: the same auditable-erasure
+    * window as MergeInto.deleteWhere.
+    */
+  def refreshDays(spark: SparkSession, dir: String, rollup: Rollup,
+                  facts: DataFrame, days: Seq[String]): Unit = {
+    if (days.isEmpty) return
+    graft.plans.RollupRewrite.withoutRouting { // maintenance reads FACTS
+      val cur = StoreManifest.currentVersion(spark, dir)
+      require(cur >= 0,
+        s"refreshDays requires a materialized (manifested) cube at $dir")
+      val (schema, curFiles) = readManifest(spark, dir, cur)
+      val delta = aggregateRollup(
+        facts.filter(col("day").cast("string").isin(days: _*)), rollup)
+      val next = cur + 1
+      val moved = StoreManifest.stageAndMove(spark,
+        new org.apache.hadoop.fs.Path(dir), delta.repartition(col("day")),
+        "day", Some(days.toSet), next)
+      val dayDirs = days.map(d => s"day=${StoreManifest.esc(d)}").toSet
+      val carried = curFiles.filterNot(f => dayDirs.contains(dayOf(f)))
+      commit(spark, dir, next, schema, carried ++ moved, None) // THE commit point
+      vacuum(spark, dir)
+    }
+  }
+
   /** Expire manifests beyond the newest `retain` versions and delete
     * data files no surviving manifest references (crashed-batch orphans
     * included); returns files deleted. retain ≥ 2 keeps the previous

@@ -621,6 +621,40 @@ object OperatorQueries extends QueryPack {
         .orderBy("month", "event_type")
     }),
 
+    // ERASURE through the materialized cube (RollupNav.refreshDays —
+    // the third derived store, closing the deleteWhere loop everywhere):
+    // COUNT/SUM would retract, but MIN/MAX partials cannot, so the
+    // affected days RECOMPUTE from the surviving facts and swap in via
+    // the usual one-rename commit; untouched days carry forward
+    // verbatim. The fixture erases every user_id % 10 == 3 fact; the
+    // measured query is the month answer off the erased cube, which
+    // DuckDB must reproduce from the surviving events — hash-grade.
+    "s_agg_rollup_erase" -> ((s, dir) => {
+      import graft.operators.RollupNav
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      val (fx, _) = Fixtures.store("rollup_erase", dir) { fx =>
+        val fact = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("user_id"),
+            (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+        fact.write.mode("overwrite").parquet(s"$fx/fact")
+        val f = s.read.parquet(s"$fx/fact")
+        RollupNav.materialize(f, shape, s"$fx/cube")
+        val gone = col("user_id") % 10 === 3
+        val days = f.filter(gone).select(col("day").cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        RollupNav.refreshDays(s, s"$fx/cube", shape, f.filter(!gone), days)
+        Map.empty
+      }
+      val a = RollupNav.answer(s, s"$fx/cube", shape,
+        Seq("event_type"), "month").get
+      a.select(col("event_type"), col("grain").as("month"),
+          col("n_rows"), col("v_us_sum").as("sum_us"),
+          col("v_us_min").as("min_us"), col("v_us_max").as("max_us"),
+          (col("v_us_avg").cast("double") / 1e6).as("avg_value"))
+        .orderBy("event_type", "month")
+    }),
+
     // versioned small-file compaction: bootstrap a deliberately
     // fragmented snapshot (repartition(8) → 8 files per status
     // partition), compact to one file each as a NEW manifest version,
@@ -1156,6 +1190,25 @@ object OperatorQueries extends QueryPack {
         |         event_type,
         |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
         |  FROM events)
+        |SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v_us) AS BIGINT) AS sum_us,
+        |  MIN(v_us) AS min_us, MAX(v_us) AS max_us,
+        |  CAST((2 * SUM(v_us) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6
+        |    AS avg_value
+        |FROM ev GROUP BY event_type, month
+        |ORDER BY event_type, month""".stripMargin,
+
+    // hash-grade proof of the cube ERASURE path: DuckDB recomputes the
+    // month answer from the SURVIVING events (user_id % 10 <> 3) while
+    // Spark answers off the refreshDays-erased day rollup — recompute-
+    // and-swap must equal rebuild-without, including min/max (the
+    // non-retractable partials) and the half-up integer avg
+    "s_agg_rollup_erase" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+        |  FROM events WHERE user_id % 10 <> 3)
         |SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(v_us) AS BIGINT) AS sum_us,
         |  MIN(v_us) AS min_us, MAX(v_us) AS max_us,

@@ -80,6 +80,56 @@ class RollupNavSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("refreshDays erasure: cube == materialize-over-survivors; untouched days carried; erased day vanishes; audit window") {
+    import graft.operators.StoreManifest
+    val dir = tmp()
+    val ref = tmp()
+    try {
+      RollupNav.materialize(base, shape, dir)
+      val v0Files = StoreManifest.readFiles(spark, dir, 0L)._2.toSet
+      // erase every 'click' fact from the 3 earliest days, plus EVERY
+      // fact of the 4th day (the vanishing-day case)
+      val days = base.select(col("day").cast("string")).distinct()
+        .orderBy("day").limit(4).collect().map(_.getString(0)).toSeq
+      val gone = (col("day").cast("string").isin(days.take(3): _*) &&
+        col("event_type") === "click") ||
+        col("day").cast("string") === days(3)
+      val kept = base.filter(!gone)
+      RollupNav.refreshDays(spark, dir, shape, kept, days)
+
+      // cube content == a cube materialized from the survivors
+      RollupNav.materialize(kept, shape, ref)
+      val got = RollupNav.readStore(spark, dir)
+      val want = RollupNav.readStore(spark, ref)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "post-erasure cube diverges from materialize-over-survivors")
+      // the erased day's dir is gone from the manifest
+      val v1Files = StoreManifest.readFiles(spark, dir, 1L)._2
+      assert(!v1Files.exists(_.startsWith(s"day=${days(3)}")),
+        "fully-erased day must vanish from the manifest")
+      // untouched days' manifest entries carried VERBATIM (no rewrite)
+      val touched = days.map(d => s"day=$d").toSet
+      assert(v1Files.filterNot(f => touched.contains(f.takeWhile(_ != '/'))).toSet ==
+        v0Files.filterNot(f => touched.contains(f.takeWhile(_ != '/'))),
+        "untouched days must carry forward without rewriting")
+      // audit window: v0 still answers with the pre-erasure facts
+      val v0 = spark.read.option("basePath", dir)
+        .schema(StoreManifest.readFiles(spark, dir, 0L)._1)
+        .parquet(StoreManifest.readFiles(spark, dir, 0L)._2.map(f => s"$dir/$f"): _*)
+      assert(v0.filter(col("day") === days(3)).count() > 0,
+        "previous version must keep the erased day until vacuum")
+      // replay converges (content-idempotent): same store content
+      RollupNav.refreshDays(spark, dir, shape, kept, days)
+      val again = RollupNav.readStore(spark, dir)
+      assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty)
+      // vacuum at retain=1 erases the window physically
+      RollupNav.vacuum(spark, dir, retain = 1)
+      val onDisk = Option(new java.io.File(dir, s"day=${days(3)}").listFiles())
+        .toSeq.flatten
+      assert(onDisk.isEmpty, "erased day's bytes must be gone after vacuum")
+    } finally { Fs.rmTree(dir); Fs.rmTree(ref) }
+  }
+
   test("incremental maintenance == one-shot materialize (merge and new-day paths)") {
     val oneShot = tmp()
     try {
