@@ -208,6 +208,54 @@ class ErasureSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("EraseSink: a stream of deletion requests erases snapshot + index + ANN; identical replays commit nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_era_sink")
+    val snapDir = s"$root/snap"; val idxDir = s"$root/idx"; val annDir = s"$root/ann"
+    try {
+      val corpus = docs.select(col("doc_id"), col("lang"), col("text"))
+      operators.MergeInto.mergeFiles(spark, snapDir, corpus,
+        Seq("doc_id"), "lang")
+      InvertedIndex.write(InvertedIndex.build(docs), idxDir)
+      AnnIndexStore.save(spark, Tables.t(spark, sfDir, "embeddings"),
+        annDir, nlist = 16)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val dead = InvertedIndex.searchBm25(spark, idxDir, terms)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.take(2).toSeq
+
+      val in = MemoryStream[Long]
+      val q = streaming.EraseSink.start(in.toDF().withColumnRenamed("value", "doc_id"),
+        snapDir, "lang", Some(idxDir), Some(annDir),
+        s"$root/ckpt")
+      try {
+        in.addData(dead: _*); q.processAllAvailable()
+        // gone everywhere, atomically with each store's commit
+        assert(operators.MergeInto.readSnapshot(spark, snapDir)
+          .filter(col("doc_id").isin(dead: _*)).isEmpty, "snapshot still holds erased docs")
+        assert(InvertedIndex.searchBm25(spark, idxDir, terms)
+          .filter(col("doc_id").isin(dead: _*)).isEmpty, "index still serves erased docs")
+        assert(AnnIndexStore.loadTombstones(spark, annDir)
+          .collect().map(_.getLong(0)).toSet == dead.toSet,
+          "ANN tombstones must cover exactly the erased ids")
+        // a second trigger with the SAME ids (the at-least-once shape)
+        // converges without committing any new store version
+        val snapV = operators.MergeInto.currentVersion(spark, snapDir)
+        val idxV = operators.StoreManifest.currentVersion(spark, idxDir)
+        val tombFiles = new java.io.File(s"$annDir/_tombstones").listFiles().length
+        in.addData(dead: _*); q.processAllAvailable()
+        assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
+          operators.StoreManifest.currentVersion(spark, idxDir) == idxV &&
+          new java.io.File(s"$annDir/_tombstones").listFiles().length == tombFiles,
+          "replaying an applied erase batch must commit nothing")
+        // ids the corpus never held are absorbed silently
+        in.addData(Seq(-5L, Long.MaxValue): _*); q.processAllAvailable()
+        assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV)
+      } finally q.stop()
+    } finally Fs.rmTree(root.toString)
+  }
+
   test("AnnIndexStore: crash-window overlap inside a cell dedups away; replayed purge converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_era_annc").toString
     try {
