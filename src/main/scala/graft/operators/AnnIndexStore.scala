@@ -121,11 +121,18 @@ object AnnIndexStore {
     * must not be re-appended while its tombstone lives (the tombstone
     * would mask it, and the purge would erase it) — purge first.
     */
-  def delete(spark: SparkSession, vecIds: DataFrame, dir: String): Long = {
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // membership semi-join (a vec_id-column-pruned scan): ids never
+    // indexed are dropped, matching the documented contract and
+    // InvertedIndex.delete — without it an erasure request racing ahead
+    // of the ingest pipeline would tombstone the id and silently mask
+    // the vector when it later arrives (review r11)
     val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .join(spark.read.parquet(s"$dir/lists").select("vec_id"),
+        Seq("vec_id"), "left_semi")
     val existing = loadTombstones(spark, dir)
     val newly = ids.join(existing, Seq("vec_id"), "left_anti").localCheckpoint()
     val n = newly.count()
@@ -150,7 +157,7 @@ object AnnIndexStore {
   /** [[delete]] for a literal id list. */
   def delete(spark: SparkSession, dir: String, vecIds: Seq[Long]): Long = {
     import spark.implicits._
-    delete(spark, vecIds.toDF("vec_id"), dir)
+    delete(spark, dir, vecIds.toDF("vec_id"))
   }
 
   val TombDir = "_tombstones"

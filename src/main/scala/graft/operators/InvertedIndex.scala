@@ -479,9 +479,14 @@ object InvertedIndex {
     oldTomb.unionByName(newly).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     graft.Fs.atomicMove(tmp.toString, new java.io.File(dir, tombName).toString)
+    // carry the committed bucket line VERBATIM (0 or 1 lines): delete
+    // takes no buckets parameter, and inventing the 32 default here
+    // would poison a pre-buckets-line store written with another count
+    // — every later search would prune with the wrong modulus (review
+    // r11; the exact ADVICE-r10 failure this line exists to prevent)
     StoreManifest.commit(spark, dir, next, // THE commit point
-      s"buckets\t${storedBuckets(spark, dir, 32)}" +:
-        s"tomb\t$tombName" +: segs.sorted.map("seg\t" + _))
+      StoreManifest.read(spark, dir, cur, "buckets").map("buckets\t" + _) ++
+        (s"tomb\t$tombName" +: segs.sorted.map("seg\t" + _)))
     vacuum(spark, dir)
     n
   }
@@ -770,15 +775,37 @@ object InvertedIndex {
     */
   def maxScorePlan(spark: SparkSession, dir: String, terms: Seq[String],
                    k: Int, buckets: Int = 32): (Seq[String], Option[Double]) = {
+    val qTerms = terms.distinct
+    require(qTerms.nonEmpty, "maxScorePlan requires at least one query term")
     val segs = segments(spark, dir)
+    require(segs.nonEmpty && segs.forall(s =>
+      new java.io.File(s"$dir/$s/_stats").exists() &&
+        new java.io.File(s"$dir/$s/_terms").exists()),
+      s"maxScorePlan requires every live segment under $dir to carry the " +
+        "_stats and _terms aux (searchBm25TopK falls back to the " +
+        "exhaustive scorer for such stores)")
     val cur = StoreManifest.currentVersion(spark, dir)
-    val statsRow = adjustStats(spark, dir, cur, statsOf(spark, dir, segs)).head()
+    maxScorePlanResolved(spark, dir, qTerms, k, segs, cur,
+      livePosts(spark, dir, qTerms, buckets, segs, cur),
+      adjustStats(spark, dir, cur, statsOf(spark, dir, segs)))
+  }
+
+  /** [[maxScorePlan]] over an already-resolved (segments, version,
+    * postings, stats) — the form [[searchBm25TopK]] uses so one query
+    * resolves the manifest and builds the pruned posting/stats reads
+    * exactly once (review r11).
+    */
+  private def maxScorePlanResolved(spark: SparkSession, dir: String,
+                                   qTerms: Seq[String], k: Int,
+                                   segs: Seq[String], cur: Long,
+                                   posts: DataFrame, stats: DataFrame)
+      : (Seq[String], Option[Double]) = {
+    val statsRow = stats.head()
     val nDocs = statsRow.getLong(0)
     val totDl = statsRow.getLong(1)
     val tombCount =
       if (cur < 0 || StoreManifest.read(spark, dir, cur, "tomb").isEmpty) 0L
       else tombstonesOf(spark, dir, cur).count()
-    val qTerms = terms.distinct
     val tr = spark.read.schema("term STRING, df BIGINT, max_tf BIGINT, min_dl BIGINT")
       .parquet(segs.map(s => s"$dir/$s/_terms"): _*)
       .filter(col("term").isin(qTerms: _*))
@@ -797,8 +824,6 @@ object InvertedIndex {
       }.getOrElse(0.0)
     }.toMap
     val ordered = qTerms.sortBy(t => (-ub(t), t))
-    val posts = livePosts(spark, dir, qTerms, buckets, segs, cur)
-    val stats = adjustStats(spark, dir, cur, statsOf(spark, dir, segs))
     val c1 = posts.filter(col("term") === ordered.head).select("doc_id")
     val top1 = bm25Over(posts.join(c1, Seq("doc_id"), "left_semi"), posts, stats)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
@@ -830,19 +855,24 @@ object InvertedIndex {
   def searchBm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
                      k: Int, buckets: Int = 32): DataFrame = {
     val segs = segments(spark, dir)
+    val qTerms = terms.distinct
     def exhaustive() = searchBm25(spark, dir, terms, buckets)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
-    val prunable = segs.nonEmpty && segs.forall(s =>
+    val prunable = qTerms.nonEmpty && segs.nonEmpty && segs.forall(s =>
       new java.io.File(s"$dir/$s/_stats").exists() &&
         new java.io.File(s"$dir/$s/_terms").exists())
     if (!prunable) return exhaustive()
+    // resolve the store ONCE: segments, version, pruned postings and
+    // adjusted stats are shared by the planning probe and the final
+    // scoring (review r11 — the first cut rebuilt all four twice)
     val cur = StoreManifest.currentVersion(spark, dir)
-    val (essential, _) = maxScorePlan(spark, dir, terms, k, buckets)
-    val posts = livePosts(spark, dir, terms.distinct, buckets, segs, cur)
+    val posts = livePosts(spark, dir, qTerms, buckets, segs, cur)
+    val stats = adjustStats(spark, dir, cur, statsOf(spark, dir, segs))
+    val (essential, _) =
+      maxScorePlanResolved(spark, dir, qTerms, k, segs, cur, posts, stats)
     val cands = posts.filter(col("term").isin(essential: _*))
       .select("doc_id").distinct()
-    bm25Over(posts.join(cands, Seq("doc_id"), "left_semi"), posts,
-        adjustStats(spark, dir, cur, statsOf(spark, dir, segs)))
+    bm25Over(posts.join(cands, Seq("doc_id"), "left_semi"), posts, stats)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 

@@ -957,7 +957,7 @@ object OperatorQueries extends QueryPack {
           Map.empty
         }
         graft.Fs.cpTree(full, fx)
-        AnnIndexStore.delete(s, emb.filter(deadPred).select("vec_id"), fx)
+        AnnIndexStore.delete(s, fx, emb.filter(deadPred).select("vec_id"))
         Map.empty
       }
       AnnIndexStore.searchTopK(s, base, emb.filter(col("vec_id") < 10),

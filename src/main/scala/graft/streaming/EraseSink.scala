@@ -52,12 +52,19 @@ object EraseSink {
           // the request batch is ticket-sized by nature; collect once so
           // the snapshot predicate and both tombstone frames agree even
           // if the source re-evaluates non-deterministically
-          val ids = batch.select(col("doc_id").cast("long"))
+          // null or malformed ids drop instead of killing the query
+          // (try_cast, not ANSI cast) — a poisoned request must not
+          // wedge the erasure queue forever on checkpoint replay
+          // (review r11)
+          val ids = batch.selectExpr("try_cast(doc_id AS LONG) AS doc_id")
+            .filter(col("doc_id").isNotNull)
             .distinct().collect().map(_.getLong(0)).toSeq
-          MergeInto.deleteWhere(spark, snapshotDir,
-            col("doc_id").isin(ids: _*), partitionCol)
-          indexDir.foreach(d => InvertedIndex.delete(spark, d, ids))
-          annDir.foreach(d => AnnIndexStore.delete(spark, d, ids))
+          if (ids.nonEmpty) {
+            MergeInto.deleteWhere(spark, snapshotDir,
+              col("doc_id").isin(ids: _*), partitionCol)
+            indexDir.foreach(d => InvertedIndex.delete(spark, d, ids))
+            annDir.foreach(d => AnnIndexStore.delete(spark, d, ids))
+          }
         }
         ()
       }

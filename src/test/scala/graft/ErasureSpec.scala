@@ -72,6 +72,39 @@ class ErasureSpec extends SparkSpec {
     } finally { Fs.rmTree(full); Fs.rmTree(rebuilt) }
   }
 
+  test("InvertedIndex.delete on a pre-buckets-line manifest carries NO invented bucket count") {
+    // review r11: delete stamping the 32 fallback into the manifest
+    // would poison a pre-r11 store written with another bucket count —
+    // every later search would prune with the wrong modulus
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_b8").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir, buckets = 8)
+      // simulate the pre-buckets-line era: rewrite v0 without the line
+      val lines = StoreManifest.readLines(spark, dir, 0L)
+        .filterNot(_.startsWith("buckets\t"))
+      val m = new java.io.File(dir, s"${StoreManifest.ManifestDir}/v0.manifest")
+      java.nio.file.Files.write(m.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      // drop Hadoop LocalFS's checksum sidecar — the raw rewrite above
+      // invalidated it
+      java.nio.file.Files.deleteIfExists(new java.io.File(
+        dir, s"${StoreManifest.ManifestDir}/.v0.manifest.crc").toPath)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      val before = bm25Rows(InvertedIndex.searchBm25(spark, dir, terms, buckets = 8))
+      assert(before.nonEmpty)
+      val dead = before.head._1
+      assert(InvertedIndex.delete(spark, dir, Seq(dead)) == 1L)
+      assert(StoreManifest.read(spark, dir, 1L, "buckets").isEmpty,
+        "delete must not invent a bucket count the store was not written with")
+      // the caller's buckets=8 fallback still reaches the right dirs —
+      // the wrong-modulus bug would lose most candidates (scores shift
+      // legitimately post-delete, so compare the doc set)
+      val after = bm25Rows(InvertedIndex.searchBm25(spark, dir, terms, buckets = 8))
+      assert(after.map(_._1) == before.map(_._1).filterNot(_ == dead),
+        "post-delete search through the legacy fallback lost candidates")
+    } finally Fs.rmTree(dir)
+  }
+
   test("InvertedIndex.delete: phrase search forgets; crash-window tomb dir invisible and swept") {
     val dir = java.nio.file.Files.createTempDirectory("graft_era_ph").toString
     try {
@@ -186,6 +219,8 @@ class ErasureSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.take(2).toSeq
       assert(AnnIndexStore.delete(spark, dir, dead) == 2L)
       assert(AnnIndexStore.delete(spark, dir, dead) == 0L, "replay is a no-op")
+      assert(AnnIndexStore.delete(spark, dir, Seq(-1L, Long.MaxValue)) == 0L,
+        "ids never indexed must not tombstone (they would mask a later append)")
 
       val masked = AnnIndexStore.searchTopK(spark, dir, probes, k = 5, nprobe = 6)
       val maskedRows = masked.collect().map(r =>
@@ -225,12 +260,14 @@ class ErasureSpec extends SparkSpec {
       val dead = InvertedIndex.searchBm25(spark, idxDir, terms)
         .select("doc_id").collect().map(_.getLong(0)).sorted.take(2).toSeq
 
-      val in = MemoryStream[Long]
+      // a STRING-typed queue: the public shape of a ticket stream, and
+      // it lets the poisoned-request case (non-castable id) in below
+      val in = MemoryStream[String]
       val q = streaming.EraseSink.start(in.toDF().withColumnRenamed("value", "doc_id"),
         snapDir, "lang", Some(idxDir), Some(annDir),
         s"$root/ckpt")
       try {
-        in.addData(dead: _*); q.processAllAvailable()
+        in.addData(dead.map(_.toString): _*); q.processAllAvailable()
         // gone everywhere, atomically with each store's commit
         assert(operators.MergeInto.readSnapshot(spark, snapDir)
           .filter(col("doc_id").isin(dead: _*)).isEmpty, "snapshot still holds erased docs")
@@ -244,14 +281,18 @@ class ErasureSpec extends SparkSpec {
         val snapV = operators.MergeInto.currentVersion(spark, snapDir)
         val idxV = operators.StoreManifest.currentVersion(spark, idxDir)
         val tombFiles = new java.io.File(s"$annDir/_tombstones").listFiles().length
-        in.addData(dead: _*); q.processAllAvailable()
+        in.addData(dead.map(_.toString): _*); q.processAllAvailable()
         assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
           operators.StoreManifest.currentVersion(spark, idxDir) == idxV &&
           new java.io.File(s"$annDir/_tombstones").listFiles().length == tombFiles,
           "replaying an applied erase batch must commit nothing")
-        // ids the corpus never held are absorbed silently
-        in.addData(Seq(-5L, Long.MaxValue): _*); q.processAllAvailable()
-        assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV)
+        // ids the corpus never held, and POISONED ids that cast to null,
+        // are absorbed silently — neither wedges the queue nor commits
+        in.addData("-5", Long.MaxValue.toString, "not-a-doc-id")
+        q.processAllAvailable()
+        assert(q.isActive, "a poisoned request must not kill the query")
+        assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
+          new java.io.File(s"$annDir/_tombstones").listFiles().length == tombFiles)
       } finally q.stop()
     } finally Fs.rmTree(root.toString)
   }

@@ -654,18 +654,24 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
-  test("searchBm25TopK: store predating the _terms aux falls back to the exhaustive scorer") {
+  test("searchBm25TopK: store predating the _terms aux falls back to the exhaustive scorer; guards hold") {
     val docs = Tables.t(spark, sfDir, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_wand_leg").toString
     try {
       InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
+      // empty term list answers empty instead of crashing the planner
+      assert(InvertedIndex.searchBm25TopK(spark, dir, Seq.empty, 5).isEmpty)
       InvertedIndex.segments(spark, dir).foreach(s =>
         Fs.rmTree(s"$dir/$s/_terms"))
-      val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
       val exhaustive = InvertedIndex.searchBm25(spark, dir, terms)
         .orderBy(col("bm25").desc, col("doc_id")).limit(5)
       assert(topkRows(InvertedIndex.searchBm25TopK(spark, dir, terms, 5)) ==
         topkRows(exhaustive))
+      // direct maxScorePlan on the aux-less store names its contract
+      val e = intercept[IllegalArgumentException](
+        InvertedIndex.maxScorePlan(spark, dir, terms, 5))
+      assert(e.getMessage.contains("_terms"), s"unhelpful error: $e")
     } finally Fs.rmTree(dir)
   }
 }
