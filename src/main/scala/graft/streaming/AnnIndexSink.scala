@@ -29,12 +29,26 @@ object AnnIndexSink {
 
   /** Start the sink over a stream with (vec_id, embedding) columns;
     * `dir` must hold an index built by [[AnnIndexStore.save]].
+    *
+    * `maxTombstones` > 0 folds physical erasure into the maintenance
+    * loop (the [[IndexSink]] auto-compact symmetry — there, compaction
+    * retires the full-text tombstones as a side effect): once the
+    * accumulated [[AnnIndexStore.delete]] tombstones reach the bound,
+    * the trigger runs [[AnnIndexStore.purgeDeletes]] after its append —
+    * safe because the sink is the store's single writer and purge is
+    * replay-convergent, and bounded because the read path's tombstone
+    * anti-join never grows past `maxTombstones` ids.
     */
-  def start(vectors: DataFrame, dir: String, checkpoint: String): StreamingQuery =
+  def start(vectors: DataFrame, dir: String, checkpoint: String,
+            maxTombstones: Int = 0): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         if (!batch.isEmpty)
-          AnnIndexStore.appendBatch(batch.sparkSession, batch, dir, batchId)
+          AnnIndexStore.appendBatch(spark, batch, dir, batchId)
+        if (maxTombstones > 0 && AnnIndexStore.hasTombstones(spark, dir) &&
+            AnnIndexStore.loadTombstones(spark, dir).count() >= maxTombstones)
+          AnnIndexStore.purgeDeletes(spark, dir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -297,6 +297,43 @@ class ErasureSpec extends SparkSpec {
     } finally Fs.rmTree(root.toString)
   }
 
+  test("AnnIndexSink maxTombstones: the maintenance stream purges accumulated deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_era_autop")
+    val dir = s"$root/ann"
+    try {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      AnnIndexStore.save(spark, emb.filter(col("vec_id") >= 100), dir, nlist = 8)
+      val probes = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      val dead = AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .select("neighbor_id").distinct().collect().map(_.getLong(0)).take(2).toSeq
+      AnnIndexStore.delete(spark, dir, dead)
+      val masked = AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+        .collect().toSeq
+      // stream one append batch through the maintenance sink — the
+      // threshold (2) is met, so the trigger purges after appending
+      val newRows = emb.filter(col("vec_id") < 100)
+        .select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toSeq
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.AnnIndexSink.start(in.toDF().toDF("vec_id", "embedding"),
+        dir, s"$root/ckpt", maxTombstones = 2)
+      try { in.addData(newRows: _*); q.processAllAvailable() } finally q.stop()
+      assert(!AnnIndexStore.hasTombstones(spark, dir),
+        "the sink must purge once tombstones reach the bound")
+      assert(spark.read.parquet(s"$dir/lists")
+        .filter(col("vec_id").isin(dead: _*)).isEmpty, "bytes must be gone")
+      // erased stays erased AND the appended vectors are searchable
+      val after = AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
+      assert(after.filter(col("neighbor_id").isin(dead: _*)).isEmpty)
+      assert(spark.read.parquet(s"$dir/lists")
+        .filter(col("vec_id") < 100).count() > 0, "append must have landed")
+      assert(masked.nonEmpty && after.count() > 0)
+    } finally Fs.rmTree(root.toString)
+  }
+
   test("AnnIndexStore: crash-window overlap inside a cell dedups away; replayed purge converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_era_annc").toString
     try {
