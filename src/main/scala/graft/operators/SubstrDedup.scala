@@ -37,12 +37,13 @@ import org.apache.spark.sql.functions._
   * to tune (contrast NgramJaccard's df cutoff — this operator never
   * materializes pairs). The island merge runs over the DUPLICATE
   * positions only (corpus-duplication-sized, partitioned by doc). At
-  * 100 TB the gram bytes dominate the exchange; the standard trim is a
-  * first-pass group on xxhash64(gram) with the gram text carried only
-  * into groups of size > 1 — kept out of this implementation because
-  * exactness-by-construction (grouping on the text itself) is the
-  * operator's contract and the hash variant's collision handling buys
-  * ~2× exchange width at the cost of a second pass.
+  * 100 TB the gram bytes dominate the exchange; `hashPrefilter = true`
+  * trims it — a first-pass group on xxhash64(gram) (8-byte keys) keeps
+  * the gram TEXT out of the wide exchange for every window whose hash
+  * is unique, and the exact gram-keyed pass then runs over the
+  * duplicated slice alone. Exactness is preserved by construction (see
+  * [[duplicatePositions]]); the default stays direct because at
+  * test-fixture scale the second pass costs more than it saves.
   *
   * Detection ([[duplicateSpans]]) and removal ([[removeSpans]]) are
   * both deterministic integer/string logic end-to-end — DuckDB twins
@@ -74,10 +75,29 @@ object SubstrDedup {
 
   /** Duplicate-marked window positions: every (doc_id, pos) whose gram
     * occurs elsewhere, EXCEPT the gram's globally-first occurrence.
+    *
+    * `hashPrefilter` is the 100 TB exchange-width valve, EXACTNESS
+    * PRESERVED: pass 1 aggregates on xxhash64(gram) — an 8-byte key
+    * instead of the minLen-token text — and only windows whose HASH
+    * repeats (duplicated grams plus the rare colliding strangers) carry
+    * their text into the exact gram-keyed pass 2. A duplicated gram's
+    * hash necessarily repeats, so no duplicate escapes the prefilter;
+    * a collision-survivor whose exact group has one member is simply
+    * not marked in pass 2 — so the result is identical to the direct
+    * form (SubstrDedupSpec pins ≡ on the hand corpus and real
+    * documents). Worth it when the corpus dwarfs its duplication: the
+    * wide text shuffle shrinks from every window to the duplicated
+    * ones.
     */
   private def duplicatePositions(docs: DataFrame, minLen: Int,
-                                 idCol: String, textCol: String): DataFrame = {
-    val w = windows(docs, minLen, idCol, textCol)
+                                 idCol: String, textCol: String,
+                                 hashPrefilter: Boolean): DataFrame = {
+    val w0 = windows(docs, minLen, idCol, textCol)
+    val w = if (!hashPrefilter) w0 else {
+      val wh = w0.withColumn("h", xxhash64(col("gram")))
+      val hot = wh.groupBy("h").agg(count(lit(1)).as("hc")).filter(col("hc") > 1)
+      wh.join(hot.select("h"), Seq("h"), "left_semi").drop("h")
+    }
     val enc = col("doc_id") * MaxDocTokens + col("pos")
     val grams = w.groupBy("gram")
       .agg(count(lit(1)).as("c"), min(enc).as("first_enc"))
@@ -94,9 +114,10 @@ object SubstrDedup {
     * every span is NOT reported — it is the keeper.
     */
   def duplicateSpans(docs: DataFrame, minLen: Int, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     hashPrefilter: Boolean = false): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    duplicatePositions(docs, minLen, idCol, textCol)
+    duplicatePositions(docs, minLen, idCol, textCol, hashPrefilter)
       .withColumn("prev", lag("pos", 1).over(byPos))
       // all windows share length minLen, so islands break exactly when
       // the previous window [prev, prev+L) neither overlaps nor abuts
@@ -119,8 +140,9 @@ object SubstrDedup {
     * docs shorter than minLen pass through verbatim).
     */
   def removeSpans(docs: DataFrame, minLen: Int, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, minLen, idCol, textCol)
+                  textCol: String = "text",
+                  hashPrefilter: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(docs, minLen, idCol, textCol, hashPrefilter)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .withColumn("pos", col("pos").cast("long"))

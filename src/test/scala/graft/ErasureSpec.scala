@@ -72,6 +72,30 @@ class ErasureSpec extends SparkSpec {
     } finally { Fs.rmTree(full); Fs.rmTree(rebuilt) }
   }
 
+  test("tombstone filters do not break the bucket-pruned scan") {
+    // the anti-join sits ABOVE the posting scan — PartitionFilters must
+    // still prune to the probed buckets with tombstones present
+    val dir = java.nio.file.Files.createTempDirectory("graft_era_prune").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs), dir)
+      val toks = InvertedIndex.topSpan(docs).split(' ').toSeq
+      val dead = InvertedIndex.searchPhrase(spark, dir, toks)
+        .select("doc_id").head().getLong(0)
+      InvertedIndex.delete(spark, dir, Seq(dead))
+      val scan = InvertedIndex.readForTerms(spark, dir, toks)
+      scan.collect()
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [bucket"),
+        s"bucket pruning lost under the tombstone anti-join:\n$plan")
+      val wanted = toks.map(t => InvertedIndex.bucketOf(t, 32)).distinct.size
+      val opened = PlanDigest.nodes(scan.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metrics("numFiles").value > 0 => f.metrics("numFiles").value }
+      assert(opened.contains(wanted.toLong),
+        s"posting scan opened $opened files, expected the $wanted probed buckets")
+    } finally Fs.rmTree(dir)
+  }
+
   test("InvertedIndex.delete on a pre-buckets-line manifest carries NO invented bucket count") {
     // review r11: delete stamping the 32 fallback into the manifest
     // would poison a pre-r11 store written with another bucket count —

@@ -50,6 +50,20 @@ class SubstrDedupSpec extends SparkSpec {
       5L -> ""))
   }
 
+  test("hashPrefilter: the 100TB exchange-width path is result-identical to the direct form") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // hand corpus (includes self-repeats and full-coverage docs)
+    assert(rows(SubstrDedup.duplicateSpans(corpus, 3, hashPrefilter = true)) ==
+      rows(SubstrDedup.duplicateSpans(corpus, 3)))
+    assert(rows(SubstrDedup.removeSpans(corpus, 3, hashPrefilter = true)) ==
+      rows(SubstrDedup.removeSpans(corpus, 3)))
+    // real documents
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(rows(SubstrDedup.duplicateSpans(docs, 5, hashPrefilter = true)) ==
+      rows(SubstrDedup.duplicateSpans(docs, 5)))
+  }
+
   test("real documents: every reported span is genuinely duplicated and removal is exactly the reported coverage") {
     val docs = Tables.t(spark, sfDir, "documents")
     val minLen = 5
