@@ -178,6 +178,26 @@ object AnnIndexStore {
     tombFiles(fs, tombDir).nonEmpty
   }
 
+  /** Total accumulated tombstoned ids, summed from the tombstone
+    * files' parquet FOOTERS driver-side — no Spark job. Exact because
+    * [[delete]] writes only newly-tombstoned ids (anti-joined against
+    * the existing set), so the files are disjoint. This is what lets a
+    * per-trigger maxTombstones check ([[graft.streaming.AnnIndexSink]])
+    * stay O(files) metadata reads instead of launching a cluster count
+    * on every micro-batch (ADVICE r11).
+    */
+  def tombstoneCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val tombDir = new Path(new Path(dir), TombDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = tombDir.getFileSystem(conf)
+    tombFiles(fs, tombDir).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Accumulated tombstoned vec_ids (empty frame if none). */
   def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path

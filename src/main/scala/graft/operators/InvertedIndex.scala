@@ -91,15 +91,45 @@ object InvertedIndex {
     * and append path resolves INSTEAD of trusting the caller's
     * parameter (ADVICE r10: a mismatched caller default made searches
     * prune the wrong bucket dirs and silently miss postings; compact
-    * could even re-bucket a store out from under its readers). Falls
-    * back to `fallback` only for legacy un-manifested stores and for
-    * manifests that predate the line.
+    * could even re-bucket a store out from under its readers).
+    *
+    * When the manifest predates the buckets line (or the dir is a
+    * legacy un-manifested store), the modulus is DERIVED from the
+    * segments' own `bucket=` dirs (max value + 1 — exact whenever any
+    * segment populates its top bucket, overwhelmingly likely under
+    * xxhash64's uniform spread for any real term count) instead of
+    * trusting the caller's default: append/compact STAMP this value
+    * into the next manifest, and stamping the 32 fallback into a store
+    * written with another count would bake the wrong modulus in
+    * permanently — the exact poisoning delete() carries its line
+    * verbatim to avoid (ADVICE r11). `fallback` is reached only for a
+    * store with no line AND no segment dirs (nothing to prune anyway).
+    *
+    * Derivation reads only COMMITTED segments (the current manifest's
+    * `seg` lines; for an un-manifested legacy dir, its on-disk `seg=`
+    * dirs). Callers that stage a new segment and then commit must
+    * resolve the count ONCE, BEFORE staging — a post-stage call would
+    * derive from the segment just written and, on a fresh store whose
+    * first small batch leaves the top bucket empty, under-stamp the
+    * modulus its own data was bucketed with.
     */
   def storedBuckets(spark: SparkSession, dir: String, fallback: Int): Int = {
     val cur = StoreManifest.currentVersion(spark, dir)
-    if (cur < 0) fallback
-    else StoreManifest.read(spark, dir, cur, "buckets")
-      .headOption.map(_.toInt).getOrElse(fallback)
+    val line =
+      if (cur < 0) None
+      else StoreManifest.read(spark, dir, cur, "buckets").headOption.map(_.toInt)
+    line.getOrElse {
+      val segs =
+        if (cur >= 0) StoreManifest.read(spark, dir, cur, "seg")
+        else Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.startsWith("seg="))
+      val bucketVals = for {
+        s <- segs
+        d <- Option(new java.io.File(dir, s).listFiles()).toSeq.flatten
+        n = d.getName if n.startsWith("bucket=")
+      } yield n.stripPrefix("bucket=").toInt
+      if (bucketVals.isEmpty) fallback else bucketVals.max + 1
+    }
   }
 
   /** First generated segment name (index ≥ `from`) that no retained
@@ -203,6 +233,10 @@ object InvertedIndex {
       else Option(new java.io.File(dir).listFiles()).toSeq.flatten // legacy adopt
         .map(_.getName).filter(_.startsWith("seg="))
     if (live.contains(s"seg=$seg")) return false // committed already: replay no-op
+    // resolved ONCE, before staging: the post-stage dir must not feed
+    // the derivation path (see storedBuckets) — write and stamp must
+    // agree on the same modulus
+    val b = storedBuckets(spark, dir, buckets)
     val segDir = new java.io.File(dir, s"seg=$seg")
     if (!segDir.exists()) { // else: crashed between rename and commit — data is whole
       val tmp = new java.io.File(dir, s".tmp_seg_$seg") // dot: reader-invisible
@@ -210,7 +244,7 @@ object InvertedIndex {
       // append joins an existing store: the store's committed bucket
       // count wins over the caller's parameter — a segment bucketed
       // differently from its siblings would be pruned wrongly forever
-      writeSegment(build(docs), tmp.toString, storedBuckets(spark, dir, buckets))
+      writeSegment(build(docs), tmp.toString, b)
       graft.Fs.atomicMove(tmp.toString, segDir.toString)
     } else {
       // the crash-window heal (adopt an existing complete dir) is only
@@ -233,7 +267,7 @@ object InvertedIndex {
     // erased set
     val tombs = if (cur >= 0) StoreManifest.read(spark, dir, cur, "tomb") else Nil
     StoreManifest.commit(spark, dir, cur + 1, // THE commit point
-      s"buckets\t${storedBuckets(spark, dir, buckets)}" +:
+      s"buckets\t$b" +:
         (tombs.sorted.map("tomb\t" + _) ++
           (live :+ s"seg=$seg").sorted.map("seg\t" + _)))
     // appends carry every live segment forward, so expiring old

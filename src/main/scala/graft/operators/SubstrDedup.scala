@@ -63,9 +63,16 @@ object SubstrDedup {
     docs.select(col(idCol).cast("long").as("doc_id"),
         split(col(textCol), " ").as("toks"))
       // as a FILTER (always-true: assert_true yields NULL or throws) so
-      // column pruning cannot optimize the guard away
-      .filter(expr(s"assert_true(size(toks) < $MaxDocTokens, " +
-        s"'SubstrDedup: document exceeds $MaxDocTokens tokens') IS NULL"))
+      // column pruning cannot optimize the guard away. Both encoding
+      // factors are guarded: pos < 2^20 AND 0 <= doc_id < MaxValue/2^20
+      // — a doc_id ≥ 2^43 would silently wrap doc_id·2^20+pos under
+      // non-ANSI Spark and could crown a wrong first occurrence (the
+      // DuckDB twin would error instead — ADVICE r11), so it must fail
+      // as loudly as the token bound
+      .filter(expr(s"assert_true(size(toks) < $MaxDocTokens " +
+        s"AND doc_id >= 0 AND doc_id < ${Long.MaxValue / MaxDocTokens}, " +
+        s"'SubstrDedup: document exceeds $MaxDocTokens tokens or doc_id " +
+        s"outside [0, ${Long.MaxValue / MaxDocTokens})') IS NULL"))
       .filter(size(col("toks")) >= minLen) // sequence() must not run backwards
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(toks) - $minLen), " +

@@ -46,8 +46,11 @@ object AnnIndexSink {
         val spark = batch.sparkSession
         if (!batch.isEmpty)
           AnnIndexStore.appendBatch(spark, batch, dir, batchId)
-        if (maxTombstones > 0 && AnnIndexStore.hasTombstones(spark, dir) &&
-            AnnIndexStore.loadTombstones(spark, dir).count() >= maxTombstones)
+        // threshold test reads parquet footers driver-side, never a
+        // Spark job — per-trigger overhead must not scale with batch
+        // frequency when far below the bound (ADVICE r11)
+        if (maxTombstones > 0 &&
+            AnnIndexStore.tombstoneCount(spark, dir) >= maxTombstones)
           AnnIndexStore.purgeDeletes(spark, dir)
         ()
       }

@@ -161,6 +161,45 @@ class InvertedIndexSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("pre-buckets-line manifest: the modulus derives from the segment layout, never the caller default (ADVICE r11)") {
+    // a store committed before the buckets line existed, written with a
+    // non-default count: append/compact used to stamp the 32 FALLBACK
+    // into the next manifest, baking the wrong modulus in permanently
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxleg").toString
+    try {
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0)),
+        dir, buckets = 8)
+      val cur = graft.operators.StoreManifest.currentVersion(spark, dir)
+      val mf = new java.io.File(dir, s"_graft_manifest/v$cur.manifest")
+      val stripped = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+        .filterNot(_.startsWith("buckets\t")).mkString("\n")
+      java.nio.file.Files.write(mf.toPath,
+        stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the in-place rewrite invalidates LocalFileSystem's checksum
+      // sidecar — drop it (a real pre-buckets-line store never had a
+      // crc for content it didn't write)
+      new java.io.File(mf.getParent, s".${mf.getName}.crc").delete()
+      assert(InvertedIndex.storedBuckets(spark, dir, 32) == 8,
+        "modulus must derive from the segments' bucket= dirs, not the fallback")
+      // an append with the default caller count must write AND stamp the
+      // derived 8 — and default-count searches keep finding everything
+      assert(InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), dir, "inc1"))
+      assert(graft.operators.StoreManifest.read(spark, dir,
+        graft.operators.StoreManifest.currentVersion(spark, dir), "buckets") == Seq("8"),
+        "append must stamp the derived modulus into the healed manifest")
+      val toks = docs.orderBy("doc_id")
+        .select(split(col("text"), " ").as("t")).head().getSeq[String](0)
+        .take(3).distinct.toSeq
+      val bmDefault = InvertedIndex.searchBm25(spark, dir, toks)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val bm8 = InvertedIndex.searchBm25(spark, dir, toks, buckets = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(bmDefault == bm8 && bm8.nonEmpty,
+        "default-count search must resolve the stamped modulus")
+    } finally Fs.rmTree(dir)
+  }
+
   test("append refuses to adopt a superseded pre-compaction segment dir") {
     // ADVICE r10: a compacted-away segment dir, retained on disk for an
     // older manifest's readers, passed the crash-window heal under a
