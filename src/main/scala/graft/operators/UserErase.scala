@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** USER-KEYED erasure across every store derived from the events
+  * corpus — the GDPR composition the doc-keyed
+  * [[graft.streaming.EraseSink]] does not cover (r12, closing the one
+  * first-class mandate gap of the r11 verdict): one user-id request
+  * must erase the user's rows from the events SNAPSHOT
+  * ([[MergeInto.deleteWhere]]), their contribution from the
+  * materialized day-grain CUBE ([[RollupNav.refreshDays]] — MIN/MAX
+  * partials are not retractable, so touched days recompute from the
+  * surviving facts), and their state from the hour-partitioned SERVING
+  * views ([[graft.streaming.PartitionedServingSink.eraseUsers]] —
+  * counters retract exactly, HLL sketches recompute per touched hour).
+  *
+  * ==Why a journal, when EraseSink needs none==
+  *
+  * EraseSink's stores are all id-keyed: a replayed delete of an
+  * already-erased doc_id is vacuous against every store, so the trigger
+  * converges with no bookkeeping. Here the cube is DAY-keyed: the days
+  * a user touched are discoverable only WHILE the user's snapshot rows
+  * still exist. A crash after the snapshot delete but before the cube
+  * refresh would strand the cube stale forever — the replay could no
+  * longer learn which days to recompute. So each trigger journals
+  * (ids, touched days) to ONE atomically-renamed file BEFORE the first
+  * mutation; the journal clears only after every store commits, and a
+  * replay merges the journal back in. `refreshDays` is
+  * content-idempotent (it re-derives the same partials from the same
+  * surviving facts), so re-refreshing an already-refreshed day is
+  * harmless. The serving views need no journal entry: their touched
+  * hours are discovered from their OWN live state, which survives a
+  * pre-serving-erase crash by definition.
+  *
+  * A completed trigger replayed from the checkpoint commits NOTHING:
+  * the ids match no snapshot rows (deleteWhere returns without a
+  * commit), the merged day set is empty (cube untouched), and the
+  * serving views hold no state for the ids (eraseUsers returns without
+  * a commit) — the repo-wide content-convergent delete contract.
+  *
+  * Ordering: like EraseSink, an erasure ticket must not OVERTAKE the
+  * ingest that writes the user's events — a ticket for a user whose
+  * events are still in flight erases nothing and is absorbed; quiesce
+  * or flush ingest ahead of the erasure queue (the EraseSink pendingDir
+  * discussion applies verbatim).
+  *
+  * Scale: discovery is one column-pruned predicate scan of the
+  * snapshot per trigger (the classic GDPR locate cost); every rewrite
+  * after that is bounded by the user's touched days/hours, never by
+  * corpus, cube, or view size.
+  */
+object UserErase {
+
+  /** The cube maintained from the snapshot: its store dir, its shape,
+    * and the projection from snapshot rows to the rollup's base frame
+    * (`day` string/date + dims + long measures).
+    */
+  final case class CubeTarget(dir: String, rollup: RollupNav.Rollup,
+                              factsOf: DataFrame => DataFrame)
+
+  /** What one erasure pass touched (all zero ⇒ nothing committed). */
+  final case class Erased(snapshotRows: Long, cubeDays: Long, servingHours: Long)
+
+  /** Erase `userIds` from the snapshot at `snapshotDir` (partitioned by
+    * `dayCol`, which must be the cube's day-grain column when `cube` is
+    * set), then recompute the touched cube days and serving hours.
+    * `journalDir` hosts the crash journal — pass the same dir across
+    * retries of the same logical request batch (the streaming sink ties
+    * it to the checkpoint). `servingEventsOf` projects the surviving
+    * snapshot to the (ts, user_id) frame the serving sketch recompute
+    * reads.
+    */
+  def eraseUsers(spark: SparkSession, userIds: Seq[Long],
+                 snapshotDir: String, dayCol: String,
+                 cube: Option[CubeTarget] = None,
+                 servingDir: Option[String] = None,
+                 servingEventsOf: DataFrame => DataFrame =
+                   _.select(col("ts"), col("user_id")),
+                 journalDir: Option[String] = None): Erased = {
+    val prev = journalDir.map(readJournal).getOrElse((Seq.empty[Long], Seq.empty[String]))
+    val ids = (prev._1 ++ userIds).distinct.sorted
+    if (ids.isEmpty) return Erased(0, 0, 0)
+    // touched-day discovery MUST precede the delete — afterwards the
+    // days are unknowable (the journal's reason for existing)
+    val snap = MergeInto.readSnapshot(spark, snapshotDir)
+    val freshDays =
+      if (cube.isEmpty || userIds.isEmpty) Seq.empty[String]
+      else snap.filter(col("user_id").isin(userIds: _*))
+        .select(col(dayCol).cast("string").as("d"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    val days = (prev._2 ++ freshDays).distinct.sorted
+    journalDir.foreach(j => writeJournal(j, ids, days))
+    val (snapRows, _) = MergeInto.deleteWhere(spark, snapshotDir,
+      col("user_id").isin(ids: _*), dayCol)
+    cube.foreach { c =>
+      if (days.nonEmpty)
+        RollupNav.refreshDays(spark, c.dir, c.rollup,
+          c.factsOf(MergeInto.readSnapshot(spark, snapshotDir)), days)
+    }
+    val servingHours = servingDir.fold(0L) { sd =>
+      graft.streaming.PartitionedServingSink.eraseUsers(spark, sd, ids,
+        servingEventsOf(MergeInto.readSnapshot(spark, snapshotDir)))
+    }
+    journalDir.foreach(clearJournal) // every store committed: drain
+    Erased(snapRows, days.length.toLong, servingHours)
+  }
+
+  private val JournalFile = "user_erase_journal.tsv"
+
+  /** (ids, days) of a crashed trigger; empty when the journal drained. */
+  private def readJournal(dir: String): (Seq[Long], Seq[String]) = {
+    val f = new java.io.File(dir, JournalFile)
+    if (!f.exists()) return (Nil, Nil)
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+    def vals(tag: String): Seq[String] = lines
+      .filter(_.startsWith(s"$tag\t"))
+      .flatMap(_.substring(tag.length + 1).split(',')).filter(_.nonEmpty)
+    (vals("ids").map(_.toLong), vals("days"))
+  }
+
+  /** One staged write + atomic rename BEFORE the first store mutation. */
+  private def writeJournal(dir: String, ids: Seq[Long], days: Seq[String]): Unit = {
+    val d = new java.io.File(dir); d.mkdirs()
+    val tmp = new java.io.File(d, s".$JournalFile.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (s"ids\t${ids.mkString(",")}\ndays\t${days.mkString(",")}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.Fs.atomicMove(tmp.toString, new java.io.File(d, JournalFile).toString)
+  }
+
+  private def clearJournal(dir: String): Unit = {
+    new java.io.File(dir, JournalFile).delete(); ()
+  }
+}

@@ -655,6 +655,44 @@ object OperatorQueries extends QueryPack {
         .orderBy("event_type", "month")
     }),
 
+    // USER-keyed erasure END TO END (UserErase, r12): one ticket-sized
+    // user-id batch drives snapshot deleteWhere → touched-day discovery
+    // → RollupNav.refreshDays reading the POST-DELETE snapshot. The
+    // measured query is the month answer off the erased cube; DuckDB
+    // recomputes it from events minus the same users (the 10 smallest
+    // distinct user_ids — deterministic and ticket-sized). If any stage
+    // of the composition leaked — rows surviving the snapshot delete,
+    // a day missed by discovery, a stale cube partial — the hash
+    // diverges. The serving-view leg (hour partitions + HLL recompute)
+    // and the crash journal are spec-covered in ErasureSpec.
+    "s_user_erase" -> ((s, dir) => {
+      import graft.operators.{RollupNav, UserErase, MergeInto}
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      def factsOf(snap: org.apache.spark.sql.DataFrame) =
+        snap.select(col("day"), col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+      val (fx, _) = Fixtures.store("user_erase", dir) { fx =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), to_date(col("ts")).cast("string").as("day"))
+        MergeInto.mergeFiles(s, s"$fx/snap", ev, Seq("event_id"), "day")
+        RollupNav.materialize(
+          factsOf(MergeInto.readSnapshot(s, s"$fx/snap")), shape, s"$fx/cube")
+        val tickets = ev.select("user_id").distinct()
+          .orderBy("user_id").limit(10).collect().map(_.getLong(0)).toSeq
+        UserErase.eraseUsers(s, tickets, s"$fx/snap", "day",
+          cube = Some(UserErase.CubeTarget(s"$fx/cube", shape, factsOf)))
+        Map.empty
+      }
+      val a = RollupNav.answer(s, s"$fx/cube", shape,
+        Seq("event_type"), "month").get
+      a.select(col("event_type"), col("grain").as("month"),
+          col("n_rows"), col("v_us_sum").as("sum_us"),
+          col("v_us_min").as("min_us"), col("v_us_max").as("max_us"),
+          (col("v_us_avg").cast("double") / 1e6).as("avg_value"))
+        .orderBy("event_type", "month")
+    }),
+
     // versioned small-file compaction: bootstrap a deliberately
     // fragmented snapshot (repartition(8) → 8 files per status
     // partition), compact to one file each as a NEW manifest version,
@@ -1209,6 +1247,26 @@ object OperatorQueries extends QueryPack {
         |         event_type,
         |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
         |  FROM events WHERE user_id % 10 <> 3)
+        |SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v_us) AS BIGINT) AS sum_us,
+        |  MIN(v_us) AS min_us, MAX(v_us) AS max_us,
+        |  CAST((2 * SUM(v_us) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6
+        |    AS avg_value
+        |FROM ev GROUP BY event_type, month
+        |ORDER BY event_type, month""".stripMargin,
+
+    // hash-grade proof of the USER-keyed erasure composition: DuckDB
+    // recomputes from events minus the 10 smallest user_ids, Spark
+    // answers off the cube that UserErase refreshed from the erased
+    // snapshot — delete ≡ rebuild-without across the composed stores
+    "s_user_erase" ->
+      """WITH gone AS (
+        |  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 10),
+        |ev AS (
+        |  SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+        |  FROM events WHERE user_id NOT IN (SELECT user_id FROM gone))
         |SELECT event_type, month, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(v_us) AS BIGINT) AS sum_us,
         |  MIN(v_us) AS min_us, MAX(v_us) AS max_us,

@@ -45,10 +45,42 @@ object PartitionedServingSink {
 
   private def commitFile(storeDir: String) = Paths.get(storeDir, "_COMMIT")
 
-  /** Last committed batch id, -1 if the store is empty. */
+  /** Committed store VERSION, -1 if the store is empty. Store versions
+    * and ingest batch ids are decoupled (r12): `_COMMIT` line 1 is the
+    * version every snapshot/manifest path resolves through; line 2 is
+    * the highest APPLIED ingest batch id, which alone drives the
+    * replay-skip test. A single-line legacy file means the two were
+    * equal (the pre-r12 layout, where version WAS the batch id). The
+    * split is what lets a maintenance commit that consumes no ingest
+    * batch — [[eraseUsers]] — bump the version without making the
+    * replay guard swallow the NEXT real micro-batch (version N+1 would
+    * otherwise read as "batch N+1 already applied" and its data would
+    * be silently dropped).
+    */
   def committedBatch(storeDir: String): Long = {
     val f = commitFile(storeDir)
-    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+    if (Files.exists(f)) Files.readAllLines(f).get(0).trim.toLong else -1L
+  }
+
+  /** Highest ingest batch id already folded into the committed state —
+    * the replay-skip floor. Falls back to the version for legacy
+    * single-line `_COMMIT` files.
+    */
+  def appliedIngestBatch(storeDir: String): Long = {
+    val f = commitFile(storeDir)
+    if (!Files.exists(f)) -1L
+    else {
+      val lines = Files.readAllLines(f)
+      (if (lines.size() > 1) lines.get(1) else lines.get(0)).trim.toLong
+    }
+  }
+
+  /** Atomic two-line commit pointer flip (version, applied batch). */
+  private def flipCommit(storeDir: String, version: Long, batch: Long): Unit = {
+    val tmp = Files.createTempFile(Paths.get(storeDir), "_commit", ".tmp")
+    Files.writeString(tmp, s"$version\n$batch", StandardCharsets.UTF_8)
+    Files.move(tmp, commitFile(storeDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def manifestPath(storeDir: String, batchId: Long): Path =
@@ -67,11 +99,16 @@ object PartitionedServingSink {
   private def partDir(storeDir: String, table: String, hourKey: String, ver: Long): String =
     s"$storeDir/$table/h$hourKey/v$ver"
 
-  /** Idempotent micro-batch commit; see the protocol in the scaladoc. */
+  /** Idempotent micro-batch commit; see the protocol in the scaladoc.
+    * Replay detection is against the APPLIED-BATCH floor, not the store
+    * version — a maintenance commit between two ingest triggers must
+    * not make the second trigger look replayed.
+    */
   def upsertBatch(spark: SparkSession, storeDir: String,
                   parsed: DataFrame, batchId: Long): Unit = {
-    if (batchId <= committedBatch(storeDir)) return // replayed batch
+    if (batchId <= appliedIngestBatch(storeDir)) return // replayed batch
     val prevCommitted = committedBatch(storeDir)
+    val version = prevCommitted + 1
     val prevManifest = readManifest(storeDir, prevCommitted)
     val batch = parsed.cache()
     try {
@@ -106,7 +143,7 @@ object PartitionedServingSink {
             case None => dC
           }
           mergedCounts.write.mode("overwrite")
-            .parquet(partDir(storeDir, "counts_per_user", key, batchId))
+            .parquet(partDir(storeDir, "counts_per_user", key, version))
 
           val dU = valid.filter(hourKey === key).groupBy("hour")
             .agg(expr("hll_sketch_agg(user_id)").as("sketch"))
@@ -118,28 +155,97 @@ object PartitionedServingSink {
             case None => dU
           }
           mergedUniq.write.mode("overwrite")
-            .parquet(partDir(storeDir, "uniques_hourly", key, batchId))
+            .parquet(partDir(storeDir, "uniques_hourly", key, version))
         }
       } finally { countsDelta.unpersist(); () }
 
       // complete manifest for this commit: untouched hours keep serving
       // their old snapshots — those files were never opened
-      val newManifest = prevManifest ++ touched.map(_ -> batchId)
-      Files.createDirectories(Paths.get(storeDir, "manifest"))
-      val mTmp = Files.createTempFile(Paths.get(storeDir, "manifest"), "_m", ".tmp")
-      Files.writeString(mTmp,
-        newManifest.toSeq.sorted.map { case (k, v) => s"$k|$v" }.mkString("\n"),
-        StandardCharsets.UTF_8)
-      Files.move(mTmp, manifestPath(storeDir, batchId),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-
-      val cTmp = Files.createTempFile(Paths.get(storeDir), "_commit", ".tmp")
-      Files.writeString(cTmp, batchId.toString, StandardCharsets.UTF_8)
-      Files.move(cTmp, commitFile(storeDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val newManifest = prevManifest ++ touched.map(_ -> version)
+      writeManifest(storeDir, version, newManifest)
+      flipCommit(storeDir, version, batchId)
 
       gc(storeDir, prevCommitted, prevManifest)
     } finally { batch.unpersist(); () }
+  }
+
+  private def writeManifest(storeDir: String, version: Long,
+                            manifest: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(storeDir, "manifest"))
+    val mTmp = Files.createTempFile(Paths.get(storeDir, "manifest"), "_m", ".tmp")
+    Files.writeString(mTmp,
+      manifest.toSeq.sorted.map { case (k, v) => s"$k|$v" }.mkString("\n"),
+      StandardCharsets.UTF_8)
+    Files.move(mTmp, manifestPath(storeDir, version),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** USER-KEYED ERASURE over the serving views (the GDPR path,
+    * r12) — rewrite ONLY the hour partitions where any of `userIds`
+    * holds state, through the exact same stage → manifest → pointer
+    * protocol as ingest, consuming NO ingest batch id (the version/
+    * batch split above):
+    *
+    *  - `counts_per_user` retracts EXACTLY: the user's (hour, user_id)
+    *    rows ARE the user's whole contribution, so an anti-filter is
+    *    bit-identical to a rebuild without the user.
+    *  - `uniques_hourly` sketches are NOT retractable (HLL has no
+    *    delete) — touched hours RECOMPUTE their sketch from
+    *    `survivingEvents` (the post-erasure fact rows: `ts`,
+    *    `user_id`), the same recompute-from-surviving-facts doctrine as
+    *    RollupNav.refreshDays' MIN/MAX.
+    *
+    * An hour whose survivors are empty drops out of the manifest
+    * entirely (its bytes go at the next commit's GC). Touched-hour
+    * discovery reads the counts VIEW, not the corpus — cost tracks the
+    * user's state, never history size. Content-level no-op when no
+    * maintained hour holds any of the ids: returns 0 and commits
+    * NOTHING (the repo-wide delete-API replay contract). Single-writer
+    * with ingest quiesced, like every maintenance pass here; the next
+    * ingest trigger after this commit applies normally because the
+    * replay floor is untouched.
+    *
+    * Returns the number of hour partitions rewritten or dropped.
+    */
+  def eraseUsers(spark: SparkSession, storeDir: String, userIds: Seq[Long],
+                 survivingEvents: DataFrame): Long = {
+    if (userIds.isEmpty) return 0L
+    val prevCommitted = committedBatch(storeDir)
+    if (prevCommitted < 0) return 0L // empty store: vacuously erased
+    val prevManifest = readManifest(storeDir, prevCommitted)
+    val version = prevCommitted + 1
+    val hourKey = date_format(col("hour"), "yyyy-MM-dd'T'HH")
+    val touched = countsPerUser(spark, storeDir)
+      .filter(col("user_id").isin(userIds: _*))
+      .select(hourKey.as("k")).distinct().collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return 0L // no state held: commit nothing
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    touched.foreach { key =>
+      val prevVer = prevManifest(key) // touched ⇒ manifested by construction
+      val kept = spark.read
+        .parquet(partDir(storeDir, "counts_per_user", key, prevVer))
+        .filter(!col("user_id").isin(userIds: _*))
+      if (kept.isEmpty) { dropped += key; () }
+      else {
+        kept.write.mode("overwrite")
+          .parquet(partDir(storeDir, "counts_per_user", key, version))
+        // sketch recompute from surviving facts — scoped to THIS hour
+        survivingEvents
+          .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+          .filter(date_format(col("hour"), "yyyy-MM-dd'T'HH") === key)
+          .groupBy("hour").agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+          .write.mode("overwrite")
+          .parquet(partDir(storeDir, "uniques_hourly", key, version))
+      }
+    }
+    val newManifest = (prevManifest -- dropped) ++
+      (touched.toSet -- dropped).map(_ -> version)
+    writeManifest(storeDir, version, newManifest)
+    // the applied-batch floor carries VERBATIM: this commit consumed no
+    // ingest batch, and the next real trigger must not look replayed
+    flipCommit(storeDir, version, appliedIngestBatch(storeDir))
+    gc(storeDir, prevCommitted, prevManifest)
+    touched.length.toLong
   }
 
   /** Drop snapshots no manifest at or after `prevCommitted` references:

@@ -245,6 +245,10 @@ class ErasureSpec extends SparkSpec {
       assert(AnnIndexStore.delete(spark, dir, dead) == 0L, "replay is a no-op")
       assert(AnnIndexStore.delete(spark, dir, Seq(-1L, Long.MaxValue)) == 0L,
         "ids never indexed must not tombstone (they would mask a later append)")
+      // the driver-side footer count (what the sink's per-trigger
+      // maxTombstones check reads — no Spark job, ADVICE r11) is exact
+      assert(AnnIndexStore.tombstoneCount(spark, dir) ==
+        AnnIndexStore.loadTombstones(spark, dir).count())
 
       val masked = AnnIndexStore.searchTopK(spark, dir, probes, k = 5, nprobe = 6)
       val maskedRows = masked.collect().map(r =>
@@ -396,5 +400,225 @@ class ErasureSpec extends SparkSpec {
       assert(AnnIndexStore.searchTopK(spark, dir, probes, k = 3, nprobe = 4)
         .collect().toSeq == masked)
     } finally Fs.rmTree(dir)
+  }
+
+  test("EraseSink pendingDir: a ticket racing ahead of ingest parks as pending and erases once the doc lands (ADVICE r11)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_era_pend")
+    val snapDir = s"$root/snap"; val idxDir = s"$root/idx"
+    val annDir = s"$root/ann"; val pendDir = s"$root/pending"
+    def pendingLines(): Seq[String] = {
+      val f = new java.io.File(pendDir, "pending.tsv")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+    }
+    try {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      // a doc that exists in BOTH tables (doc_id ≡ vec_id contract) but
+      // whose ingest "lags": every store starts WITHOUT it
+      val lateId = docs.select("doc_id").join(emb.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi").orderBy("doc_id").head().getLong(0)
+      val corpus = docs.select(col("doc_id"), col("lang"), col("text"))
+      operators.MergeInto.mergeFiles(spark, snapDir,
+        corpus.filter(col("doc_id") =!= lateId), Seq("doc_id"), "lang")
+      InvertedIndex.write(InvertedIndex.build(docs.filter(col("doc_id") =!= lateId)), idxDir)
+      AnnIndexStore.save(spark, emb.filter(col("vec_id") =!= lateId), annDir, nlist = 16)
+
+      val in = MemoryStream[String]
+      val q = streaming.EraseSink.start(in.toDF().withColumnRenamed("value", "doc_id"),
+        snapDir, "lang", Some(idxDir), Some(annDir), s"$root/ckpt", Some(pendDir))
+      try {
+        // the racing ticket: no store knows the id yet — instead of the
+        // silent absorb (the ADVICE r11 hazard), it parks fully pending
+        in.addData(lateId.toString); q.processAllAvailable()
+        assert(pendingLines() == Seq(s"$lateId\ttrue\ttrue\ttrue"),
+          "an unmatched ticket must persist with every maintained store outstanding")
+        assert(InvertedIndex.tombstones(spark, idxDir).isEmpty &&
+          !AnnIndexStore.hasTombstones(spark, annDir),
+          "a parked ticket must not tombstone anything")
+
+        // ingest catches up in every store
+        operators.MergeInto.mergeFiles(spark, snapDir,
+          corpus.filter(col("doc_id") === lateId), Seq("doc_id"), "lang")
+        InvertedIndex.append(docs.filter(col("doc_id") === lateId), idxDir, "late")
+        AnnIndexStore.appendBatch(spark, emb.filter(col("vec_id") === lateId), annDir, 99L)
+
+        // ANY later trigger (here: a junk ticket for an id that never
+        // arrives) replays the pending set and settles the late doc
+        in.addData("999999999"); q.processAllAvailable()
+        assert(operators.MergeInto.readSnapshot(spark, snapDir)
+          .filter(col("doc_id") === lateId).isEmpty, "late doc must be erased from the snapshot")
+        assert(InvertedIndex.tombstones(spark, idxDir)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(lateId),
+          "late doc must be tombstoned in the index")
+        assert(AnnIndexStore.loadTombstones(spark, annDir)
+          .collect().map(_.getLong(0)).toSeq == Seq(lateId),
+          "late doc must be tombstoned in the ANN store")
+        // the never-arriving junk id stays parked (documented residual:
+        // pending never loses a ticket, it only retries vacuous deletes)
+        assert(pendingLines() == Seq("999999999\ttrue\ttrue\ttrue"),
+          "settled ids drain from pending; never-arrived ids stay parked")
+      } finally q.stop()
+    } finally Fs.rmTree(root.toString)
+  }
+
+  // ---- USER-keyed erasure (UserErase / UserEraseSink, r12) ----
+
+  private def userEvent(id: Long, ts: String, user: Long, typ: String, v: Double): String =
+    s"""{"event_id": $id, "ts": "$ts", "user_id": $user, "event_type": "$typ", "value": $v, "props": "{}"}"""
+
+  test("UserEraseSink: one user_id ticket erases snapshot + cube + serving views; replay commits nothing; ingest resumes") {
+    import graft.operators.{MergeInto, RollupNav, UserErase}
+    import graft.streaming.PartitionedServingSink
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_uera")
+    val snapDir = s"$root/snap"; val cubeDir = s"$root/cube"
+    val servDir = s"$root/serving"
+    val inDir = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    try {
+      // one event stream feeds BOTH stores: NDJSON → serving views;
+      // the same rows (as a frame) → snapshot + cube
+      val lines = Seq(
+        userEvent(1, "2024-01-01T00:10:00", 1, "view", 2.0),
+        userEvent(2, "2024-01-01T00:20:00", 2, "view", 3.0),
+        userEvent(3, "2024-01-01T01:10:00", 2, "click", 1.0),
+        userEvent(4, "2024-01-01T01:15:00", 3, "view", 9.0),
+        userEvent(5, "2024-01-02T05:00:00", 2, "view", 4.0)) // user 2 ALONE in this hour+day
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "b1.ndjson"), lines.mkString("\n"))
+      PartitionedServingSink.start(spark, inDir, servDir, s"$root/ckpt_ingest")
+        .awaitTermination()
+      val ev = Seq(
+        (1L, "2024-01-01 00:10:00", 1L, "view", 2.0),
+        (2L, "2024-01-01 00:20:00", 2L, "view", 3.0),
+        (3L, "2024-01-01 01:10:00", 2L, "click", 1.0),
+        (4L, "2024-01-01 01:15:00", 3L, "view", 9.0),
+        (5L, "2024-01-02 05:00:00", 2L, "view", 4.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("day", to_date(col("ts")).cast("string"))
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      def factsOf(s: org.apache.spark.sql.DataFrame) =
+        s.select(col("day"), col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_us"))
+      MergeInto.mergeFiles(spark, snapDir, ev, Seq("event_id"), "day")
+      RollupNav.materialize(factsOf(MergeInto.readSnapshot(spark, snapDir)),
+        shape, cubeDir)
+
+      val in = MemoryStream[String]
+      val q = graft.streaming.UserEraseSink.start(
+        in.toDF().withColumnRenamed("value", "user_id"), snapDir, "day",
+        Some(UserErase.CubeTarget(cubeDir, shape, factsOf)), Some(servDir),
+        s"$root/ckpt_erase")
+      try {
+        in.addData("2", "not-a-user-id"); q.processAllAvailable()
+
+        // snapshot: user 2 gone, others intact
+        val snap = MergeInto.readSnapshot(spark, snapDir)
+        assert(snap.filter(col("user_id") === 2).isEmpty, "user 2 must leave the snapshot")
+        assert(snap.count() == 2, "other users' rows must survive")
+
+        // cube ≡ rebuild-without-user: byte-identical stored partials
+        // (incl. the non-retractable MIN/MAX), and day 2024-01-02 —
+        // user 2's alone — vanishes entirely
+        val rebuilt = s"$root/cube_rebuilt"
+        RollupNav.materialize(factsOf(ev.filter(col("user_id") =!= 2)), shape, rebuilt)
+        def cubeRows(d: String) = RollupNav.readStore(spark, d)
+          .collect().map(_.toSeq).toSet
+        assert(cubeRows(cubeDir) == cubeRows(rebuilt),
+          "erased cube must equal a cube rebuilt without the user")
+        assert(RollupNav.readStore(spark, cubeDir)
+          .filter(col("day") === "2024-01-02").isEmpty,
+          "a day with no surviving facts must vanish from the cube")
+
+        // serving: counters retract exactly; the user-only hour drops;
+        // HLL recomputes (exact at this cardinality) per touched hour
+        val counts = PartitionedServingSink.countsPerUser(spark, servDir)
+        assert(counts.filter(col("user_id") === 2).isEmpty,
+          "user 2 must leave counts_per_user")
+        assert(counts.count() == 2)
+        val uniq = PartitionedServingSink.uniquesHourly(spark, servDir)
+          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+        assert(uniq == Map("2024-01-01 00:00:00.0" -> 1L, "2024-01-01 01:00:00.0" -> 1L),
+          s"uniques must recompute from surviving users, got $uniq")
+
+        // replay convergence: the same ticket again commits NOTHING
+        val (snapV, cubeV, servV) = (MergeInto.currentVersion(spark, snapDir),
+          graft.operators.StoreManifest.currentVersion(spark, cubeDir),
+          PartitionedServingSink.committedBatch(servDir))
+        in.addData("2"); q.processAllAvailable()
+        assert(MergeInto.currentVersion(spark, snapDir) == snapV &&
+          graft.operators.StoreManifest.currentVersion(spark, cubeDir) == cubeV &&
+          PartitionedServingSink.committedBatch(servDir) == servV,
+          "a replayed ticket must not commit a version in any store")
+        assert(!new java.io.File(s"$root/ckpt_erase/_user_erase/user_erase_journal.tsv").exists(),
+          "the crash journal must drain after a completed trigger")
+      } finally q.stop()
+
+      // the version/batch split: erasure bumped the serving version, but
+      // the NEXT ingest batch from the SAME checkpoint must still apply
+      // (pre-r12 the replay guard read version N+1 as batch N+1 done and
+      // silently dropped it)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "b2.ndjson"),
+        userEvent(6, "2024-01-01T03:00:00", 4, "view", 1.0))
+      PartitionedServingSink.start(spark, inDir, servDir, s"$root/ckpt_ingest")
+        .awaitTermination()
+      assert(PartitionedServingSink.countsPerUser(spark, servDir)
+        .filter(col("user_id") === 4).count() == 1,
+        "post-erasure ingest batch must not be swallowed by the replay guard")
+    } finally Fs.rmTree(root.toString)
+  }
+
+  test("UserErase journal: a crash between snapshot delete and cube refresh cannot strand the cube stale") {
+    import graft.operators.{MergeInto, RollupNav, UserErase}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_uera_j")
+    val snapDir = s"$root/snap"; val cubeDir = s"$root/cube"
+    val jDir = s"$root/journal"
+    try {
+      val ev = Seq(
+        (1L, "2024-01-01", 1L, "view", 10L),
+        (2L, "2024-01-01", 2L, "view", 20L),
+        (3L, "2024-01-02", 2L, "click", 30L),
+        (4L, "2024-01-02", 3L, "view", 40L))
+        .toDF("event_id", "day", "user_id", "event_type", "v_us")
+      val shape = RollupNav.Rollup(Seq("event_type"), Seq("v_us"))
+      def factsOf(s: org.apache.spark.sql.DataFrame) =
+        s.select(col("day"), col("event_type"), col("v_us"))
+      MergeInto.mergeFiles(spark, snapDir, ev, Seq("event_id"), "day")
+      RollupNav.materialize(factsOf(MergeInto.readSnapshot(spark, snapDir)),
+        shape, cubeDir)
+
+      // simulate the crash window: the snapshot delete committed, the
+      // journal holds the discovered days, the cube refresh never ran —
+      // the days are no longer discoverable from the snapshot
+      MergeInto.deleteWhere(spark, snapDir, col("user_id") === 2, "day")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(jDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(jDir, "user_erase_journal.tsv"),
+        "ids\t2\ndays\t2024-01-01,2024-01-02")
+      assert(RollupNav.readStore(spark, cubeDir)
+          .agg(sum("n_rows")).head().getLong(0) == 4,
+        "precondition: cube still counts the deleted rows (stale)")
+
+      // ANY later trigger — here one with no new ids at all — must merge
+      // the journal back in and settle the cube
+      UserErase.eraseUsers(spark, Seq.empty, snapDir, "day",
+        cube = Some(UserErase.CubeTarget(cubeDir, shape, factsOf)),
+        journalDir = Some(jDir))
+      val rebuilt = s"$root/cube_rebuilt"
+      RollupNav.materialize(factsOf(ev.filter(col("user_id") =!= 2)), shape, rebuilt)
+      def cubeRows(d: String) = RollupNav.readStore(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(cubeRows(cubeDir) == cubeRows(rebuilt),
+        "the journal replay must refresh the stranded days to rebuild-without")
+      assert(!new java.io.File(jDir, "user_erase_journal.tsv").exists(),
+        "journal drains once every store committed")
+    } finally Fs.rmTree(root.toString)
   }
 }
