@@ -86,16 +86,23 @@ object AnnLsh {
     val probes = withB.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
         col("table_id").as("p_table"), col("bucket").as("p_bucket"))
+    // the exact-cosine rerank runs BEFORE the pair dedup (r12): a pair
+    // colliding in k tables produces k copies with the IDENTICAL sim
+    // (same inputs, same expression), so deduping (probe_id, neighbor_id,
+    // sim) scalars gives the same result as deduping vector-carrying rows
+    // — but the aggregate stays hash-based (first(array<float>) partials
+    // fell to SortAggregate) and the dedup exchange narrows from two full
+    // vectors (~2·dim·4 B) to 24 B/row. The dot product re-runs per
+    // table collision (≤ L, same trade nearDupPairs documents).
     val cands = broadcast(probes)
       .join(withB, col("table_id") === col("p_table") &&
         col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("pv"), col("pn"), col("v"), col("nrm"))
+        round(expr("graft_dot(pv, v)") / (col("pn") * col("nrm")), 6).as("sim"))
       .dropDuplicates("probe_id", "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands.select(col("probe_id"), col("neighbor_id"),
-        round(expr("graft_dot(pv, v)") / (col("pn") * col("nrm")), 6).as("sim"))
+    cands
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("probe_id", "rn")

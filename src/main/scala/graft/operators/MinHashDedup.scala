@@ -75,14 +75,21 @@ object MinHashDedup {
       col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
       col("band").as("b_band"), col("bucket").as("b_bucket"))
+    // est_jaccard computes BEFORE the pair dedup (r12): a pair colliding
+    // in k bands agrees position-for-position in every copy, so the value
+    // is identical across duplicates and the dedup result is unchanged —
+    // but deduping (a_id, b_id, est_jaccard) scalars keeps the aggregate
+    // hash-based (carrying the sig arrays forced first(array) partials
+    // into SortAggregate — every partition sorted by pair key) and the
+    // exchange row narrows from two 64-long signatures (~1 KB) to 24
+    // bytes. The zip_with re-runs per band collision (≤ bands, measured
+    // ~1.5× here) — a cheap codegen'd loop vs sorting the candidate set.
     a.join(b, col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
         col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("est_jaccard", round(
+      .select(col("a_id"), col("b_id"), round(
         expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z)")
-          .cast("double") / size(col("a_sig")), 6))
-      .select("a_id", "b_id", "est_jaccard")
+          .cast("double") / size(col("a_sig")), 6).as("est_jaccard"))
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Full pipeline: documents → candidate pairs above the threshold. */

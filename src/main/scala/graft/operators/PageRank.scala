@@ -165,4 +165,89 @@ object PageRank {
     dbg("done")
     (ranks, it)
   }
+
+  /** FIXED-POINT PageRank — every arithmetic step is integer (ranks in
+    * units of `scale`⁻¹ of total mass, damping as the exact rational
+    * dampNum/dampDen, divisions truncating), so rank sums are
+    * partition-order-FREE and the result is bit-identical across
+    * engines: the r12 promotion of s_graph_pagerank to a hash-grade
+    * DuckDB oracle (the q_evt_interpolate µ-unit doctrine applied to an
+    * iterative op; every term is non-negative, so Spark's truncating
+    * `div` ≡ DuckDB's flooring `//`). The float [[run]] stays the
+    * analytical operator — same plan shape; this variant trades ~1e-12
+    * relative truncation per round for cross-engine exactness.
+    *
+    * Recurrence (all BIGINT):
+    * {{{
+    *   r₀(v)   = scale div n
+    *   m(v)    = Σ_{u→v} r(u) div deg(u)
+    *   dm      = Σ_{u dangling} r(u)
+    *   r'(v)   = ((dampDen−dampNum)·scale) div (dampDen·n)
+    *           + (dampNum · (m(v) + dm div n)) div dampDen
+    * }}}
+    */
+  def runExact(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+               dampNum: Long = 17L, dampDen: Long = 20L,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
+    // dampNum·(scale + …) must not overflow: Σm ≤ scale, dm ≤ scale
+    require(scale <= Long.MaxValue / (4 * dampNum), "scale too large for the damped product")
+    val sc = edges.sparkSession.sparkContext
+    val beforeIds = sc.getPersistentRDDs.keySet
+    // identical static-state shape (and checkpoint discipline) as
+    // runCounted — see the scaladoc there for why
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val eDeg = e
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint()
+    val nodes = eDeg.select(col("src").as("id"))
+      .union(eDeg.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val danglingNodes = nodes
+      .join(eDeg.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = !danglingNodes.isEmpty
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    val teleport = s"((${dampDen - dampNum} * ${scale}L) div ($dampDen * n))"
+    val staticIds = sc.getPersistentRDDs.keySet
+    var ranks = nodes.crossJoin(nDf)
+      .select(col("id"), expr(s"${scale}L div n").as("rank")).localCheckpoint()
+    var curRankIds = sc.getPersistentRDDs.keySet -- staticIds
+    var it = 0
+    while (it < iters) {
+      val idsBeforeRound = sc.getPersistentRDDs.keySet
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("rank div deg")).as("m")) // exact integer sum — order-free
+      val base = ranks.select(col("id"))
+        .join(contribs.hint("shuffle_hash"), Seq("id"), "left")
+        .crossJoin(nDf)
+      val next = (if (hasDangling) {
+        val dangling = ranks
+          .join(danglingNodes.hint("shuffle_hash"), Seq("id"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+        base.crossJoin(dangling)
+          .select(col("id"), expr(
+            s"$teleport + ($dampNum * (coalesce(m, 0L) + dm div n)) div $dampDen")
+            .as("rank"))
+      } else {
+        base.select(col("id"), expr(
+          s"$teleport + ($dampNum * coalesce(m, 0L)) div $dampDen").as("rank"))
+      }).localCheckpoint()
+      ranks = next
+      val newIds = sc.getPersistentRDDs.keySet -- idsBeforeRound
+      curRankIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      curRankIds = newIds
+      it += 1
+    }
+    val added = sc.getPersistentRDDs.keySet -- beforeIds
+    if (added.nonEmpty)
+      (added - added.max).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    ranks
+  }
 }

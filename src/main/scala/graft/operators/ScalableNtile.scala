@@ -55,4 +55,38 @@ object ScalableNtile {
         pct.as("pct"))
       .orderBy("o_orderkey")
   }
+
+  /** GENERIC exact ntile over any frame — same range-partitioned
+    * zipWithIndex rank as [[ntilePct]], parameterized by sort order
+    * (r12, for q_evt_rfm's three scorings). `sort` must be a TOTAL
+    * order (tie-break on a unique key) or bucket assignment is
+    * engine-dependent; `keyCol` must be a LONG unique key. Returns
+    * (keyCol, outCol) for joining back — one rank job per scoring
+    * instead of one single-reducer window per scoring.
+    */
+  def ntileBy(df: DataFrame, keyCol: String, k: Int,
+              sort: Seq[org.apache.spark.sql.Column], outCol: String,
+              partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ki = df.columns.indexOf(keyCol)
+    require(ki >= 0, s"ntileBy: $keyCol not in ${df.columns.mkString(", ")}")
+    val n = df.count()
+    if (n == 0L) return Seq.empty[(Long, Long)].toDF(keyCol, outCol)
+    val ranked = df
+      .repartitionByRange(partitions, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .rdd.zipWithIndex()
+      .map { case (row, idx) => (row.getLong(ki), idx + 1) }
+      .toDF(keyCol, "r")
+    val bucketSize = n / k
+    val rem = n % k
+    val threshold = rem * (bucketSize + 1)
+    val bucket =
+      if (bucketSize == 0L) col("r")
+      else when(col("r") <= threshold,
+          expr(s"(r - 1) div ${bucketSize + 1} + 1"))
+        .otherwise(expr(s"$rem + (r - 1 - $threshold) div $bucketSize + 1"))
+    ranked.select(col(keyCol), bucket.cast("long").as(outCol))
+  }
 }

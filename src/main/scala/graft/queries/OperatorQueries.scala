@@ -184,10 +184,15 @@ object OperatorQueries extends QueryPack {
 
     // damped PageRank over the supplier↔customer co-trade graph (both
     // directions of every distinct trading pair; node ids = custkey·2 /
-    // suppkey·2+1 to keep the bipartite id spaces disjoint). Exact ranks
-    // + mass conservation proven on hand-checked graphs in OperatorSpec;
-    // rows-only here (double sums are partition-order-sensitive by
-    // nature, so no cross-engine hash is meaningful)
+    // suppkey·2+1 to keep the bipartite id spaces disjoint).
+    // ORACLE-PROMOTED r12 via PageRank.runExact: ranks iterate in exact
+    // integer 1e-12 mass units (damping as the rational 17/20, every
+    // division truncating over non-negative terms), so the DuckDB twin
+    // — the same recurrence run through a recursive CTE with a
+    // LIST-state column, the s_graph_kcore pattern — reproduces every
+    // rank bit for bit. The float PageRank.run stays the analytical
+    // operator (ε-exit, mass-conservation specs); this was the last
+    // deterministic op without a hash oracle.
     "s_graph_pagerank" -> ((s, dir) => {
       // one quarter of trade — a time-windowed influence graph; the
       // l_shipdate predicate reaches the parquet scan (PlanSpec-style
@@ -201,18 +206,15 @@ object OperatorQueries extends QueryPack {
         .distinct()
       val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(trade.select(col("supp").as("src"), col("cust").as("dst")))
-      // ε-exit deliberately DISARMED here: the co-trade graph is
-      // bipartite (every edge crosses cust↔supp), so the walk's −1
-      // eigenvalue survives as a damped period-2 oscillation and L1
-      // movement decays at exactly 0.85×/round (measured: 1.42, 1.20,
-      // 1.02, … — reaching any useful ε would take ~130 rounds, never
-      // the fast mix a near-clique gives). Arming tol on a graph where
-      // it provably can't fire only adds a movement action per round
-      // (measured ~+0.5 s over 6 rounds); the capability is spec-proven
-      // in GraphBpeSpec on both graph classes.
-      PageRank.run(edges, iters = 6)
+      // ε-exit has no place here twice over: runExact is fixed-iters by
+      // contract (the oracle twin runs the same fixed count), and the
+      // co-trade graph is bipartite anyway — L1 movement decays at
+      // exactly 0.85×/round (measured), so a useful ε would take ~130
+      // rounds. The ε capability stays spec-proven on the float run in
+      // GraphBpeSpec.
+      PageRank.runExact(edges, iters = 6)
         .orderBy(col("rank").desc, col("id")).limit(100)
-        .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
+        .select(col("id"), col("rank").as("rank_u"))
     }),
 
     // model-based quality filtering (the FineWeb/fastText-filter pattern):
@@ -1035,10 +1037,23 @@ object OperatorQueries extends QueryPack {
         .filter(col("doc_id") =!= 0)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_t"), sum("tf").as("tf"))
-      val wk = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
-      val kw20 = kw.withColumn("kw_rank", row_number().over(wk).cast("long"))
-        .filter(col("kw_rank") <= 20).select("doc_id", "kw_rank")
+      // top-20 via TakeOrderedAndProject, NOT a global window (VERDICT
+      // r11: every posting matching any query term used to flow through
+      // ONE partition to rank 20 rows — at 100 TB a common term makes
+      // that the single-reducer bottleneck class). Ranks then derive
+      // window-free from the 20 checkpointed survivors: rank = 1 +
+      // strictly-better count over the SAME materialized values (total
+      // order, so ranks are exactly row_number's).
+      val kwTop = kw.orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
+        .limit(20).localCheckpoint()
+      val kw20 = kwTop.alias("a")
+        .join(broadcast(kwTop.alias("b")),
+          col("b.n_t") > col("a.n_t") ||
+            (col("b.n_t") === col("a.n_t") && col("b.tf") > col("a.tf")) ||
+            (col("b.n_t") === col("a.n_t") && col("b.tf") === col("a.tf") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1).cast("long").as("kw_rank"))
       val vec20 = AnnIndexStore.searchTopK(s, ann,
           emb.filter(col("vec_id") === 0), k = 20, nprobe = 24)
         .select(col("neighbor_id").as("doc_id"), col("rn").as("vec_rank"))
@@ -1183,6 +1198,58 @@ object OperatorQueries extends QueryPack {
         |FROM peel p, unnest(p.ids) AS u(id)
         |GROUP BY u.id
         |ORDER BY nationkey""".stripMargin,
+
+    // hash-grade proof of fixed-point PageRank (r12): the identical
+    // integer recurrence — scale 1e12, damping 17/20, truncating
+    // divisions over non-negative terms — run as a recursive CTE whose
+    // state is one LIST-of-struct row per iteration (the s_graph_kcore
+    // template). NOTE the `nodes` dedup is DISTINCT-over-UNION-ALL, not
+    // UNION: inside WITH RECURSIVE DuckDB parses a CTE-level UNION as
+    // an anchor/step pair and SKIPS the dedup (measured: 234 "nodes"
+    // from 117 — every rank halved). Any rank or tie drift anywhere in
+    // 6 rounds flips the top-100 hash.
+    "s_graph_pagerank" ->
+      """WITH RECURSIVE
+        |ed AS (SELECT DISTINCT o_custkey*2 AS cust, l_suppkey*2+1 AS supp
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |         AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |edges AS (SELECT cust AS src, supp AS dst FROM ed
+        |          UNION ALL SELECT supp AS src, cust AS dst FROM ed),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT id FROM
+        |            (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        |pr(iter, st) AS (
+        |  SELECT 0, (SELECT list({'id': id,
+        |                          'r': 1000000000000 // (SELECT COUNT(*) FROM nodes)}
+        |                         ORDER BY id) FROM nodes)
+        |  UNION ALL
+        |  SELECT iter + 1,
+        |    (SELECT list({'id': x.id, 'r': x.nr} ORDER BY x.id)
+        |     FROM (
+        |       SELECT n.id,
+        |              (3 * 1000000000000) // (20 * nn.n)
+        |              + (17 * (COALESCE(m.m, 0) + dmv.dm // nn.n)) // 20 AS nr
+        |       FROM nodes n
+        |       CROSS JOIN (SELECT COUNT(*) AS n FROM nodes) nn
+        |       CROSS JOIN (SELECT COALESCE(SUM((t.s).r), 0) AS dm
+        |                   FROM unnest(pr.st) AS t(s)
+        |                   WHERE (t.s).id NOT IN (SELECT src FROM deg)) dmv
+        |       LEFT JOIN (
+        |         SELECT e.dst AS id, SUM(rs.r // d.deg) AS m
+        |         FROM edges e
+        |         JOIN deg d ON d.src = e.src
+        |         JOIN (SELECT (u.s).id AS id, (u.s).r AS r
+        |               FROM unnest(pr.st) AS u(s)) rs
+        |           ON rs.id = e.src
+        |         GROUP BY e.dst) m ON m.id = n.id
+        |     ) x)
+        |  FROM pr WHERE iter < 6
+        |)
+        |SELECT CAST((u.s).id AS BIGINT) AS id, CAST((u.s).r AS BIGINT) AS rank_u
+        |FROM pr, unnest(pr.st) AS u(s)
+        |WHERE iter = 6
+        |ORDER BY rank_u DESC, id LIMIT 100""".stripMargin,
 
     // hash-grade proof of the MaxScore top-k: the same shared BM25
     // oracle, re-ranked (bm25 DESC, doc_id) and cut at 10 — DuckDB is

@@ -220,7 +220,9 @@ object PipelineQueries extends QueryPack {
     // engine identical), ROUND only decorates the output
     "q_dedup_embed_cosine" -> ((s, dir) => {
       val e = SimQueries.withNorm(s, dir)
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val a = SimQueries.exactPairValve(
+        e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")),
+        e, SimQueries.ExactPairBound, "q_dedup_embed_cosine")
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),

@@ -44,6 +44,31 @@ object SimQueries extends QueryPack {
       .withColumn("nrm", sqrt(dot("v", "v")))
   }
 
+  /** Execution-time row-count VALVE for the two contracted EXACT pair
+    * scans (VERDICT r11 item 7): they exist as oracle twins at test
+    * scale, and pointing one at a large corpus by accident must fail
+    * LOUDLY before the quadratic join melts the cluster, not grind.
+    * Same assert_true-as-filter trick as SubstrDedup's doc-length guard
+    * (the always-true filter cannot be pruned away); the bound check is
+    * one count of the INPUT (linear) cross-joined in as a 1-row
+    * broadcast guard, so the valve itself is distributed and lazy.
+    */
+  private[graft] def exactPairValve(df: org.apache.spark.sql.DataFrame,
+                                      of: org.apache.spark.sql.DataFrame,
+                                      bound: Long, tag: String) = {
+    val guard = of.agg(count(lit(1)).as("__n"))
+      .select(expr(s"assert_true(__n <= ${bound}L, " +
+        s"'$tag: exact all-pairs kernel capped at $bound input rows — " +
+        "route large corpora through the approximate twin " +
+        "(s_dedup_embed_ann / s_dedup_semantic / s_sim_ann_lsh)')").as("__ok"))
+    df.crossJoin(broadcast(guard)).filter(col("__ok").isNull).drop("__ok")
+  }
+
+  /** Default valve bound: generous for any test/oracle scale, far below
+    * anything whose pair count (n²/2) a cluster should attempt exactly.
+    */
+  private[graft] val ExactPairBound = 250000L
+
   val queries: Map[String, Fn] = Map(
     "q_sim_cosine_topk" -> ((s, dir) => {
       val e = withNorm(s, dir)
@@ -62,8 +87,9 @@ object SimQueries extends QueryPack {
 
     "q_sim_pairs_threshold" -> ((s, dir) => {
       val e = withNorm(s, dir)
-      val a = e.select(col("vec_id").as("a_id"), col("label"),
-        col("v").as("av"), col("nrm").as("an"))
+      val a = exactPairValve(e.select(col("vec_id").as("a_id"), col("label"),
+        col("v").as("av"), col("nrm").as("an")),
+        e, ExactPairBound, "q_sim_pairs_threshold")
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
         col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
@@ -123,9 +149,9 @@ object SimQueries extends QueryPack {
     // constant. Ranks are small integers so both engines compute
     // bit-identical doubles in the same textual order; a doc absent
     // from one side contributes 0 (rank reported as 0). Scale shape:
-    // each side is a bounded top-k (global windows over candidate sets
-    // — at 100 TB swap in GraftTopK.perKey / per-partition pre-top-k),
-    // the fusion join touches ≤ 40 rows.
+    // each side is a bounded top-k via TakeOrderedAndProject (per-
+    // partition heaps, no single-reducer window), ranks assigned by a
+    // 20-row self-count; the fusion join touches ≤ 40 rows.
     "q_hybrid_rrf" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
       val probeTerms = docs.filter(col("doc_id") === 0)
@@ -136,21 +162,37 @@ object SimQueries extends QueryPack {
         .join(broadcast(probeTerms), "term")
         .groupBy("doc_id")
         .agg(countDistinct("term").as("n_t"), count(lit(1)).as("tf"))
-      val wk = Window.orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
-      val kw20 = kw
-        .withColumn("kw_rank", row_number().over(wk).cast("long"))
-        .filter(col("kw_rank") <= 20)
-        .select("doc_id", "kw_rank")
+      // each arm's top-20 is a TakeOrderedAndProject, NOT a global
+      // window (VERDICT r11: the window funneled the full candidate set
+      // through one partition). Ranks derive window-free from the 20
+      // checkpointed survivors: rank = 1 + strictly-better count over
+      // the same materialized values — identical to row_number because
+      // the order is total (doc_id tiebreak).
+      val kwTop = kw.orderBy(col("n_t").desc, col("tf").desc, col("doc_id"))
+        .limit(20).localCheckpoint()
+      val kw20 = kwTop.alias("a")
+        .join(broadcast(kwTop.alias("b")),
+          col("b.n_t") > col("a.n_t") ||
+            (col("b.n_t") === col("a.n_t") && col("b.tf") > col("a.tf")) ||
+            (col("b.n_t") === col("a.n_t") && col("b.tf") === col("a.tf") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1).cast("long").as("kw_rank"))
       val e = withNorm(s, dir)
       val p = e.filter(col("vec_id") === 0)
         .select(col("v").as("pv"), col("nrm").as("pn"))
-      val wv = Window.orderBy(col("sim_raw").desc, col("doc_id"))
-      val vec20 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(p))
+      val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(p))
         .select(col("vec_id").as("doc_id"),
           (dot("pv", "v") / (col("pn") * col("nrm"))).as("sim_raw"))
-        .withColumn("vec_rank", row_number().over(wv).cast("long"))
-        .filter(col("vec_rank") <= 20)
-        .select("doc_id", "vec_rank")
+        .orderBy(col("sim_raw").desc, col("doc_id"))
+        .limit(20).localCheckpoint()
+      val vec20 = vecTop.alias("a")
+        .join(broadcast(vecTop.alias("b")),
+          col("b.sim_raw") > col("a.sim_raw") ||
+            (col("b.sim_raw") === col("a.sim_raw") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1).cast("long").as("vec_rank"))
       kw20.join(vec20, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),

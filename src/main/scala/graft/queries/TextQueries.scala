@@ -203,6 +203,19 @@ object TextQueries extends QueryPack {
         .removeSpans(Tables.t(s, dir, "documents"), 5)
         .orderBy("doc_id")),
 
+    // the 100 TB exchange-width path (VERDICT r11 item 5): the SAME
+    // span derivation with hashPrefilter=true — round 1 shuffles only
+    // (xxhash64(gram), doc·2^20+pos) longs, round 2 re-keys the ~1% of
+    // positions in repeated-hash groups by gram TEXT to both kill
+    // collisions and crown the true keeper. Provably result-identical
+    // (SubstrDedupSpec), so it shares q_dedup_substring's DuckDB oracle
+    // verbatim — the exactness claim is hash-graded in the harness, and
+    // the bench row prices the two-round trade against the direct form.
+    "s_dedup_substr_hash" -> ((s, dir) =>
+      graft.operators.SubstrDedup
+        .duplicateSpans(Tables.t(s, dir, "documents"), 5, hashPrefilter = true)
+        .orderBy("doc_id", "span_start")),
+
     // vocabulary-distribution profile per language: hapax legomena count
     // and the Zipf head share — two stacked aggregates over the exploded
     // token table, no joins
@@ -327,6 +340,18 @@ object TextQueries extends QueryPack {
     // duplicated spans from scratch (same gram windows, same keep-first
     // encoding, same island merge) — integer outputs, hash-exact
     "q_dedup_substring" ->
+      s"""WITH $SubstrCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+         |       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // hashPrefilter is exactness-preserving, so its oracle IS the
+    // direct form's — a hash mismatch here would falsify the 100 TB
+    // path's central claim
+    "s_dedup_substr_hash" ->
       s"""WITH $SubstrCtes
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |       CAST(MIN(pos) AS BIGINT) AS span_start,

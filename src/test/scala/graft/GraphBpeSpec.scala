@@ -45,6 +45,44 @@ class GraphBpeSpec extends SparkSpec {
     assert(got(3L) == got.values.max)
   }
 
+  // integer reference for runExact: SAME recurrence, driver-side — the
+  // independent implementation the oracle-promoted query is checked
+  // against (the DuckDB twin is the cross-engine third copy)
+  private def localExact(edges: Seq[(Long, Long)], iters: Int, scale: Long,
+                         num: Long = 17L, den: Long = 20L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(v => v ->
+        (((den - num) * scale) / (den * n) +
+          (num * (contrib.getOrElse(v, 0L) + dm / n)) / den)).toMap
+    }
+    rank
+  }
+
+  test("pagerank runExact: bit-identical to the integer reference on a dangling graph (the r12 oracle doctrine)") {
+    import spark.implicits._
+    // g's node 5 is dangling (appears only as a dst), so the dm branch runs
+    for (iters <- Seq(0, 1, 6)) {
+      val got = PageRank.runExact(g.toDF("src", "dst"), iters, scale = 1200L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = localExact(g, iters, scale = 1200L)
+      assert(got == want, s"iters=$iters: $got vs $want")
+    }
+    // hand-check one round at scale 1200 on the 3-node chain with a
+    // dangling sink: r0=400; teleport=60; dm=400
+    val h = Seq((1L, 2L), (2L, 1L), (1L, 3L))
+    val got1 = PageRank.runExact(h.toDF("src", "dst"), 1, scale = 1200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 513L, 2L -> 343L, 3L -> 343L), s"hand check: $got1")
+  }
+
   test("pagerank: mass is conserved (dangling + teleport)") {
     import spark.implicits._
     val total = PageRank.run(g.toDF("src", "dst"), iters = 7)
@@ -76,13 +114,15 @@ class GraphBpeSpec extends SparkSpec {
     got.values.foreach(v => assert(math.abs(v - 1.0 / 5) < 1e-12))
   }
 
-  test("pagerank query: sf graph end-to-end matches the local reference") {
+  test("pagerank query: sf graph end-to-end matches the integer reference, exact top-100") {
     // the whole s_graph_pagerank construction (trade edges, both
-    // directions, 6 iterations) against the independent local
-    // implementation on the same edge list
+    // directions, 6 fixed-point iterations) against the independent
+    // integer reference on the same edge list. Integer ranks make the
+    // top-100 MEMBERSHIP exact too — the float version could only
+    // assert the cut value to the last ulp
     import spark.implicits._
     val got = SparkEntry.queries("s_graph_pagerank")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val li = Tables.t(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-04-01")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -91,18 +131,10 @@ class GraphBpeSpec extends SparkSpec {
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct().as[(Long, Long)].collect()
     val edges = trade.toSeq ++ trade.map(_.swap).toSeq
-    val want = localPageRank(edges, iters = 6, d = 0.85)
-    got.foreach { case (id, ppm) =>
-      val ref = want(id) * 1e6
-      assert(math.abs(ppm - ref) < 0.01, s"node $id: $ppm vs $ref")
-    }
-    // every returned node ranks at or above the local 100th-largest rank
-    // (exact top-100 membership is tie-sensitive in the last ulp — the
-    // cut value is the stable property)
-    val sorted = want.values.toSeq.sorted(Ordering[Double].reverse)
-    val cut = sorted(math.min(100, sorted.size) - 1)
-    got.keys.foreach(id =>
-      assert(want(id) >= cut - 1e-12, s"node $id below the top-100 cut"))
+    val want = localExact(edges, iters = 6, scale = 1000000000000L)
+    val expectTop = want.toSeq.sortBy { case (id, r) => (-r, id) }
+      .take(math.min(100, want.size)).toMap
+    assert(got == expectTop, "query top-100 must equal the integer reference's")
   }
 
   test("components: 41-node chain converges via pointer jumping") {

@@ -491,4 +491,37 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(scalable7 == win, "ntile must be invariant to the repartition width")
   }
+
+  test("ntileBy == window ntile for any sort direction; partition-invariant (q_evt_rfm's machinery)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // n = 23, k = 5 exercises the uneven-bucket closed form (3 big buckets)
+    val df = (1L to 23L).map(i => (i, (i * 37 % 23).toDouble)).toDF("k", "v")
+    for (sort <- Seq(Seq(col("v").asc, col("k")), Seq(col("v").desc, col("k")));
+         parts <- Seq(3, 8)) {
+      val expect = df.select(col("k"),
+          ntile(5).over(Window.orderBy(sort: _*)).cast("long").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = ScalableNtile.ntileBy(df, "k", 5, sort, "b", partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"ntileBy diverged from the window (sort=$sort parts=$parts)")
+    }
+  }
+
+  test("exactPairValve: the contracted exact pair scans fail loudly past the row bound") {
+    // within bound: transparent (q_sim_pairs_threshold stays oracle-green,
+    // proven by Verify); past the bound: the assert_true guard throws
+    // BEFORE a quadratic join can melt a cluster
+    val q = SparkEntry.queries("q_sim_pairs_threshold")(spark, sfDir)
+    assert(q.count() > 0, "valve must be transparent at test scale")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val ex = intercept[Exception] {
+      graft.queries.SimQueries.exactPairValve(emb, emb, bound = 3L, "valve_test")
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("capped at 3 input rows")),
+      s"valve must fail loudly with the routing hint, got: ${msgs(ex).mkString(" | ")}")
+  }
 }

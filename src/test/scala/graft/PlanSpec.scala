@@ -19,10 +19,10 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
-  test("PLANS_r11.json: covers every query; scans visible; sampled digests match") {
-    val path = java.nio.file.Paths.get("PLANS_r11.json")
+  test("PLANS_r12.json: covers every query; scans visible; sampled digests match") {
+    val path = java.nio.file.Paths.get("PLANS_r12.json")
     assert(java.nio.file.Files.exists(path),
-      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r11.json`")
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r12.json`")
     val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2)).toMap
@@ -54,6 +54,42 @@ class PlanSpec extends SparkSpec {
       val want = """"(\w+)":(\d+)""".r.findAllMatchIn(entries(q))
         .map(m => m.group(1) -> m.group(2).toInt).toMap
       assert(now == want, s"plan drift on $q: committed $want, now $now")
+    }
+  }
+
+  test("hybrid retrieval and RFM hold no single-reducer window (VERDICT r11)") {
+    // the r11 fix: top-k arms run TakeOrderedAndProject + a bounded
+    // self-rank; RFM quintiles run ScalableNtile. Any window that
+    // remains (e.g. searchTopK's per-probe rank inside
+    // s_hybrid_store_rrf) must be PARTITIONED — an empty partitionSpec
+    // is the every-row-through-one-task class the verdict banned.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_hybrid_rrf", "q_evt_rfm", "s_hybrid_store_rrf")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val bad = graft.PlanDigest.nodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q executes ${bad.size} unpartitioned Window node(s) — single-reducer regression")
+    }
+  }
+
+  test("LSH pair dedups aggregate hash-based — no array-buffer SortAggregate (r12)") {
+    // r6 lesson, third finding of the same disease (VERDICT r11 item 8):
+    // dropDuplicates over rows CARRYING array columns plans first(array)
+    // partials, which no hash aggregate supports — every candidate
+    // partition gets sorted and the exchange carries the full vectors.
+    // Both operators now score before deduping, so the aggregate sees
+    // scalars only. q_fn_map keeps its SortAggregate — MapType in the
+    // buffer has no hash support at all (documented, forced).
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    for (q <- Seq("s_dedup_minhash", "s_sim_ann_lsh")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val bad = graft.PlanDigest.nodes(df.queryExecution.executedPlan)
+        .collect { case a: SortAggregateExec => a }
+      assert(bad.isEmpty,
+        s"$q executes ${bad.size} SortAggregate node(s) — array crept back into a dedup buffer")
     }
   }
 
