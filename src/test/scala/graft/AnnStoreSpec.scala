@@ -16,17 +16,34 @@ class AnnStoreSpec extends SparkSpec {
     df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
 
-  test("s_hybrid_store_rrf: persisted kw ranks == exact twin; ANN side overlaps the exact cosine top-20") {
+  test("s_hybrid_store_rrf: kw arm == exhaustive BM25 re-rank; ANN side overlaps the exact cosine top-20") {
     def triples(name: String) =
       graft.SparkEntry.queries(name)(spark, sfDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val exact = triples("q_hybrid_rrf")
     val stored = triples("s_hybrid_store_rrf")
-    // posting data is exact, so the store-side keyword ranking must
-    // reproduce the corpus-truth kw side bit for bit
-    val exKw = exact.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
+    // the keyword arm rides searchBm25TopK (MaxScore pruning, r12) —
+    // its ranks must equal the EXHAUSTIVE BM25 ordering over the same
+    // index with the probe doc dropped, computed here independently of
+    // the pruned path (MaxScore ≡ exhaustive is separately hash-graded
+    // by s_text_bm25_topk; this pins the hybrid's k+1-then-drop-probe
+    // composition on top of it)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val (idx, _) = graft.queries.Fixtures.store("invidx", sfDir) { fx =>
+      InvertedIndex.write(InvertedIndex.build(docs), fx)
+      Map.empty
+    }
+    val qt = docs.filter(col("doc_id") === 0)
+      .select(slice(split(col("text"), " "), 1, 5).as("t"))
+      .head().getSeq[String](0).distinct
+    val exKw = InvertedIndex.searchBm25(spark, idx, qt)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(r.fieldIndex("doc_id")) -> (i + 1L) }.toMap
     val stKw = stored.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
-    assert(stKw == exKw, "persisted keyword ranks diverge from corpus truth")
+    assert(stKw == exKw,
+      s"pruned keyword ranks diverge from the exhaustive BM25 re-rank: $stKw vs $exKw")
     // the ANN side is approximate by design — recall floor vs the
     // exact cosine top-20 (64/24 coarse scan, exact vectors in lists)
     val exVec = exact.filter(_._3 > 0).map(_._1).toSet
