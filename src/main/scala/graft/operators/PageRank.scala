@@ -250,4 +250,55 @@ object PageRank {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     ranks
   }
+
+  /** The DuckDB twin of [[runExact]] as CTE text — ONE shared recurrence
+    * that every fixed-point-PageRank oracle interpolates (the r10
+    * Bm25OracleSql doctrine: shared textual expression, never copied).
+    * `edgesCtes` must define `edges(src, dst)` — both directions already
+    * present, deduped — and may define any helper CTEs before it. The
+    * returned text opens `WITH RECURSIVE` and leaves `pr(iter, st)`
+    * in scope: state is one LIST-of-struct row per iteration (the
+    * s_graph_kcore pattern); callers append their final SELECT over
+    * `pr ... WHERE iter = <iters>`.
+    *
+    * NOTE every dedup inside is DISTINCT-over-UNION-ALL, never UNION:
+    * inside WITH RECURSIVE DuckDB parses a CTE-level UNION as an
+    * anchor/step pair and SKIPS the dedup (measured r12: 234 "nodes"
+    * from 117 — every rank halved).
+    */
+  def exactOracleCtes(edgesCtes: String, iters: Int,
+                      scale: Long = 1000000000000L,
+                      dampNum: Long = 17L, dampDen: Long = 20L): String =
+    s"""WITH RECURSIVE
+       |$edgesCtes,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT id FROM
+       |            (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |pr(iter, st) AS (
+       |  SELECT 0, (SELECT list({'id': id,
+       |                          'r': $scale // (SELECT COUNT(*) FROM nodes)}
+       |                         ORDER BY id) FROM nodes)
+       |  UNION ALL
+       |  SELECT iter + 1,
+       |    (SELECT list({'id': x.id, 'r': x.nr} ORDER BY x.id)
+       |     FROM (
+       |       SELECT n.id,
+       |              (${dampDen - dampNum} * $scale) // ($dampDen * nn.n)
+       |              + ($dampNum * (COALESCE(m.m, 0) + dmv.dm // nn.n)) // $dampDen AS nr
+       |       FROM nodes n
+       |       CROSS JOIN (SELECT COUNT(*) AS n FROM nodes) nn
+       |       CROSS JOIN (SELECT COALESCE(SUM((t.s).r), 0) AS dm
+       |                   FROM unnest(pr.st) AS t(s)
+       |                   WHERE (t.s).id NOT IN (SELECT src FROM deg)) dmv
+       |       LEFT JOIN (
+       |         SELECT e.dst AS id, SUM(rs.r // d.deg) AS m
+       |         FROM edges e
+       |         JOIN deg d ON d.src = e.src
+       |         JOIN (SELECT (u.s).id AS id, (u.s).r AS r
+       |               FROM unnest(pr.st) AS u(s)) rs
+       |           ON rs.id = e.src
+       |         GROUP BY e.dst) m ON m.id = n.id
+       |     ) x)
+       |  FROM pr WHERE iter < $iters
+       |)""".stripMargin
 }

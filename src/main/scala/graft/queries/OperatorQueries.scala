@@ -1205,55 +1205,23 @@ object OperatorQueries extends QueryPack {
 
     // hash-grade proof of fixed-point PageRank (r12): the identical
     // integer recurrence — scale 1e12, damping 17/20, truncating
-    // divisions over non-negative terms — run as a recursive CTE whose
-    // state is one LIST-of-struct row per iteration (the s_graph_kcore
-    // template). NOTE the `nodes` dedup is DISTINCT-over-UNION-ALL, not
-    // UNION: inside WITH RECURSIVE DuckDB parses a CTE-level UNION as
-    // an anchor/step pair and SKIPS the dedup (measured: 234 "nodes"
-    // from 117 — every rank halved). Any rank or tie drift anywhere in
-    // 6 rounds flips the top-100 hash.
+    // divisions over non-negative terms — run through the shared
+    // recursive-CTE text (PageRank.exactOracleCtes — see its scaladoc
+    // for the UNION-inside-WITH-RECURSIVE hazard). Any rank or tie
+    // drift anywhere in 6 rounds flips the top-100 hash.
     "s_graph_pagerank" ->
-      """WITH RECURSIVE
-        |ed AS (SELECT DISTINCT o_custkey*2 AS cust, l_suppkey*2+1 AS supp
-        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |         AND l_shipdate < TIMESTAMP '1995-04-01'),
-        |edges AS (SELECT cust AS src, supp AS dst FROM ed
-        |          UNION ALL SELECT supp AS src, cust AS dst FROM ed),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-        |nodes AS (SELECT DISTINCT id FROM
-        |            (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-        |pr(iter, st) AS (
-        |  SELECT 0, (SELECT list({'id': id,
-        |                          'r': 1000000000000 // (SELECT COUNT(*) FROM nodes)}
-        |                         ORDER BY id) FROM nodes)
-        |  UNION ALL
-        |  SELECT iter + 1,
-        |    (SELECT list({'id': x.id, 'r': x.nr} ORDER BY x.id)
-        |     FROM (
-        |       SELECT n.id,
-        |              (3 * 1000000000000) // (20 * nn.n)
-        |              + (17 * (COALESCE(m.m, 0) + dmv.dm // nn.n)) // 20 AS nr
-        |       FROM nodes n
-        |       CROSS JOIN (SELECT COUNT(*) AS n FROM nodes) nn
-        |       CROSS JOIN (SELECT COALESCE(SUM((t.s).r), 0) AS dm
-        |                   FROM unnest(pr.st) AS t(s)
-        |                   WHERE (t.s).id NOT IN (SELECT src FROM deg)) dmv
-        |       LEFT JOIN (
-        |         SELECT e.dst AS id, SUM(rs.r // d.deg) AS m
-        |         FROM edges e
-        |         JOIN deg d ON d.src = e.src
-        |         JOIN (SELECT (u.s).id AS id, (u.s).r AS r
-        |               FROM unnest(pr.st) AS u(s)) rs
-        |           ON rs.id = e.src
-        |         GROUP BY e.dst) m ON m.id = n.id
-        |     ) x)
-        |  FROM pr WHERE iter < 6
-        |)
+      (graft.operators.PageRank.exactOracleCtes(
+        """ed AS (SELECT DISTINCT o_custkey*2 AS cust, l_suppkey*2+1 AS supp
+          |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          |         AND l_shipdate < TIMESTAMP '1995-04-01'),
+          |edges AS (SELECT cust AS src, supp AS dst FROM ed
+          |          UNION ALL SELECT supp AS src, cust AS dst FROM ed)""".stripMargin,
+        iters = 6) + """
         |SELECT CAST((u.s).id AS BIGINT) AS id, CAST((u.s).r AS BIGINT) AS rank_u
         |FROM pr, unnest(pr.st) AS u(s)
         |WHERE iter = 6
-        |ORDER BY rank_u DESC, id LIMIT 100""".stripMargin,
+        |ORDER BY rank_u DESC, id LIMIT 100""".stripMargin),
 
     // hash-grade proof of the MaxScore top-k: the same shared BM25
     // oracle, re-ranked (bm25 DESC, doc_id) and cut at 10 — DuckDB is

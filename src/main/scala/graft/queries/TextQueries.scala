@@ -41,9 +41,12 @@ object TextQueries extends QueryPack {
     // .PageRank (per-round SHUFFLE_HASH against a checkpointed edge
     // layout). The vocab dictionary is TYPE-bounded, so its window-id
     // assignment and the edge joins broadcast; the corpus token stream
-    // is touched once. Spark-only (iterative float ranks — no SQL
-    // oracle); TextRankSpec pins hub-outranks-leaf and mass
-    // conservation.
+    // is touched once. ORACLE-PROMOTED r12 on the back of
+    // PageRank.runExact: ranks iterate in exact integer 1e-12 mass
+    // units, so the DuckDB twin (the shared exactOracleCtes recurrence
+    // over the same co-occurrence edges) reproduces every keyword rank
+    // bit for bit; TextRankSpec keeps the semantic pins
+    // (hub-outranks-leaf, mass conservation).
     "s_text_keywords" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
       val pairs = docs.select(split(col("text"), " ").as("t"))
@@ -67,16 +70,12 @@ object TextQueries extends QueryPack {
       val edges = named // undirected co-occurrence: both directions
         .unionAll(named.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      graft.operators.PageRank.run(edges)
+      graft.operators.PageRank.runExact(edges, iters = 6)
         .withColumnRenamed("id", "rid")
         .join(broadcast(vocab), col("rid") === vocab("id"))
-        .select(col("term"), round(col("rank"), 6).as("rank"))
-        // ranks are iteratively shuffle-summed doubles, so a near-tie at
-        // the 6th dp could in principle flip across partition counts —
-        // harmless to the contract (s_* has no oracle and the CPUS=7
-        // probe value-compares only oracle queries via DuckDB), noted
-        // per ADVICE r9; TextRankSpec pins the semantics on hand graphs
-        .orderBy(col("rank").desc, col("term"))
+        // integer mass units — partition-order-free, no rounding anywhere
+        .select(col("term"), col("rank").as("rank_u"))
+        .orderBy(col("rank_u").desc, col("term"))
         .limit(20)
     }),
 
@@ -473,6 +472,37 @@ object TextQueries extends QueryPack {
         |          FROM d, unnest(range(1, len(toks))) AS t(i))
         |SELECT bigram, COUNT(*) AS cnt FROM pairs
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    // hash-grade twin of TextRank keywords (r12 promotion): the SAME
+    // co-occurrence edge derivation (adjacent-token pairs, distinct,
+    // both directions, vocab ids by row_number over term) feeding the
+    // shared fixed-point recurrence (PageRank.exactOracleCtes — integer
+    // 1e-12 mass units, so every keyword rank matches bit for bit).
+    // Dedups are DISTINCT-over-UNION-ALL per the WITH RECURSIVE hazard
+    // documented on the helper.
+    "s_text_keywords" ->
+      (graft.operators.PageRank.exactOracleCtes(
+        """tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+          |pairs AS (SELECT DISTINCT l[i] AS t1, l[i + 1] AS t2
+          |          FROM tok, unnest(range(1, len(l))) AS r(i)
+          |          WHERE l[i] <> l[i + 1]),
+          |vocab AS (SELECT term,
+          |                 CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
+          |          FROM (SELECT DISTINCT term FROM
+          |                 (SELECT t1 AS term FROM pairs
+          |                  UNION ALL SELECT t2 FROM pairs))),
+          |named AS (SELECT v1.id AS src, v2.id AS dst
+          |          FROM pairs p
+          |          JOIN vocab v1 ON v1.term = p.t1
+          |          JOIN vocab v2 ON v2.term = p.t2),
+          |edges AS (SELECT DISTINCT src, dst FROM
+          |            (SELECT src, dst FROM named
+          |             UNION ALL SELECT dst AS src, src AS dst FROM named))""".stripMargin,
+        iters = 6) + """
+        |SELECT v.term AS term, CAST((u.s).r AS BIGINT) AS rank_u
+        |FROM pr, unnest(pr.st) AS u(s), vocab v
+        |WHERE iter = 6 AND v.id = (u.s).id
+        |ORDER BY rank_u DESC, term LIMIT 20""".stripMargin),
 
     "q_text_tfidf_top" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -44,10 +44,15 @@ class LayoutSpec extends SparkSpec {
     // linear: x-slice in 1 file, y-slice smeared over every file
     assert(linX <= 2, s"linear x-slice should be ~1 file, got $linX")
     assert(linY >= 12, s"linear y-slice should touch ~all 16 files, got $linY")
-    // z-order: BOTH slices stay within ~a macro-grid column/row (4 of 16;
-    // slack for range-partitioner boundary sampling)
-    assert(zX <= 6, s"z-order x-slice should stay local, got $zX")
-    assert(zY <= 6, s"z-order y-slice should stay local, got $zY")
+    // z-order: BOTH slices stay within ~a macro-grid column/row (ideal 4
+    // of 16). Slack to 8: RangePartitioner's sample seed derives from the
+    // RDD id, which is a GLOBAL counter on the shared test SparkContext —
+    // under parallel suites the boundary sampling jitters run to run and
+    // can lean a boundary file into the slice (observed as a full-suite-
+    // only flake, r12). The load-bearing claim is the CONTRAST with the
+    // linear layout's >= 12-file y-scatter, which 8 still proves.
+    assert(zX <= 8, s"z-order x-slice should stay local, got $zX")
+    assert(zY <= 8, s"z-order y-slice should stay local, got $zY")
     // total row counts are layout-invariant
     assert(lin.count() == 256L * 256 && zo.count() == 256L * 256)
   }
