@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-dedup-at-ingest store: the seen-set that lets a
+  * document stream drop re-crawled/replayed content BEFORE it costs
+  * storage or a downstream pipeline pass — the ingest-side complement
+  * of the corpus-side dedup family (exact groups, MinHash, SimHash,
+  * SubstrDedup all dedupe what already landed; this stops it landing).
+  *
+  * Layout under one root, every byte resolved through a
+  * [[StoreManifest]] (data files land first, ONE manifest rename is
+  * the commit, vacuum sweeps unreferenced orphans):
+  *
+  *   - `docs/v<N>-part-*.parquet` — accepted documents (+ `fp`);
+  *   - `seen/b=<k>/v<N>-part-*.parquet` — the fingerprint set,
+  *     PARTITIONED by `b = pmod(xxhash64(fp), buckets)`.
+  *
+  * The fingerprint is `md5(text)` (128-bit — content equality for any
+  * practical corpus; a paranoid deployment compares text on fp match).
+  * md5 exists verbatim in DuckDB, which is what lets the accepted set
+  * be HASH-GRADED against a from-scratch SQL dedup (s_dedup_stream_
+  * ingest) instead of rows-only checked.
+  *
+  * ==Batch contract (the foreachBatch body, [[appendBatch]])==
+  *
+  *   1. ids `try_cast` to LONG, null ids/text dropped (a poisoned row
+  *      from a PUBLIC queue must not wedge the checkpoint — r11);
+  *   2. within-batch keep-first: min doc_id per fingerprint;
+  *   3. survivors anti-join the COMMITTED seen-set — reading ONLY the
+  *      `b=` bucket dirs the batch's fingerprints touch (driver-side
+  *      file pruning off the manifest list, so a trickle batch reads
+  *      ~batch × corpus/buckets seen rows, never the whole set);
+  *   4. zero survivors → return WITHOUT committing (content-level
+  *      no-op, exactly the property that makes checkpoint replay
+  *      exactly-once in effect with no batch markers — the EraseSink
+  *      doctrine); else stage docs + seen files and commit ONE new
+  *      manifest referencing old + new.
+  *
+  * Crash anywhere before the manifest rename leaves only unreferenced
+  * orphans (the replay restages under its own version-unique names;
+  * [[vacuum]] sweeps). Cross-batch "first" is arrival order — the
+  * contract any streaming keep-first has; a replay that REBATCHES
+  * at-least-once deliveries keeps the accepted SET contract (a fp is
+  * accepted exactly once) even if a different duplicate id could have
+  * won under different boundaries.
+  *
+  * Single-writer per store root, like every sink here.
+  */
+object DedupStore {
+
+  private val DefaultBuckets = 64
+
+  /** Idempotent per-trigger core. `batch` needs `doc_id` and `text`;
+    * every other column rides along into `docs/`. Returns the number
+    * of newly accepted documents (0 = nothing committed).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
+                  buckets: Int = DefaultBuckets): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val root = new Path(dir)
+    val fs = StoreManifest.hfs(spark, root)
+    fs.mkdirs(root)
+    val cur = StoreManifest.currentVersion(spark, dir)
+    // the modulus is a STORE property, not a call-site default: first
+    // commit bakes it, later appends use the baked value regardless of
+    // the caller's argument (the r11 bucket-modulus lesson — a caller
+    // default drifting from the store's poisons every later probe)
+    val b = if (cur < 0) buckets else storedBuckets(spark, dir, cur)
+    val others = batch.columns.filterNot(c => c == "doc_id" || c == "text")
+    val clean = batch
+      .select((expr("try_cast(doc_id AS LONG)").as("doc_id") +:
+        col("text") +: others.map(col)): _*)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    // within-batch keep-first (min id per fp): a fp-keyed min aggregate
+    // + an equi semi-join back — batch-sized, hash-aggregated (no
+    // window, no array buffers)
+    val firsts = clean.join(
+        clean.groupBy("fp").agg(min("doc_id").as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      .dropDuplicates("fp")
+      .withColumn("b", pmod(xxhash64(col("fp")), lit(b)))
+    if (firsts.isEmpty) return 0L
+    // committed-seen probe pruned to the TOUCHED buckets: bucket ids
+    // are bounded by `buckets`, so this collect is coordinator-sized
+    val touched = firsts.select("b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fresh = (if (cur < 0) firsts
+      else {
+        val seenFiles = fpFiles(spark, dir, cur)
+          .filter(f => touched.contains(bucketOfPath(f)))
+        if (seenFiles.isEmpty) firsts
+        else {
+          // seen side carries no stats (manifest-resolved file list) —
+          // SHUFFLE_HASH keeps the planner from sorting both sides (r5);
+          // both sides are already pruned: batch-sized vs touched dirs
+          val seen = spark.read.schema(SeenSchema)
+            .parquet(seenFiles.map(f => s"$dir/seen/$f"): _*)
+          firsts.join(seen.hint("shuffle_hash"), Seq("fp"), "left_anti")
+        }
+      }).localCheckpoint()
+    val nNew = fresh.count()
+    if (nNew == 0L) return 0L // clean replay / all duplicates: no commit
+    val next = cur + 1
+    val docFs = stageDocs(spark, root, fresh.drop("b"), next)
+    // partition by a COPY (`pb`): partitionBy strips its column out of
+    // the data files, and the probe schema wants `b` readable without a
+    // basePath-aware directory parse
+    val fpFs = StoreManifest.stageAndMove(spark, new Path(root, "seen"),
+      fresh.select(col("fp"), col("b").cast("long").as("b"),
+        col("b").cast("long").as("pb")), "pb",
+      Some(touched.map(_.toString)), next)
+    val (prevDocs, prevFps) =
+      if (cur < 0) (Seq.empty[String], Seq.empty[String])
+      else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur))
+    StoreManifest.commit(spark, dir, next,
+      Seq(s"schema\t${fresh.drop("b").schema.json}", s"buckets\t$b") ++
+        (prevDocs ++ docFs).sorted.map("doc\t" + _) ++
+        (prevFps ++ fpFs).sorted.map("fp\t" + _))
+    nNew
+  }
+
+  /** The accepted corpus at the current version (manifest-resolved —
+    * never enumerate the dirs, r7).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    require(cur >= 0, s"no committed dedup store under $dir")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(StoreManifest.read(spark, dir, cur, "schema").head)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val files = docFiles(spark, dir, cur)
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$dir/docs/$f"): _*)
+  }
+
+  /** The committed fingerprint set, optionally pruned to the buckets a
+    * fingerprint frame touches (the membership-probe read path).
+    */
+  def readSeen(spark: SparkSession, dir: String,
+               touched: Option[Set[Long]] = None): DataFrame = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    require(cur >= 0, s"no committed dedup store under $dir")
+    val files = fpFiles(spark, dir, cur)
+      .filter(f => touched.forall(_.contains(bucketOfPath(f))))
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeenSchema)
+    else spark.read.schema(SeenSchema).parquet(files.map(f => s"$dir/seen/$f"): _*)
+  }
+
+  /** Drop manifests beyond the newest `retain` and sweep every data
+    * file no surviving version references (crash orphans, expired
+    * history). Returns files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
+    val root = new Path(dir)
+    val fs = StoreManifest.hfs(spark, root)
+    if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
+    val keep = StoreManifest.expire(spark, dir, retain)
+    val refDocs = keep.flatMap(v => docFiles(spark, dir, v)).toSet
+    val refFps = keep.flatMap(v => fpFiles(spark, dir, v)).toSet
+    var deleted = 0L
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
+      .foreach(p => fs.delete(p.getPath, true))
+    val docsDir = new Path(root, "docs")
+    if (fs.exists(docsDir))
+      fs.listStatus(docsDir).filter(_.isFile).foreach { f =>
+        if (!refDocs.contains(f.getPath.getName)) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+    val seenDir = new Path(root, "seen")
+    if (fs.exists(seenDir))
+      fs.listStatus(seenDir).filter(_.isDirectory).foreach { bd =>
+        fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
+          val rel = s"${bd.getPath.getName}/${f.getPath.getName}"
+          if (!refFps.contains(rel)) { fs.delete(f.getPath, false); deleted += 1 }
+        }
+        if (fs.listStatus(bd.getPath).isEmpty) fs.delete(bd.getPath, true)
+      }
+    deleted
+  }
+
+  private val SeenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("b",
+      org.apache.spark.sql.types.LongType)))
+
+  private def storedBuckets(spark: SparkSession, dir: String, v: Long): Int =
+    StoreManifest.read(spark, dir, v, "buckets").head.toInt
+
+  private def docFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    StoreManifest.read(spark, dir, v, "doc")
+
+  private def fpFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    StoreManifest.read(spark, dir, v, "fp")
+
+  /** `pb=<k>/v…parquet` → k. */
+  private def bucketOfPath(rel: String): Long =
+    rel.takeWhile(_ != '/').stripPrefix("pb=").toLong
+
+  /** Stage `df` as parquet and move each part into `docs/` under a
+    * version-unique name; returns the moved names. Until the caller's
+    * manifest commit every moved file is an invisible orphan.
+    */
+  private def stageDocs(spark: SparkSession, root: Path, df: DataFrame,
+                        next: Long): Seq[String] = {
+    val fs = StoreManifest.hfs(spark, root)
+    val tmp = new Path(root, s".merge-tmp-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(root, "docs")
+    fs.mkdirs(dst)
+    val moved = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val name = s"v$next-${f.getPath.getName}"
+        require(fs.rename(f.getPath, new Path(dst, name)),
+          s"rename ${f.getPath} -> $dst/$name failed")
+        name
+      }.toSeq
+    fs.delete(tmp, true)
+    moved
+  }
+}

@@ -18,6 +18,30 @@ object OperatorQueries extends QueryPack {
     "s_dedup_simhash" -> ((s, dir) =>
       SimHashDedup.nearDupPairs(Tables.t(s, dir, "documents"))),
 
+    // DEDUP AT INGEST (operators.DedupStore / streaming.DedupSink —
+    // r12): the persisted md5 seen-set drops re-crawled content before
+    // it lands. The fixture plays the crawl-then-recrawl shape as two
+    // triggers — the corpus, then the SAME corpus under shifted ids —
+    // through the exact foreachBatch core (stream path + replay
+    // convergence: DedupSinkSpec); the measured query is the
+    // manifest-resolved read of the accepted set. HASH-GRADE oracle:
+    // md5 exists verbatim in DuckDB, so the accepted set must equal a
+    // from-scratch min-id-per-fingerprint dedup of the full delivered
+    // stream bit for bit — the recrawl must leave zero trace.
+    "s_dedup_stream_ingest" -> ((s, dir) => {
+      import graft.operators.DedupStore
+      val docs = Tables.t(s, dir, "documents").select("doc_id", "text", "lang")
+      val (st, _) = Fixtures.store("dedup_ingest", dir) { fx =>
+        DedupStore.appendBatch(s, docs, fx)
+        DedupStore.appendBatch(s,
+          docs.withColumn("doc_id", col("doc_id") + 10000L), fx)
+        Map.empty
+      }
+      DedupStore.readDocs(s, st)
+        .select(col("doc_id"), col("fp"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // LSH-bucketed approximate top-5 cosine (exact twin: q_sim_cosine_topk)
     "s_sim_ann_lsh" -> ((s, dir) =>
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),
@@ -1135,6 +1159,23 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // hash-grade proof of dedup-at-ingest (r12): the store accepted the
+    // corpus then its full recrawl under ids+10000 — DuckDB dedups the
+    // SAME delivered stream from scratch (min doc_id per md5, exactly
+    // the keep-first the two ordered triggers realize, since every
+    // recrawl id exceeds every original id), so the accepted set —
+    // including the md5 hex fingerprints themselves — must match bit
+    // for bit; one surviving recrawl row anywhere breaks the hash.
+    "s_dedup_stream_ingest" ->
+      """WITH src AS (SELECT doc_id, text, lang FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 10000, text, lang FROM documents),
+        |k AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+        |      FROM src GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, md5(s.text) AS fp, s.lang AS lang
+        |FROM src s JOIN k ON s.doc_id = k.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     // hash-grade proof of the PERSISTED index path: DuckDB recomputes
     // the top-trigram occurrences straight from documents; Spark's
     // n_occ_index came off the bucket-pruned on-disk postings and its

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{DedupStore, StoreManifest}
+import org.apache.spark.sql.functions._
+
+/** Dedup-at-ingest (operators.DedupStore + streaming.DedupSink): the
+  * persisted seen-set accepts each content fingerprint exactly once
+  * across triggers, converges under checkpoint replay without batch
+  * markers, survives crash-window orphans, and probes the seen-set
+  * bucket-pruned. The registry's hash-grade oracle
+  * (s_dedup_stream_ingest) covers the read path; this covers the build.
+  */
+class DedupSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("streaming: accepted set == batch keep-first; replayed trigger commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_dsink")
+    val dir = base.resolve("store").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DedupSink.start(
+        in.toDF().toDF("doc_id", "text"), dir,
+        base.resolve("ckpt").toString, buckets = 8)
+      try {
+        // batch 1: a within-batch duplicate (2 repeats 1's text)
+        in.addData((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+        q.processAllAvailable()
+        // batch 2: a cross-batch duplicate (11 repeats 1) + fresh content
+        in.addData((11L, "alpha beta"), (12L, "delta"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "alpha beta"), (3L, "gamma"), (12L, "delta")),
+        s"accepted set wrong: $got")
+      // at-least-once replay of batch 1's content: content-convergent —
+      // nothing fresh, so NO version commits (the no-marker exactly-once)
+      val vBefore = StoreManifest.currentVersion(spark, dir)
+      val n = DedupStore.appendBatch(spark,
+        mkDocs((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")), dir)
+      assert(n == 0L && StoreManifest.currentVersion(spark, dir) == vBefore,
+        "replayed trigger must not commit a version")
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("crash window: staged-but-uncommitted files are invisible and vacuum sweeps them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_cw").toString
+    try {
+      DedupStore.appendBatch(spark, mkDocs((1L, "a"), (2L, "b")), dir, buckets = 4)
+      // simulate a crash after the data rename, before the manifest
+      // commit: hand-plant orphans under both data dirs
+      val docsOrphan = new java.io.File(s"$dir/docs/v99-part-orphan.parquet")
+      mkDocs((50L, "orphan")).withColumn("fp", md5(col("text").cast("binary")))
+        .coalesce(1).write.parquet(s"$dir/.merge-tmp-orphanstage")
+      val staged = new java.io.File(s"$dir/.merge-tmp-orphanstage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(staged.toPath, docsOrphan.toPath)
+      assert(DedupStore.readDocs(spark, dir).count() == 2,
+        "manifest readers must not see uncommitted files")
+      val swept = DedupStore.vacuum(spark, dir, retain = 1)
+      assert(swept >= 1 && !docsOrphan.exists(), "vacuum must sweep the orphan")
+      assert(DedupStore.readDocs(spark, dir).count() == 2)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("seen probe prunes to the touched fingerprint buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_bk").toString
+    try {
+      // enough distinct texts that all 8 buckets populate
+      DedupStore.appendBatch(spark,
+        mkDocs((0L until 64L).map(i => i -> s"text $i"): _*), dir, buckets = 8)
+      val all = DedupStore.readSeen(spark, dir)
+      val one = DedupStore.readSeen(spark, dir, touched = Some(Set(3L)))
+      assert(one.select("b").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+      assert(one.inputFiles.length < all.inputFiles.length,
+        "bucket-pruned probe must read strictly fewer files")
+      assert(all.count() == 64)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
+    try {
+      val poisoned = Seq(("7", "keep"), ("not-a-long", "drop"), (null, "drop2"))
+        .toDF("doc_id", "text")
+      assert(DedupStore.appendBatch(spark, poisoned, dir, buckets = 4) == 1L)
+      // a later caller passing a DIFFERENT modulus must not poison the
+      // probe: the store's baked value wins (r11 bucket-modulus lesson)
+      assert(DedupStore.appendBatch(spark,
+        mkDocs((8L, "keep"), (9L, "fresh")), dir, buckets = 32) == 1L)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(7L, 9L), s"got $got")
+      val cur = StoreManifest.currentVersion(spark, dir)
+      assert(StoreManifest.read(spark, dir, cur, "buckets") == Seq("4"),
+        "first commit's modulus must stay baked")
+    } finally Fs.rmTree(dir)
+  }
+}
