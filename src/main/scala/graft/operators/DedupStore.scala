@@ -152,6 +152,85 @@ object DedupStore {
     else spark.read.schema(SeenSchema).parquet(files.map(f => s"$dir/seen/$f"): _*)
   }
 
+  /** Erase accepted documents by id: their rows leave `docs/` AND their
+    * fingerprints leave `seen/` — both in one manifest flip (COW: only
+    * the files holding a target row rewrite, under version-unique
+    * names; untouched files carry forward by reference). Absent /
+    * already-erased ids are content-level no-ops and a clean replay
+    * commits NOTHING — the EraseSink convergence contract every delete
+    * API here keeps.
+    *
+    * Semantics note (deliberately NOT rebuild-without): at ingest this
+    * store DROPPED every later duplicate of the erased doc, so
+    * rebuilding without the doc would have accepted one of them —
+    * bytes this store never kept and cannot resurrect. Erasure here
+    * means "content gone AND the fingerprint forgotten": the same
+    * content is re-acceptable if it arrives again, which is exactly
+    * the right-to-be-forgotten reading (blocking re-entry would itself
+    * remember the erased content). Returns docs erased.
+    */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    if (cur < 0 || ids.isEmpty) return 0L
+    val root = new Path(dir)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(StoreManifest.read(spark, dir, cur, "schema").head)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val b = storedBuckets(spark, dir, cur)
+    // which doc files hold a target row — file-granular COW, probed with
+    // one id-pruned, column-pruned scan
+    val hitRows = spark.read.schema(schema)
+      .parquet(docFiles(spark, dir, cur).map(f => s"$dir/docs/$f"): _*)
+      .select(input_file_name().as("f"), col("doc_id"), col("fp"))
+      .filter(col("doc_id").isin(ids: _*))
+      .collect()
+    if (hitRows.isEmpty) return 0L // erased/absent already: no commit
+    val hitDocFiles = hitRows.map(r => new Path(r.getString(0)).getName).toSet
+    val goneFps = hitRows.map(_.getString(2)).toSet
+    val hitBuckets = hitRows.map(r =>
+      bucketOfFp(r.getString(2), b)).toSet
+    val next = cur + 1
+    // rewrite only the touched doc files, keeping survivors
+    val keptDocs = docFiles(spark, dir, cur).filterNot(hitDocFiles.contains)
+    val rewrittenDocs =
+      if (hitDocFiles.isEmpty) Seq.empty[String]
+      else {
+        val survivors = spark.read.schema(schema)
+          .parquet(hitDocFiles.toSeq.map(f => s"$dir/docs/$f"): _*)
+          .filter(!col("doc_id").isin(ids: _*))
+        if (survivors.isEmpty) Seq.empty[String]
+        else stageDocs(spark, root, survivors, next)
+      }
+    // rewrite only the seen files in the hit buckets, dropping the
+    // erased fingerprints
+    val (hitFpFiles, keptFps) = fpFiles(spark, dir, cur)
+      .partition(f => hitBuckets.contains(bucketOfPath(f)))
+    val rewrittenFps =
+      if (hitFpFiles.isEmpty) Seq.empty[String]
+      else {
+        val survivors = spark.read.schema(SeenSchema)
+          .parquet(hitFpFiles.map(f => s"$dir/seen/$f"): _*)
+          .filter(!col("fp").isin(goneFps.toSeq: _*))
+          .withColumn("pb", col("b"))
+        if (survivors.isEmpty) Seq.empty[String]
+        else StoreManifest.stageAndMove(spark, new Path(root, "seen"),
+          survivors, "pb", Some(hitBuckets.map(_.toString)), next)
+      }
+    StoreManifest.commit(spark, dir, next,
+      Seq(s"schema\t${schema.json}", s"buckets\t$b") ++
+        (keptDocs ++ rewrittenDocs).sorted.map("doc\t" + _) ++
+        (keptFps ++ rewrittenFps).sorted.map("fp\t" + _))
+    // older versions still reference the pre-delete bytes until vacuum —
+    // the same auditable-erasure window every COW store here keeps
+    hitRows.map(_.getLong(1)).distinct.length.toLong
+  }
+
+  /** The writer's bucket of a fingerprint, computed on the driver —
+    * the same Spark-default-seed xxhash64 the index's term buckets use.
+    */
+  private def bucketOfFp(fp: String, buckets: Int): Long =
+    InvertedIndex.bucketOf(fp, buckets)
+
   /** Drop manifests beyond the newest `retain` and sweep every data
     * file no surviving version references (crash orphans, expired
     * history). Returns files deleted.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{AnnIndexStore, InvertedIndex, MergeInto}
+import graft.operators.{AnnIndexStore, DedupStore, InvertedIndex, MergeInto}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   2. [[InvertedIndex.delete]] tombstones the ids in the full-text
   *      index (unsearchable at commit; bytes drop at compact);
   *   3. [[AnnIndexStore.delete]] tombstones them in the ANN store
-  *      (unreturnable at commit; bytes drop at purgeDeletes).
+  *      (unreturnable at commit; bytes drop at purgeDeletes);
+  *   4. [[DedupStore.delete]] erases accepted docs AND their
+  *      fingerprints from the ingest dedup store (r12 — it serves
+  *      document text back via readDocs, so the doctrine applies;
+  *      the fingerprint is forgotten, so the content may re-ingest).
   *
   * Exactly-once EFFECT from foreachBatch's at-least-once delivery
   * WITHOUT batch markers: erasure is naturally convergent — all three
@@ -73,7 +77,8 @@ object EraseSink {
     */
   def start(requests: DataFrame, snapshotDir: String, partitionCol: String,
             indexDir: Option[String], annDir: Option[String],
-            checkpoint: String, pendingDir: Option[String] = None): StreamingQuery =
+            checkpoint: String, pendingDir: Option[String] = None,
+            dedupDir: Option[String] = None): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -96,7 +101,8 @@ object EraseSink {
         val prev = pendingDir.map(readPending).getOrElse(Map.empty)
         val merged = prev ++ batchIds.filterNot(prev.contains)
           .map(id => id -> Outstanding(snap = true,
-            idx = indexDir.isDefined, ann = annDir.isDefined))
+            idx = indexDir.isDefined, ann = annDir.isDefined,
+            dedup = dedupDir.isDefined))
         if (merged.nonEmpty) {
           val ids = merged.keys.toSeq.sorted
           // per-store knowledge BEFORE the deletes: an id found in a
@@ -112,14 +118,25 @@ object EraseSink {
               .unionByName(AnnIndexStore.loadTombstones(spark, d)
                 .select(col("vec_id").as("doc_id"))), ids))
             .getOrElse(Set.empty[Long])
+          // dedup erasure is hard-delete (no tombstones), so "known" =
+          // accepted right now; absence stays outstanding via pending.
+          // A store with no committed version yet holds nothing.
+          val dedupKnown = dedupDir
+            .filter(d => graft.operators.StoreManifest
+              .currentVersion(spark, d) >= 0)
+            .map(d => knownIn(DedupStore.readDocs(spark, d)
+              .select(col("doc_id")), ids))
+            .getOrElse(Set.empty[Long])
           MergeInto.deleteWhere(spark, snapshotDir,
             col("doc_id").isin(ids: _*), partitionCol)
           indexDir.foreach(d => InvertedIndex.delete(spark, d, ids))
           annDir.foreach(d => AnnIndexStore.delete(spark, d, ids))
+          dedupDir.foreach(d => DedupStore.delete(spark, d, ids))
           pendingDir.foreach { pd =>
             val next = merged.map { case (id, o) =>
               id -> Outstanding(o.snap && !snapKnown(id),
-                o.idx && !idxKnown(id), o.ann && !annKnown(id))
+                o.idx && !idxKnown(id), o.ann && !annKnown(id),
+                o.dedup && !dedupKnown(id))
             }.filter(_._2.any)
             writePending(pd, next)
           }
@@ -130,8 +147,9 @@ object EraseSink {
       .start()
 
   /** Per-store erasure still owed for a pending id (true = outstanding). */
-  private final case class Outstanding(snap: Boolean, idx: Boolean, ann: Boolean) {
-    def any: Boolean = snap || idx || ann
+  private final case class Outstanding(snap: Boolean, idx: Boolean,
+                                       ann: Boolean, dedup: Boolean = false) {
+    def any: Boolean = snap || idx || ann || dedup
   }
 
   /** Which of `ids` the store frame holds — ONE ticket-sized membership
@@ -148,8 +166,17 @@ object EraseSink {
     if (!f.exists()) Map.empty
     else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
       .map { l =>
-        val Array(id, s, i, a) = l.split('\t')
-        id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean)
+        // 3-field lines predate the dedup store (r12) — read as settled
+        l.split('\t') match {
+          case Array(id, s, i, a) =>
+            id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean)
+          case Array(id, s, i, a, d) =>
+            id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean,
+              d.toBoolean)
+          case other =>
+            throw new IllegalStateException(
+              s"malformed pending line: ${other.mkString("\t")}")
+        }
       }.toMap
   }
 
@@ -163,7 +190,7 @@ object EraseSink {
     if (pend.isEmpty) { dst.delete(); return }
     val tmp = new java.io.File(d, s".$PendingFile.tmp")
     val lines = pend.toSeq.sortBy(_._1)
-      .map { case (id, o) => s"$id\t${o.snap}\t${o.idx}\t${o.ann}" }
+      .map { case (id, o) => s"$id\t${o.snap}\t${o.idx}\t${o.ann}\t${o.dedup}" }
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.Fs.atomicMove(tmp.toString, dst.toString)

@@ -84,6 +84,36 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("delete: doc + fingerprint leave together; replay no-op; content re-acceptable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_del").toString
+    try {
+      DedupStore.appendBatch(spark,
+        mkDocs((1L, "erase me"), (2L, "keeper"), (3L, "bystander")), dir, buckets = 4)
+      // the duplicate of doc 1 was dropped at ingest, as designed
+      assert(DedupStore.appendBatch(spark, mkDocs((9L, "erase me")), dir) == 0L)
+      assert(DedupStore.delete(spark, dir, Seq(1L, 777L)) == 1L,
+        "one real target, one absent id")
+      val after = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after == Set(2L, 3L), s"got $after")
+      // the fingerprint is FORGOTTEN (the right-to-be-forgotten reading:
+      // blocking re-entry would itself remember the content) — the same
+      // content re-ingests fresh under a new id
+      val vMid = StoreManifest.currentVersion(spark, dir)
+      assert(DedupStore.delete(spark, dir, Seq(1L)) == 0L &&
+        StoreManifest.currentVersion(spark, dir) == vMid,
+        "replayed delete must commit nothing")
+      assert(DedupStore.appendBatch(spark, mkDocs((9L, "erase me")), dir) == 1L)
+      val back = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(back == Set(2L, 3L, 9L), s"got $back")
+      // pre-delete bytes stay auditable until vacuum, then drop
+      assert(DedupStore.vacuum(spark, dir, retain = 1) >= 1L)
+      assert(DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet == back)
+    } finally Fs.rmTree(dir)
+  }
+
   test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
     try {

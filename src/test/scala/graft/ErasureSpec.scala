@@ -271,12 +271,13 @@ class ErasureSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
-  test("EraseSink: a stream of deletion requests erases snapshot + index + ANN; identical replays commit nothing") {
+  test("EraseSink: a stream of deletion requests erases snapshot + index + ANN + dedup; identical replays commit nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_era_sink")
     val snapDir = s"$root/snap"; val idxDir = s"$root/idx"; val annDir = s"$root/ann"
+    val dedupDir = s"$root/dedup"
     try {
       val corpus = docs.select(col("doc_id"), col("lang"), col("text"))
       operators.MergeInto.mergeFiles(spark, snapDir, corpus,
@@ -284,6 +285,8 @@ class ErasureSpec extends SparkSpec {
       InvertedIndex.write(InvertedIndex.build(docs), idxDir)
       AnnIndexStore.save(spark, Tables.t(spark, sfDir, "embeddings"),
         annDir, nlist = 16)
+      operators.DedupStore.appendBatch(spark,
+        docs.select(col("doc_id"), col("text")), dedupDir)
       val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
       val dead = InvertedIndex.searchBm25(spark, idxDir, terms)
         .select("doc_id").collect().map(_.getLong(0)).sorted.take(2).toSeq
@@ -293,7 +296,7 @@ class ErasureSpec extends SparkSpec {
       val in = MemoryStream[String]
       val q = streaming.EraseSink.start(in.toDF().withColumnRenamed("value", "doc_id"),
         snapDir, "lang", Some(idxDir), Some(annDir),
-        s"$root/ckpt")
+        s"$root/ckpt", dedupDir = Some(dedupDir))
       try {
         in.addData(dead.map(_.toString): _*); q.processAllAvailable()
         // gone everywhere, atomically with each store's commit
@@ -304,14 +307,19 @@ class ErasureSpec extends SparkSpec {
         assert(AnnIndexStore.loadTombstones(spark, annDir)
           .collect().map(_.getLong(0)).toSet == dead.toSet,
           "ANN tombstones must cover exactly the erased ids")
+        assert(operators.DedupStore.readDocs(spark, dedupDir)
+          .filter(col("doc_id").isin(dead: _*)).isEmpty,
+          "dedup store still serves erased docs")
         // a second trigger with the SAME ids (the at-least-once shape)
         // converges without committing any new store version
         val snapV = operators.MergeInto.currentVersion(spark, snapDir)
         val idxV = operators.StoreManifest.currentVersion(spark, idxDir)
+        val dedupV = operators.StoreManifest.currentVersion(spark, dedupDir)
         val tombFiles = new java.io.File(s"$annDir/_tombstones").listFiles().length
         in.addData(dead.map(_.toString): _*); q.processAllAvailable()
         assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
           operators.StoreManifest.currentVersion(spark, idxDir) == idxV &&
+          operators.StoreManifest.currentVersion(spark, dedupDir) == dedupV &&
           new java.io.File(s"$annDir/_tombstones").listFiles().length == tombFiles,
           "replaying an applied erase batch must commit nothing")
         // ids the corpus never held, and POISONED ids that cast to null,
@@ -320,6 +328,7 @@ class ErasureSpec extends SparkSpec {
         q.processAllAvailable()
         assert(q.isActive, "a poisoned request must not kill the query")
         assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
+          operators.StoreManifest.currentVersion(spark, dedupDir) == dedupV &&
           new java.io.File(s"$annDir/_tombstones").listFiles().length == tombFiles)
       } finally q.stop()
     } finally Fs.rmTree(root.toString)
@@ -433,7 +442,8 @@ class ErasureSpec extends SparkSpec {
         // the racing ticket: no store knows the id yet — instead of the
         // silent absorb (the ADVICE r11 hazard), it parks fully pending
         in.addData(lateId.toString); q.processAllAvailable()
-        assert(pendingLines() == Seq(s"$lateId\ttrue\ttrue\ttrue"),
+        // no dedup store maintained here → its flag is born settled
+        assert(pendingLines() == Seq(s"$lateId\ttrue\ttrue\ttrue\tfalse"),
           "an unmatched ticket must persist with every maintained store outstanding")
         assert(InvertedIndex.tombstones(spark, idxDir).isEmpty &&
           !AnnIndexStore.hasTombstones(spark, annDir),
@@ -458,7 +468,7 @@ class ErasureSpec extends SparkSpec {
           "late doc must be tombstoned in the ANN store")
         // the never-arriving junk id stays parked (documented residual:
         // pending never loses a ticket, it only retries vacuous deletes)
-        assert(pendingLines() == Seq("999999999\ttrue\ttrue\ttrue"),
+        assert(pendingLines() == Seq("999999999\ttrue\ttrue\ttrue\tfalse"),
           "settled ids drain from pending; never-arrived ids stay parked")
       } finally q.stop()
     } finally Fs.rmTree(root.toString)
