@@ -77,17 +77,20 @@ object DedupStore {
       .withColumn("fp", md5(col("text").cast("binary")))
     // within-batch keep-first (min id per fp): a fp-keyed min aggregate
     // + an equi semi-join back — batch-sized, hash-aggregated (no
-    // window, no array buffers)
+    // window, no array buffers). Checkpointed ONCE: the touched-bucket
+    // collect and the anti-join both read it, and each re-evaluation
+    // would re-fingerprint the whole batch
     val firsts = clean.join(
         clean.groupBy("fp").agg(min("doc_id").as("doc_id")),
         Seq("fp", "doc_id"), "left_semi")
       .dropDuplicates("fp")
       .withColumn("b", pmod(xxhash64(col("fp")), lit(b)))
-    if (firsts.isEmpty) return 0L
+      .localCheckpoint()
     // committed-seen probe pruned to the TOUCHED buckets: bucket ids
     // are bounded by `buckets`, so this collect is coordinator-sized
     val touched = firsts.select("b").distinct()
       .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return 0L // nothing survived the clean/keep-first
     val fresh = (if (cur < 0) firsts
       else {
         val seenFiles = fpFiles(spark, dir, cur)
