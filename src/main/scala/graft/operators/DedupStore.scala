@@ -108,14 +108,22 @@ object DedupStore {
     val nNew = fresh.count()
     if (nNew == 0L) return 0L // clean replay / all duplicates: no commit
     val next = cur + 1
-    val docFs = stageDocs(spark, root, fresh.drop("b"), next)
+    // bound the files a trigger lands: fresh is checkpointed and
+    // batch-sized, so coalesce costs nothing — without it every trigger
+    // writes shuffle-partition-many doc files and that many PER BUCKET
+    // on the seen side (file-count bloat is the probe's read
+    // amplification at scale)
+    val docParts = math.max(1, math.min(32, (nNew / 500000L).toInt + 1))
+    val docFs = stageDocs(spark, root, fresh.drop("b").coalesce(docParts), next)
     // partition by a COPY (`pb`): partitionBy strips its column out of
     // the data files, and the probe schema wants `b` readable without a
-    // basePath-aware directory parse
+    // basePath-aware directory parse. Repartitioned BY pb first → one
+    // file per touched bucket per trigger.
     val fpFs = StoreManifest.stageAndMove(spark, new Path(root, "seen"),
       fresh.select(col("fp"), col("b").cast("long").as("b"),
-        col("b").cast("long").as("pb")), "pb",
-      Some(touched.map(_.toString)), next)
+        col("b").cast("long").as("pb"))
+        .repartition(math.max(1, math.min(touched.size, 32)), col("pb")),
+      "pb", Some(touched.map(_.toString)), next)
     val (prevDocs, prevFps) =
       if (cur < 0) (Seq.empty[String], Seq.empty[String])
       else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur))
@@ -153,6 +161,42 @@ object DedupStore {
     if (files.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeenSchema)
     else spark.read.schema(SeenSchema).parquet(files.map(f => s"$dir/seen/$f"): _*)
+  }
+
+  /** Committed seen files at the current version (the compaction
+    * trigger's cheap manifest-line count — no filesystem listing).
+    */
+  def seenFileCount(spark: SparkSession, dir: String): Long = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    if (cur < 0) 0L else fpFiles(spark, dir, cur).length.toLong
+  }
+
+  /** Fold the seen-set down to ONE file per populated bucket behind the
+    * usual manifest flip — the IndexSink-compact symmetry: a long-lived
+    * stream lands one seen file per touched bucket per trigger, and
+    * without folding, the membership probe's fan-in grows with stream
+    * LIFETIME instead of corpus size. Docs files carry forward verbatim
+    * (they are read at corpus-scan granularity, not probed per
+    * trigger). Readers racing the fold resolve the pre-fold manifest;
+    * vacuum sweeps the superseded files. Returns the new seen file
+    * count.
+    */
+  def compactSeen(spark: SparkSession, dir: String): Long = {
+    val cur = StoreManifest.currentVersion(spark, dir)
+    require(cur >= 0, s"no committed dedup store under $dir")
+    val b = storedBuckets(spark, dir, cur)
+    val next = cur + 1
+    val all = readSeen(spark, dir)
+    val fpFs = StoreManifest.stageAndMove(spark, new Path(dir, "seen"),
+      all.withColumn("pb", col("b"))
+        .repartition(math.max(1, math.min(b, 32)), col("pb")),
+      "pb", None, next)
+    val schemaLine = StoreManifest.read(spark, dir, cur, "schema").head
+    StoreManifest.commit(spark, dir, next,
+      Seq(s"schema\t$schemaLine", s"buckets\t$b") ++
+        docFiles(spark, dir, cur).sorted.map("doc\t" + _) ++
+        fpFs.sorted.map("fp\t" + _))
+    fpFs.length.toLong
   }
 
   /** Erase accepted documents by id: their rows leave `docs/` AND their

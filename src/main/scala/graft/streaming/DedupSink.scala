@@ -27,14 +27,22 @@ object DedupSink {
 
   /** Start the sink over a stream bearing `doc_id` and `text` (other
     * columns ride along into the store). `buckets` binds only on the
-    * store's FIRST commit; later triggers use the baked value.
+    * store's FIRST commit; later triggers use the baked value. Once
+    * the seen-set's file count passes `maxSeenFiles`, the trigger folds
+    * it back to one file per bucket ([[DedupStore.compactSeen]] — the
+    * IndexSink maxSegments symmetry), so the membership probe's fan-in
+    * stays bounded under an endless stream.
     */
   def start(docs: DataFrame, dir: String, checkpoint: String,
-            buckets: Int = 64): StreamingQuery =
+            buckets: Int = 64, maxSeenFiles: Int = 256): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          DedupStore.appendBatch(batch.sparkSession, batch, dir, buckets)
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          DedupStore.appendBatch(spark, batch, dir, buckets)
+          if (DedupStore.seenFileCount(spark, dir) > maxSeenFiles)
+            DedupStore.compactSeen(spark, dir)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -84,6 +84,30 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("compactSeen: the probe's file fan-in stays bounded under many triggers; dedup unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_cs").toString
+    try {
+      // 6 triggers × 4 buckets would accrue up to 24 seen files
+      for (t <- 0 until 6)
+        DedupStore.appendBatch(spark,
+          mkDocs((0 until 8).map(i => (t * 8 + i).toLong -> s"text ${t * 8 + i}"): _*),
+          dir, buckets = 4)
+      val before = DedupStore.seenFileCount(spark, dir)
+      assert(before > 4, s"fixture should accrue per-trigger files, got $before")
+      assert(DedupStore.compactSeen(spark, dir) <= 4)
+      assert(DedupStore.seenFileCount(spark, dir) <= 4)
+      // the folded seen-set dedups exactly as before: replaying every
+      // trigger's content accepts nothing
+      for (t <- 0 until 6)
+        assert(DedupStore.appendBatch(spark,
+          mkDocs((0 until 8).map(i =>
+            (1000 + t * 8 + i).toLong -> s"text ${t * 8 + i}"): _*), dir) == 0L)
+      assert(DedupStore.readDocs(spark, dir).count() == 48)
+      // superseded per-trigger files drop at vacuum
+      assert(DedupStore.vacuum(spark, dir, retain = 1) >= before - 4)
+    } finally Fs.rmTree(dir)
+  }
+
   test("delete: doc + fingerprint leave together; replay no-op; content re-acceptable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_del").toString
     try {
