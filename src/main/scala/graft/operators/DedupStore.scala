@@ -127,8 +127,13 @@ object DedupStore {
     val (prevDocs, prevFps) =
       if (cur < 0) (Seq.empty[String], Seq.empty[String])
       else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur))
+    // the `ingest` tag marks THIS version as an acceptance commit —
+    // downstream derivations (IngestPipeline's index catch-up) key off
+    // it; maintenance versions (delete, compactSeen) carry no tag, so a
+    // survivor REWRITE can never be mistaken for new content
     StoreManifest.commit(spark, dir, next,
-      Seq(s"schema\t${fresh.drop("b").schema.json}", s"buckets\t$b") ++
+      Seq(s"schema\t${fresh.drop("b").schema.json}", s"buckets\t$b",
+        s"ingest\t$nNew") ++
         (prevDocs ++ docFs).sorted.map("doc\t" + _) ++
         (prevFps ++ fpFs).sorted.map("fp\t" + _))
     nNew
