@@ -285,13 +285,22 @@ object DedupStore {
 
   /** Drop manifests beyond the newest `retain` and sweep every data
     * file no surviving version references (crash orphans, expired
-    * history). Returns files deleted.
+    * history). `keepFrom` pins every version >= it regardless of the
+    * count — the floor a DERIVING store sets so a version it has not
+    * consumed yet cannot expire under it no matter how many maintenance
+    * commits land in between ([[graft.streaming.IngestPipeline
+    * .vacuumSafe]]; ADVICE r12). Returns files deleted.
     */
-  def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Long = {
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 2,
+             keepFrom: Option[Long] = None): Long = {
     val root = new Path(dir)
     val fs = StoreManifest.hfs(spark, root)
     if (StoreManifest.currentVersion(spark, dir) < 0) return 0L
-    val keep = StoreManifest.expire(spark, dir, retain)
+    // versions are ascending and expire keeps the NEWEST n, so keeping
+    // max(retain, count >= keepFrom) retains the whole pinned suffix
+    val all = StoreManifest.versions(spark, dir)
+    val effRetain = keepFrom.fold(retain)(f => math.max(retain, all.count(_ >= f)))
+    val keep = StoreManifest.expire(spark, dir, effRetain)
     val refDocs = keep.flatMap(v => docFiles(spark, dir, v)).toSet
     val refFps = keep.flatMap(v => fpFiles(spark, dir, v)).toSet
     var deleted = 0L

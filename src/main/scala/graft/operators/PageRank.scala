@@ -191,8 +191,18 @@ object PageRank {
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(dampNum > 0 && dampDen > dampNum, "damping must satisfy 0 < num < den")
-    // dampNum·(scale + …) must not overflow: Σm ≤ scale, dm ≤ scale
+    require(scale > 0, s"scale must be positive, got $scale")
+    // every product in the recurrence must stay inside Long under
+    // non-ANSI Spark (a silent wrap would poison ranks; ADVICE r12
+    // extended the r12 guard to ALL the terms, not just the damped one):
+    //   4·dampNum itself (the next guard's own arithmetic),
+    require(dampNum <= Long.MaxValue / 4, s"dampNum too large: $dampNum")
+    //   dampNum·(Σm + dm) ≤ dampNum·4·scale (Σm ≤ scale, dm ≤ scale,
+    //   truncation slack ≤ 2·scale),
     require(scale <= Long.MaxValue / (4 * dampNum), "scale too large for the damped product")
+    //   the teleport numerator (dampDen − dampNum)·scale,
+    require(dampDen - dampNum <= Long.MaxValue / scale,
+      s"(dampDen - dampNum) * scale would overflow: dampDen=$dampDen dampNum=$dampNum scale=$scale")
     val sc = edges.sparkSession.sparkContext
     val beforeIds = sc.getPersistentRDDs.keySet
     // identical static-state shape (and checkpoint discipline) as
@@ -210,6 +220,11 @@ object PageRank {
       .localCheckpoint()
     val hasDangling = !danglingNodes.isEmpty
     val nDf = nodes.agg(count(lit(1)).as("n"))
+    // ... and the teleport denominator dampDen·n, which is data-dependent:
+    // check once n is known (nodes is checkpointed — a cheap count)
+    val nVal = nDf.first().getLong(0)
+    require(nVal == 0 || dampDen <= Long.MaxValue / nVal,
+      s"dampDen * n would overflow: dampDen=$dampDen n=$nVal")
     val teleport = s"((${dampDen - dampNum} * ${scale}L) div ($dampDen * n))"
     val staticIds = sc.getPersistentRDDs.keySet
     var ranks = nodes.crossJoin(nDf)

@@ -112,7 +112,10 @@ object UserErase {
   private def readJournal(dir: String): (Seq[Long], Seq[String]) = {
     val f = new java.io.File(dir, JournalFile)
     if (!f.exists()) return (Nil, Nil)
-    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+    // close the handle eagerly — a long-running erase queue calls this
+    // every trigger, and an unclosed Source leaks one fd each (ADVICE r12)
+    val lines = scala.util.Using.resource(
+      scala.io.Source.fromFile(f, "UTF-8"))(_.getLines().toList)
     def vals(tag: String): Seq[String] = lines
       .filter(_.startsWith(s"$tag\t"))
       .flatMap(_.substring(tag.length + 1).split(',')).filter(_.nonEmpty)

@@ -106,33 +106,41 @@ object EraseSink {
         if (merged.nonEmpty) {
           val ids = merged.keys.toSeq.sorted
           // per-store knowledge BEFORE the deletes: an id found in a
-          // store now is erased by this trigger's delete below
-          val snapKnown = knownIn(MergeInto.readSnapshot(spark, snapshotDir)
-            .select(col("doc_id")), ids)
-          val idxKnown = indexDir.map(d =>
-            knownIn(InvertedIndex.docLengths(spark, d).select("doc_id")
-              .unionByName(InvertedIndex.tombstones(spark, d).select("doc_id")), ids))
-            .getOrElse(Set.empty[Long])
-          val annKnown = annDir.map(d =>
-            knownIn(spark.read.parquet(s"$d/lists").select(col("vec_id").as("doc_id"))
-              .unionByName(AnnIndexStore.loadTombstones(spark, d)
-                .select(col("vec_id").as("doc_id"))), ids))
-            .getOrElse(Set.empty[Long])
-          // dedup erasure is hard-delete (no tombstones), so "known" =
-          // accepted right now; absence stays outstanding via pending.
-          // A store with no committed version yet holds nothing.
-          val dedupKnown = dedupDir
-            .filter(d => graft.operators.StoreManifest
-              .currentVersion(spark, d) >= 0)
-            .map(d => knownIn(DedupStore.readDocs(spark, d)
-              .select(col("doc_id")), ids))
-            .getOrElse(Set.empty[Long])
+          // store now is erased by this trigger's delete below. Only the
+          // pending rewrite consumes these — each probe is a store-read
+          // Spark job, so computing them unconditionally was pure
+          // per-trigger latency for pendingDir-less deployments
+          // (ADVICE r12)
+          val known = pendingDir.map { _ =>
+            val snapKnown = knownIn(MergeInto.readSnapshot(spark, snapshotDir)
+              .select(col("doc_id")), ids)
+            val idxKnown = indexDir.map(d =>
+              knownIn(InvertedIndex.docLengths(spark, d).select("doc_id")
+                .unionByName(InvertedIndex.tombstones(spark, d).select("doc_id")), ids))
+              .getOrElse(Set.empty[Long])
+            val annKnown = annDir.map(d =>
+              knownIn(spark.read.parquet(s"$d/lists").select(col("vec_id").as("doc_id"))
+                .unionByName(AnnIndexStore.loadTombstones(spark, d)
+                  .select(col("vec_id").as("doc_id"))), ids))
+              .getOrElse(Set.empty[Long])
+            // dedup erasure is hard-delete (no tombstones), so "known" =
+            // accepted right now; absence stays outstanding via pending.
+            // A store with no committed version yet holds nothing.
+            val dedupKnown = dedupDir
+              .filter(d => graft.operators.StoreManifest
+                .currentVersion(spark, d) >= 0)
+              .map(d => knownIn(DedupStore.readDocs(spark, d)
+                .select(col("doc_id")), ids))
+              .getOrElse(Set.empty[Long])
+            (snapKnown, idxKnown, annKnown, dedupKnown)
+          }
           MergeInto.deleteWhere(spark, snapshotDir,
             col("doc_id").isin(ids: _*), partitionCol)
           indexDir.foreach(d => InvertedIndex.delete(spark, d, ids))
           annDir.foreach(d => AnnIndexStore.delete(spark, d, ids))
           dedupDir.foreach(d => DedupStore.delete(spark, d, ids))
           pendingDir.foreach { pd =>
+            val (snapKnown, idxKnown, annKnown, dedupKnown) = known.get
             val next = merged.map { case (id, o) =>
               id -> Outstanding(o.snap && !snapKnown(id),
                 o.idx && !idxKnown(id), o.ann && !annKnown(id),
@@ -164,20 +172,25 @@ object EraseSink {
   private def readPending(dir: String): Map[Long, Outstanding] = {
     val f = new java.io.File(dir, PendingFile)
     if (!f.exists()) Map.empty
-    else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
-      .map { l =>
-        // 3-field lines predate the dedup store (r12) — read as settled
-        l.split('\t') match {
-          case Array(id, s, i, a) =>
-            id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean)
-          case Array(id, s, i, a, d) =>
-            id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean,
-              d.toBoolean)
-          case other =>
-            throw new IllegalStateException(
-              s"malformed pending line: ${other.mkString("\t")}")
-        }
-      }.toMap
+    // Using closes the source even on a malformed line — the sink runs
+    // once per trigger forever, so an unclosed reader is a per-trigger
+    // handle leak (ADVICE r12)
+    else scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8")) { src =>
+      src.getLines().filter(_.nonEmpty)
+        .map { l =>
+          // 3-field lines predate the dedup store (r12) — read as settled
+          l.split('\t') match {
+            case Array(id, s, i, a) =>
+              id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean)
+            case Array(id, s, i, a, d) =>
+              id.toLong -> Outstanding(s.toBoolean, i.toBoolean, a.toBoolean,
+                d.toBoolean)
+            case other =>
+              throw new IllegalStateException(
+                s"malformed pending line: ${other.mkString("\t")}")
+          }
+        }.toMap
+    }
   }
 
   /** Rewrite the pending file (tmp + atomic rename; deleted when the

@@ -88,4 +88,98 @@ class IngestPipelineSpec extends SparkSpec {
         "maintenance rewrites must not become index segments")
     } finally Fs.rmTree(base.toString)
   }
+
+  test("erasure inside the crash window cannot resurrect into the index (ADVICE r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_rez")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    try {
+      DedupStore.appendBatch(spark,
+        mkDocs((1L, "alpha beta"), (2L, "gamma delta")), dedupDir, buckets = 4)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      // trigger 2 "crashed" after the dedup commit, before catch-up...
+      DedupStore.appendBatch(spark,
+        mkDocs((3L, "epsilon zeta"), (4L, "eta theta")), dedupDir)
+      // ...and an erasure ticket for one of its docs lands meanwhile
+      // (DedupStore commits; InvertedIndex.delete would refuse — the id
+      // was never indexed)
+      assert(DedupStore.delete(spark, dedupDir, Seq(3L)) == 1L)
+      // the replayed catch-up must index the version's SURVIVORS only
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      assert(indexedDocIds(idxDir) == Set(1L, 2L, 4L),
+        "erased doc resurrected into the index through the lagging version")
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 0L)
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("an all-erased lagging version still commits its (empty) segment and stops lagging") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_empty")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    try {
+      DedupStore.appendBatch(spark, mkDocs((1L, "alpha beta")), dedupDir, buckets = 4)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      DedupStore.appendBatch(spark, mkDocs((3L, "epsilon zeta")), dedupDir)
+      assert(DedupStore.delete(spark, dedupDir, Seq(3L)) == 1L)
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir).contains(1L))
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      assert(indexedDocIds(idxDir) == Set(1L))
+      // the empty dv segment ended the lag — nothing pins vacuum anymore
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir).isEmpty)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 0L)
+      // and ranked search over the healed index still works
+      assert(InvertedIndex.searchBm25(spark, idxDir, Seq("alpha")).count() == 1L)
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("same id+content re-accepted after a crash-window erasure indexes exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_re")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    try {
+      DedupStore.appendBatch(spark, mkDocs((1L, "alpha beta")), dedupDir, buckets = 4)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      // lagging version accepts doc 3; erased; the SAME (id, content)
+      // re-ingests (dedup delete forgets the fingerprint — re-entry is
+      // the documented semantics) — all before catch-up runs
+      DedupStore.appendBatch(spark, mkDocs((3L, "epsilon zeta")), dedupDir)
+      assert(DedupStore.delete(spark, dedupDir, Seq(3L)) == 1L)
+      assert(DedupStore.appendBatch(spark, mkDocs((3L, "epsilon zeta")), dedupDir) == 1L)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 2L)
+      assert(indexedDocIds(idxDir) == Set(1L, 3L))
+      // postings must not double: doc 3 appears once in the length table
+      // and its term frequency is 1
+      assert(InvertedIndex.docLengths(spark, idxDir)
+        .filter(col("doc_id") === 3L).count() == 1L,
+        "re-accepted doc indexed by both its own and the lagging version")
+      val hits = InvertedIndex.searchBm25(spark, idxDir, Seq("epsilon"))
+        .select("doc_id", "n_terms").collect()
+      assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 1L)))
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("vacuumSafe never expires a lagging ingest version, however many maintenance commits follow (ADVICE r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_vac")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    try {
+      DedupStore.appendBatch(spark,
+        mkDocs((1L, "alpha beta"), (2L, "gamma delta")), dedupDir, buckets = 4)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      // version 1 ingests and the pipeline "crashes" before catch-up
+      DedupStore.appendBatch(spark, mkDocs((3L, "epsilon zeta")), dedupDir)
+      // maintenance keeps committing versions while it is down: 3
+      // commits push v1 past any retain=2 window
+      DedupStore.compactSeen(spark, dedupDir)
+      DedupStore.delete(spark, dedupDir, Seq(2L))
+      DedupStore.compactSeen(spark, dedupDir)
+      IngestPipeline.vacuumSafe(spark, dedupDir, idxDir, retain = 2)
+      // the lagging version's manifest AND doc files must have survived:
+      // the recovered pipeline still indexes it (doc 2 stays indexed —
+      // it was committed in dv0 and index-side erasure is EraseSink's
+      // InvertedIndex.delete, not the dedup delete's job)
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 1L)
+      assert(indexedDocIds(idxDir) == Set(1L, 2L, 3L))
+      // caught up now — the next vacuum is free to expire normally
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir).isEmpty)
+      IngestPipeline.vacuumSafe(spark, dedupDir, idxDir, retain = 2)
+      assert(operators.StoreManifest.versions(spark, dedupDir).length == 2)
+    } finally Fs.rmTree(base.toString)
+  }
 }
