@@ -47,18 +47,73 @@ import org.apache.spark.sql.functions._
   * accepted exactly once) even if a different duplicate id could have
   * won under different boundaries.
   *
+  * ==Near-duplicate mode (r13 — the VERDICT r12 headline gap)==
+  *
+  * Exact md5 lets a re-crawl with ONE changed sentence sail through.
+  * With a [[NearConfig]] the store also keeps a MinHash-LSH band
+  * seen-set — `near/pb=<k>/` rows (doc_id, band, bucket, sig),
+  * partitioned by `pb = pmod(bucket, buckets)` — and a batch survivor
+  * additionally drops when any of its band buckets collides with an
+  * ACCEPTED doc's and the signatures agree on ≥ threshold of their
+  * positions. The banding and the threshold expression are
+  * [[MinHashDedup.banded]] / [[MinHashDedup.estJaccard]] — the SAME
+  * text the batch operator evaluates, so the streamed survivor set
+  * provably equals batch `nearDupPairs`-then-keep-first on the same
+  * delivered batches (DedupSinkSpec). Within a batch the rule is the
+  * batch operator's: drop `b` when a pair (a, b), a < b, meets the
+  * threshold. Docs too short to shingle have no signature and are
+  * exact-only — identical to the batch operator's domain.
+  *
+  * The config bakes at first commit (manifest `near` line) like the
+  * bucket modulus; replay stays content-convergent (a replayed doc is
+  * its own 1.0-jaccard near-dup of the committed copy — and the exact
+  * fp probe already drops it before the near probe runs). Probe cost:
+  * batch bands × (near rows / buckets) — the touched `pb=` dirs only,
+  * same driver-side pruning as the exact probe. The signature rides in
+  * EVERY band row (bands × sigBytes per accepted doc, ~8 KB at
+  * 64 hashes × 16 bands): space traded for single-join probes — the
+  * alternative (a separate sig table) re-reads corpus-wide per
+  * trigger. At 100 TB, tune bands/numHashes down or raise `buckets`;
+  * the probe stays bucket-local either way.
+  *
   * Single-writer per store root, like every sink here.
   */
 object DedupStore {
 
   private val DefaultBuckets = 64
 
+  /** Near-dup ingest configuration; bakes at the store's first commit.
+    * Defaults mirror [[MinHashDedup.nearDupPairs]].
+    */
+  final case class NearConfig(numHashes: Int = 64, bands: Int = 16,
+                              shingleSize: Int = 3, threshold: Double = 0.3) {
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def rowsPerBand: Int = numHashes / bands
+    def encode: String = s"$numHashes,$bands,$shingleSize,$threshold"
+  }
+
+  object NearConfig {
+    def decode(s: String): NearConfig = s.split(',') match {
+      case Array(nh, bd, sh, th) =>
+        NearConfig(nh.toInt, bd.toInt, sh.toInt, th.toDouble)
+      case _ => throw new IllegalStateException(s"malformed near config: $s")
+    }
+  }
+
   /** Idempotent per-trigger core. `batch` needs `doc_id` and `text`;
-    * every other column rides along into `docs/`. Returns the number
-    * of newly accepted documents (0 = nothing committed).
+    * every other column rides along into `docs/`. `near` arms the
+    * near-dup band seen-set on the store's FIRST commit (a store
+    * property, baked like `buckets` — later calls use the stored
+    * config regardless of the argument). Returns the number of newly
+    * accepted documents (0 = nothing committed).
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
-                  buckets: Int = DefaultBuckets): Long = {
+                  buckets: Int = DefaultBuckets,
+                  near: Option[NearConfig] = None): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val root = new Path(dir)
     val fs = StoreManifest.hfs(spark, root)
@@ -107,36 +162,103 @@ object DedupStore {
       }).localCheckpoint()
     val nNew = fresh.count()
     if (nNew == 0L) return 0L // clean replay / all duplicates: no commit
+    // ---- near-dup gate (object scaladoc): exact-fresh docs also drop
+    // when near an ACCEPTED doc (band-bucket collision + signature
+    // agreement ≥ threshold) or a smaller-id batch doc. Probe reads
+    // only the pb= dirs the batch's band buckets touch.
+    val nearCfg = if (cur < 0) near else storedNear(spark, dir, cur)
+    val (accepted, nAcc, nearKeep) = nearCfg match {
+      case None => (fresh, nNew, None)
+      case Some(nc) =>
+        // docs too short to shingle carry no signature: exact-only,
+        // same as the batch operator's domain
+        val sigs = MinHashDedup.signatures(fresh, "text", "doc_id",
+          nc.numHashes, nc.shingleSize).localCheckpoint()
+        val bd = MinHashDedup.banded(sigs, "doc_id", nc.bands, nc.rowsPerBand)
+        // within-batch: the batch operator's rule — drop b of any
+        // thresholded pair (a, b), a < b (candidatePairs' shape, minus
+        // its per-call cache: sigs is already checkpointed)
+        val aB = bd.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+          col("band"), col("bucket"))
+        val bB = bd.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+          col("band").as("b_band"), col("bucket").as("b_bucket"))
+        val batchDrops = aB.join(bB,
+            col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
+              col("a_id") < col("b_id"))
+          .filter(MinHashDedup.estJaccard("a_sig", "b_sig") >= nc.threshold)
+          .select(col("b_id").as("doc_id")).distinct()
+        val bandedKept = MinHashDedup.banded(
+            sigs.join(batchDrops, Seq("doc_id"), "left_anti"),
+            "doc_id", nc.bands, nc.rowsPerBand)
+          .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
+          .localCheckpoint()
+        val touchedNear = bandedKept.select("pb").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val nearSeen =
+          if (cur < 0) Seq.empty[String]
+          else nearFiles(spark, dir, cur)
+            .filter(f => touchedNear.contains(bucketOfPath(f)))
+        val storeDrops =
+          if (nearSeen.isEmpty) None
+          else Some(bandedKept
+            .join(spark.read.schema(NearSchema)
+                .parquet(nearSeen.map(f => s"$dir/near/$f"): _*)
+                .select(col("band").as("s_band"), col("bucket").as("s_bucket"),
+                  col("sig").as("s_sig"))
+                .hint("shuffle_hash"),
+              col("band") === col("s_band") && col("bucket") === col("s_bucket"))
+            .filter(MinHashDedup.estJaccard("sig", "s_sig") >= nc.threshold)
+            .select("doc_id").distinct())
+        val drops = storeDrops.fold(batchDrops)(batchDrops.unionByName(_))
+          .localCheckpoint()
+        val acc = fresh.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // band rows land only for ACCEPTED docs — the seen-set is the
+        // canon, exactly like the exact fp side
+        val keep = bandedKept
+          .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("band"), col("bucket"), col("sig"),
+            col("pb").cast("long").as("pb"))
+        (acc, acc.count(), Some(keep))
+    }
+    if (nAcc == 0L) return 0L // every exact-fresh doc was a near-dup
     val next = cur + 1
-    // bound the files a trigger lands: fresh is checkpointed and
+    // bound the files a trigger lands: accepted is checkpointed and
     // batch-sized, so coalesce costs nothing — without it every trigger
     // writes shuffle-partition-many doc files and that many PER BUCKET
     // on the seen side (file-count bloat is the probe's read
     // amplification at scale)
-    val docParts = math.max(1, math.min(32, (nNew / 500000L).toInt + 1))
-    val docFs = stageDocs(spark, root, fresh.drop("b").coalesce(docParts), next)
+    val docParts = math.max(1, math.min(32, (nAcc / 500000L).toInt + 1))
+    val docFs = stageDocs(spark, root, accepted.drop("b").coalesce(docParts), next)
     // partition by a COPY (`pb`): partitionBy strips its column out of
     // the data files, and the probe schema wants `b` readable without a
     // basePath-aware directory parse. Repartitioned BY pb first → one
     // file per touched bucket per trigger.
     val fpFs = StoreManifest.stageAndMove(spark, new Path(root, "seen"),
-      fresh.select(col("fp"), col("b").cast("long").as("b"),
+      accepted.select(col("fp"), col("b").cast("long").as("b"),
         col("b").cast("long").as("pb"))
         .repartition(math.max(1, math.min(touched.size, 32)), col("pb")),
       "pb", Some(touched.map(_.toString)), next)
-    val (prevDocs, prevFps) =
-      if (cur < 0) (Seq.empty[String], Seq.empty[String])
-      else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur))
+    val nearFs = nearKeep.fold(Seq.empty[String])(nk =>
+      StoreManifest.stageAndMove(spark, new Path(root, "near"),
+        nk.repartition(math.max(1, math.min(b, 32)), col("pb")),
+        "pb", None, next))
+    val (prevDocs, prevFps, prevNear) =
+      if (cur < 0) (Seq.empty[String], Seq.empty[String], Seq.empty[String])
+      else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur),
+        nearFiles(spark, dir, cur))
     // the `ingest` tag marks THIS version as an acceptance commit —
     // downstream derivations (IngestPipeline's index catch-up) key off
     // it; maintenance versions (delete, compactSeen) carry no tag, so a
     // survivor REWRITE can never be mistaken for new content
     StoreManifest.commit(spark, dir, next,
-      Seq(s"schema\t${fresh.drop("b").schema.json}", s"buckets\t$b",
-        s"ingest\t$nNew") ++
+      Seq(s"schema\t${accepted.drop("b").schema.json}", s"buckets\t$b") ++
+        nearCfg.map(nc => s"near\t${nc.encode}").toSeq ++
+        Seq(s"ingest\t$nAcc") ++
         (prevDocs ++ docFs).sorted.map("doc\t" + _) ++
-        (prevFps ++ fpFs).sorted.map("fp\t" + _))
-    nNew
+        (prevFps ++ fpFs).sorted.map("fp\t" + _) ++
+        (prevNear ++ nearFs).sorted.map("nearf\t" + _))
+    nAcc
   }
 
   /** The accepted corpus at the current version (manifest-resolved —
@@ -168,12 +290,16 @@ object DedupStore {
     else spark.read.schema(SeenSchema).parquet(files.map(f => s"$dir/seen/$f"): _*)
   }
 
-  /** Committed seen files at the current version (the compaction
-    * trigger's cheap manifest-line count — no filesystem listing).
+  /** Committed probe-set files (exact fp + near bands) at the current
+    * version — the compaction trigger's cheap manifest-line count, no
+    * filesystem listing. Both families accrue one file per touched
+    * bucket per trigger and both fold at [[compactSeen]], so one bound
+    * covers the probe's whole fan-in.
     */
   def seenFileCount(spark: SparkSession, dir: String): Long = {
     val cur = StoreManifest.currentVersion(spark, dir)
-    if (cur < 0) 0L else fpFiles(spark, dir, cur).length.toLong
+    if (cur < 0) 0L
+    else (fpFiles(spark, dir, cur).length + nearFiles(spark, dir, cur).length).toLong
   }
 
   /** Fold the seen-set down to ONE file per populated bucket behind the
@@ -196,12 +322,25 @@ object DedupStore {
       all.withColumn("pb", col("b"))
         .repartition(math.max(1, math.min(b, 32)), col("pb")),
       "pb", None, next)
+    // the near band seen-set folds the same way (pb re-derives from the
+    // bucket — the same pmod that wrote it)
+    val prevNear = nearFiles(spark, dir, cur)
+    val nearFs =
+      if (prevNear.isEmpty) Seq.empty[String]
+      else StoreManifest.stageAndMove(spark, new Path(dir, "near"),
+        spark.read.schema(NearSchema)
+          .parquet(prevNear.map(f => s"$dir/near/$f"): _*)
+          .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
+          .repartition(math.max(1, math.min(b, 32)), col("pb")),
+        "pb", None, next)
     val schemaLine = StoreManifest.read(spark, dir, cur, "schema").head
     StoreManifest.commit(spark, dir, next,
       Seq(s"schema\t$schemaLine", s"buckets\t$b") ++
+        storedNear(spark, dir, cur).map(nc => s"near\t${nc.encode}").toSeq ++
         docFiles(spark, dir, cur).sorted.map("doc\t" + _) ++
-        fpFs.sorted.map("fp\t" + _))
-    fpFs.length.toLong
+        fpFs.sorted.map("fp\t" + _) ++
+        nearFs.sorted.map("nearf\t" + _))
+    (fpFs.length + nearFs.length).toLong
   }
 
   /** Erase accepted documents by id: their rows leave `docs/` AND their
@@ -268,10 +407,49 @@ object DedupStore {
         else StoreManifest.stageAndMove(spark, new Path(root, "seen"),
           survivors, "pb", Some(hitBuckets.map(_.toString)), next)
       }
+    // the erased docs' band signatures are derived content — they leave
+    // too (the forget-and-allow-reentry semantics extends to near mode:
+    // keeping the bands would silently block the content's re-entry).
+    // Their pb dirs re-derive from the erased TEXT with the same banding
+    // that wrote them, so the rewrite reads only the touched dirs, never
+    // the whole near set. Short docs have no bands — nothing rewrites.
+    val nearCfg = storedNear(spark, dir, cur)
+    val prevNearFs = nearFiles(spark, dir, cur)
+    val nearLines: Seq[String] = nearCfg match {
+      case Some(nc) if prevNearFs.nonEmpty =>
+        val erased = spark.read.schema(schema)
+          .parquet(hitDocFiles.toSeq.map(f => s"$dir/docs/$f"): _*)
+          .filter(col("doc_id").isin(ids: _*))
+          .select("doc_id", "text")
+        val erasedBands = MinHashDedup.banded(
+            MinHashDedup.signatures(erased, "text", "doc_id",
+              nc.numHashes, nc.shingleSize),
+            "doc_id", nc.bands, nc.rowsPerBand)
+          .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
+        val hitNearPbs = erasedBands.select("pb").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val (hitNearFs, keptNearFs) = prevNearFs
+          .partition(f => hitNearPbs.contains(bucketOfPath(f)))
+        val rewrittenNear =
+          if (hitNearFs.isEmpty) Seq.empty[String]
+          else {
+            val nearSurvivors = spark.read.schema(NearSchema)
+              .parquet(hitNearFs.map(f => s"$dir/near/$f"): _*)
+              .filter(!col("doc_id").isin(ids: _*))
+              .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
+            if (nearSurvivors.isEmpty) Seq.empty[String]
+            else StoreManifest.stageAndMove(spark, new Path(root, "near"),
+              nearSurvivors, "pb", Some(hitNearPbs.map(_.toString)), next)
+          }
+        (keptNearFs ++ rewrittenNear).sorted.map("nearf\t" + _)
+      case _ => prevNearFs.sorted.map("nearf\t" + _)
+    }
     StoreManifest.commit(spark, dir, next,
       Seq(s"schema\t${schema.json}", s"buckets\t$b") ++
+        nearCfg.map(nc => s"near\t${nc.encode}").toSeq ++
         (keptDocs ++ rewrittenDocs).sorted.map("doc\t" + _) ++
-        (keptFps ++ rewrittenFps).sorted.map("fp\t" + _))
+        (keptFps ++ rewrittenFps).sorted.map("fp\t" + _) ++
+        nearLines)
     // older versions still reference the pre-delete bytes until vacuum —
     // the same auditable-erasure window every COW store here keeps
     hitRows.map(_.getLong(1)).distinct.length.toLong
@@ -303,6 +481,7 @@ object DedupStore {
     val keep = StoreManifest.expire(spark, dir, effRetain)
     val refDocs = keep.flatMap(v => docFiles(spark, dir, v)).toSet
     val refFps = keep.flatMap(v => fpFiles(spark, dir, v)).toSet
+    val refNear = keep.flatMap(v => nearFiles(spark, dir, v)).toSet
     var deleted = 0L
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
       .foreach(p => fs.delete(p.getPath, true))
@@ -313,15 +492,17 @@ object DedupStore {
           fs.delete(f.getPath, false); deleted += 1
         }
       }
-    val seenDir = new Path(root, "seen")
-    if (fs.exists(seenDir))
-      fs.listStatus(seenDir).filter(_.isDirectory).foreach { bd =>
-        fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
-          val rel = s"${bd.getPath.getName}/${f.getPath.getName}"
-          if (!refFps.contains(rel)) { fs.delete(f.getPath, false); deleted += 1 }
+    for ((sub, refs) <- Seq("seen" -> refFps, "near" -> refNear)) {
+      val d = new Path(root, sub)
+      if (fs.exists(d))
+        fs.listStatus(d).filter(_.isDirectory).foreach { bd =>
+          fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
+            val rel = s"${bd.getPath.getName}/${f.getPath.getName}"
+            if (!refs.contains(rel)) { fs.delete(f.getPath, false); deleted += 1 }
+          }
+          if (fs.listStatus(bd.getPath).isEmpty) fs.delete(bd.getPath, true)
         }
-        if (fs.listStatus(bd.getPath).isEmpty) fs.delete(bd.getPath, true)
-      }
+    }
     deleted
   }
 
@@ -339,6 +520,24 @@ object DedupStore {
 
   private def fpFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
     StoreManifest.read(spark, dir, v, "fp")
+
+  private def nearFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    StoreManifest.read(spark, dir, v, "nearf")
+
+  private def storedNear(spark: SparkSession, dir: String,
+                         v: Long): Option[NearConfig] =
+    StoreManifest.read(spark, dir, v, "near").headOption.map(NearConfig.decode)
+
+  private val NearSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
 
   /** `pb=<k>/v…parquet` → k. */
   private def bucketOfPath(rel: String): Long =

@@ -45,6 +45,33 @@ object MinHashDedup {
       .agg(minhashAgg(col("hbase")).as("sig"))
   }
 
+  /** One row per signature band: (idCol, sig, band, bucket) with
+    * bucket = xxhash64(band, band-slice). THE banding expression —
+    * [[candidatePairs]] and the ingest store's band seen-set
+    * ([[DedupStore]] near mode) both evaluate this one text, so their
+    * buckets can never drift apart.
+    */
+  def banded(sigs: DataFrame, idCol: String,
+             bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bucket', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+        .as("bb"))
+      .select(col(idCol), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Fraction of agreeing minhash positions between two signature
+    * columns, rounded exactly as [[candidatePairs]] emits it — the ONE
+    * threshold expression every near-dup decision (batch pairs AND the
+    * ingest probe) compares against, so a store-accepted survivor set
+    * can never disagree with the batch operator on a boundary pair.
+    */
+  def estJaccard(aSig: String, bSig: String): org.apache.spark.sql.Column =
+    round(
+      expr(s"aggregate(zip_with($aSig, $bSig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z)")
+        .cast("double") / size(col(aSig)), 6)
+
   /** Candidate near-dup pairs via banding; est_jaccard = fraction of
     * agreeing minhash positions. bands × rowsPerBand must equal the
     * signature length.
@@ -65,15 +92,10 @@ object MinHashDedup {
       when(size(col("sig")) === numHashes, col("sig"))
         .otherwise(raise_error(concat(lit(s"minhash signature length != $numHashes: "),
           size(col("sig")).cast("string"))))).cache()
-    val banded = checked.select(col(idCol), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bucket', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
-        .as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+    val bd = banded(checked, idCol, bands, rowsPerBand)
+    val a = bd.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
       col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+    val b = bd.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
       col("band").as("b_band"), col("bucket").as("b_bucket"))
     // est_jaccard computes BEFORE the pair dedup (r12): a pair colliding
     // in k bands agrees position-for-position in every copy, so the value
@@ -86,9 +108,8 @@ object MinHashDedup {
     // ~1.5× here) — a cheap codegen'd loop vs sorting the candidate set.
     a.join(b, col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
         col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(
-        expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, z) -> acc + z)")
-          .cast("double") / size(col("a_sig")), 6).as("est_jaccard"))
+      .select(col("a_id"), col("b_id"),
+        estJaccard("a_sig", "b_sig").as("est_jaccard"))
       .dropDuplicates("a_id", "b_id")
   }
 

