@@ -67,6 +67,14 @@ object PlanDigest {
       "sort_agg"       -> c(_.isInstanceOf[SortAggregateExec]),
       "sorts"          -> c(_.isInstanceOf[SortExec]),
       "windows"        -> c(_.isInstanceOf[WindowExec]),
+      // UNPARTITIONED windows: every row through ONE task — the
+      // single-reducer class the r12 verdict banned registry-wide.
+      // PlanSpec asserts this is 0 everywhere except a pinned exemption
+      // list (contract-mandated shapes with scalable twins).
+      "uwin"           -> c {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _             => false
+      },
       "scans"          -> c(n => n.isInstanceOf[FileSourceScanExec] ||
                                  n.isInstanceOf[BatchScanExec] ||
                                  n.isInstanceOf[InMemoryTableScanExec]),

@@ -56,6 +56,37 @@ object ScalableNtile {
       .orderBy("o_orderkey")
   }
 
+  /** Global `row_number() OVER (ORDER BY sort)` without the
+    * single-reducer window (r13, the registry-wide uwin ban):
+    * range-repartition on the sort, sort within partitions, convert the
+    * per-partition index to a global 1-based rank via partition-count
+    * offsets (one tiny job collecting `partitions` longs). `sort` must
+    * be a TOTAL order or ranks are engine-dependent. Returns the input
+    * columns + `rank` (LONG) — identical values to the window
+    * formulation, no stage holding more than one partition's rows.
+    */
+  def rankBy(df: DataFrame, sort: Seq[org.apache.spark.sql.Column],
+             partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df
+      .repartitionByRange(partitions, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator((i, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(df.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** GENERIC exact ntile over any frame — same range-partitioned
     * zipWithIndex rank as [[ntilePct]], parameterized by sort order
     * (r12, for q_evt_rfm's three scorings). `sort` must be a TOTAL

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Contiguous token-budget packing — assign documents (in doc_id order)
   * to fixed-token-budget bins, the sequence-packing shape a training-data
@@ -107,6 +108,50 @@ object TokenPacker {
       }
       .toDF("doc_id", "weight", "cum_weight", "n_picks")
       .orderBy("doc_id")
+  }
+
+  /** Global (rank, cum) over a total order — the drop-in replacement
+    * for the `row_number() OVER (ORDER BY …)` + running-`SUM` global
+    * window pair, which Spark executes on a SINGLE reducer (every row
+    * through one task — the q_text_vocab r12 `weak`). Same shape as
+    * [[packContiguous]]'s two-pass distributed prefix sum, generalized
+    * to any sort order and row schema: range-repartition on the sort
+    * (sampled balanced splits), sort within partitions, collect only
+    * per-partition (count, sum) pairs, then one streaming pass adds the
+    * offsets. `sort` must be a TOTAL order or ranks are
+    * engine-dependent; `valueCol` must be LONG (exact integer running
+    * totals — both engines agree bit-for-bit, the oracle doctrine).
+    *
+    * Returns (input columns + `rank` + `cum`, grand total). The range
+    * exchange is paid once — pass 2 reuses pass 1's shuffle output.
+    */
+  def rankCumsum(df: DataFrame, valueCol: String, sort: Seq[Column],
+                 partitions: Int = 32): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val vi = df.columns.indexOf(valueCol)
+    require(vi >= 0, s"rankCumsum: $valueCol not in ${df.columns.mkString(", ")}")
+    val rdd = df
+      .repartitionByRange(partitions, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .rdd
+    val partStats = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; s += r.getLong(vi) }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val cntOffsets = partStats.map(_._2).scanLeft(0L)(_ + _)
+    val sumOffsets = partStats.map(_._3).scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rank = cntOffsets(i); var run = sumOffsets(i)
+      it.map { r =>
+        rank += 1; run += r.getLong(vi)
+        Row.fromSeq(r.toSeq :+ rank :+ run)
+      }
+    }
+    val schema = StructType(df.schema.fields :+
+      StructField("rank", LongType, nullable = false) :+
+      StructField("cum", LongType, nullable = false))
+    (spark.createDataFrame(out, schema), sumOffsets.last)
   }
 
   /** Greedy quality-ranked selection under a global token budget: rank

@@ -77,10 +77,14 @@ object CurationQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           floor(sqrt(col("n_tokens").cast("double"))).as("w"))
-      val totW = Window.partitionBy()
-      st.select(col("source"), col("n_docs"), col("n_tokens"),
-          sum("w").over(totW).as("tot_w"),
-          sum("n_tokens").over(totW).as("tot_tok"), col("w"))
+      // totals via a 1-row broadcast, not a Window.partitionBy() total
+      // (r13 uwin ban: even over a source-bounded frame, the empty
+      // partition spec is the single-reducer class) — exact BIGINT sums
+      // either way, same values. st checkpoints (source-bounded rows)
+      // so the corpus scans ONCE, feeding both the rows and the total.
+      val stC = st.localCheckpoint()
+      val tot = stC.agg(sum("w").as("tot_w"), sum("n_tokens").as("tot_tok"))
+      stC.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("w").cast("double") / col("tot_w"), 6).as("target_share"),
           round((col("w").cast("double") / col("tot_w")) /
@@ -119,10 +123,11 @@ object CurationQueries extends QueryPack {
     // raw = the whole corpus; positive = "looks like the target
     // distribution", the resampling weight the paper importance-samples
     // by. Shape: both unigram models are TYPE tables (vocab-sized, not
-    // corpus-sized) joined into ONE broadcast log-ratio dim; the token
-    // stream then joins it map-side and reduces per doc — the corpus is
-    // scanned once and never shuffles (same discipline as
-    // q_text_perplexity, plan-proven there).
+    // corpus-sized) joined into ONE size-conditional log-ratio dim
+    // (AQE broadcasts it at test scale, shuffle-joins it when a web
+    // corpus's type table outgrows the threshold — r13); the token
+    // stream joins it and reduces per doc, scanning the corpus once
+    // (same discipline as q_text_perplexity, plan-proven there).
     "q_select_dsir" -> ((s, dir) => {
       val toks = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -140,7 +145,12 @@ object CurationQueries extends QueryPack {
         .select(col("token"),
           (log((coalesce(col("ct"), lit(0L)).cast("double") + 1) / (col("nt") + col("v"))) -
             log((col("cr").cast("double") + 1) / (col("nr") + col("v")))).as("lr"))
-      toks.join(broadcast(lr), "token")
+      // SIZE-CONDITIONAL dim join (r13, the r12 vocab-broadcast weak):
+      // the log-ratio dim is vocab-sized here but GBs on a web corpus —
+      // sizedDimJoin materializes it so AQE broadcasts under the
+      // threshold and shuffle-joins above it, instead of a hint that
+      // OOMs at scale. Hash-identical either way.
+      graft.operators.JoinPlanner.sizedDimJoin(toks, lr, Seq("token"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(col("lr")), 6).as("dsir_score"))

@@ -47,9 +47,20 @@ object ProfileQueries extends QueryPack {
     "q_profile_skew" -> ((s, dir) => {
       val perKey = Tables.t(s, dir, "lineitem")
         .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c").desc, col("l_suppkey"))
-      val top = perKey.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      // global top-5 without a global window (r13 uwin ban): orderBy +
+      // limit fuses to TakeOrderedAndProject, then the ≤5 checkpointed
+      // survivors rank as 1 + strictly-better broadcast self-count — ≡
+      // row_number under the total (c desc, key) order (the r12
+      // hybrid-store pattern)
+      val top5 = perKey.orderBy(col("c").desc, col("l_suppkey")).limit(5)
+        .localCheckpoint()
+      val top = top5.alias("a")
+        .join(broadcast(top5.alias("b")),
+          col("b.c") > col("a.c") ||
+            (col("b.c") === col("a.c") &&
+              col("b.l_suppkey") < col("a.l_suppkey")), "left")
+        .groupBy(col("a.l_suppkey"), col("a.c").as("c"))
+        .agg((count(col("b.l_suppkey")) + 1).as("rn"))
         .select(concat(lit("top"), col("rn"), lit("_key_rows")).as("metric"),
           col("c").cast("double").as("value"))
       val stats = perKey.agg(

