@@ -34,24 +34,48 @@ object AnnIndexStore {
   def save(spark: SparkSession, embeddings: DataFrame, dir: String,
            nlist: Int = 16, m: Int = 0, codes: Int = 16,
            seed: Long = 42, maxTrain: Int = 65536): Unit = {
+    train(spark, embeddings, dir, nlist, m, codes, seed, maxTrain)
+    writeLists(embeddings, loadCentroids(spark, dir), dir, overwrite = true)
+  }
+
+  /** Train and persist the GEOMETRY only (centroids + optional PQ
+    * codebooks) — no list data. The bootstrap half of [[save]], split
+    * out so a version-derived feeder ([[graft.streaming.IngestPipeline]]
+    * r13) can train once and route ALL data — including the training
+    * version's — through the idempotent [[appendBatch]]: a combined
+    * train-and-write has no safe replay point (a replay can neither
+    * re-save without wiping committed appends nor skip without knowing
+    * whether the data half finished).
+    */
+  def train(spark: SparkSession, embeddings: DataFrame, dir: String,
+            nlist: Int = 16, m: Int = 0, codes: Int = 16,
+            seed: Long = 42, maxTrain: Int = 65536): Unit = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
-    val train = AnnIvf.collectTrain(embeddings, maxTrain)
-    require(train.nonEmpty, "cannot build an index over an empty corpus")
-    val k = math.min(nlist, train.length)
-    val centroids = AnnIvf.localKMeans(train, k, iters = 10, seed = seed)
+    val sample = AnnIvf.collectTrain(embeddings, maxTrain)
+    require(sample.nonEmpty, "cannot build an index over an empty corpus")
+    val k = math.min(nlist, sample.length)
+    val centroids = AnnIvf.localKMeans(sample, k, iters = 10, seed = seed)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
       .toSeq.toDF("list_id", "c", "c_normsq")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     if (m > 0) {
-      val books = AnnPq.trainCodebooks(train, m, codes, seed)
+      val books = AnnPq.trainCodebooks(sample, m, codes, seed)
       books.zipWithIndex.flatMap { case (book, b) =>
         book.zipWithIndex.map { case (c, j) => (b, j, c.toSeq) }
       }.toSeq.toDF("subspace", "code", "c")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     }
-    writeLists(embeddings, centroids, dir, overwrite = true)
+  }
+
+  /** Whether the geometry is committed (the centroids parquet finished
+    * its write — `_SUCCESS` lands last, so a torn train re-runs).
+    */
+  def trained(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(dir), "centroids/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Incrementally add vectors: assign against the PERSISTED centroids

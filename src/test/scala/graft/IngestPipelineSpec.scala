@@ -182,4 +182,87 @@ class IngestPipelineSpec extends SparkSpec {
       assert(operators.StoreManifest.versions(spark, dedupDir).length == 2)
     } finally Fs.rmTree(base.toString)
   }
+
+  // ---- ANN arm (r13): one stream builds dedup + index + ANN ----
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until 8).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+
+  private def mkEmb(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, vec(id)) }
+      .toDF("doc_id", "text", "embedding")
+
+  private def annVecIds(dir: String): Set[Long] =
+    spark.read.parquet(s"$dir/lists").select("vec_id").as[Long].collect().toSet
+
+  test("ANN arm: one stream builds all three stores; dups reach none; hybrid retrieval runs over them") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_ann")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"
+    try {
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = IngestPipeline.start(
+        in.toDF().toDF("doc_id", "text", "embedding"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 8,
+        annDir = Some(annDir), annNlist = 2)
+      try {
+        in.addData((1L, "alpha beta gamma", vec(1)),
+          (2L, "alpha beta gamma", vec(2)), (3L, "delta epsilon zeta", vec(3)))
+        q.processAllAvailable()
+        in.addData((11L, "alpha beta gamma", vec(11)),
+          (12L, "eta theta iota", vec(12)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the accepted set, in every store: dedup docs, index, ANN lists
+      assert(indexedDocIds(idxDir) == Set(1L, 3L, 12L))
+      assert(annVecIds(annDir) == Set(1L, 3L, 12L),
+        "ANN store must hold exactly the accepted docs' vectors")
+      // hybrid retrieval over the pipeline-built stores: MaxScore BM25
+      // top-k over the index + probed-cell ANN search, RRF-fused
+      val kw = InvertedIndex.searchBm25TopK(spark, idxDir, Seq("alpha"), k = 5)
+        .select(col("doc_id"), col("bm25"))
+      val vecTop = operators.AnnIndexStore.searchTopK(spark, annDir,
+          mkEmb(1L -> "probe").select(col("doc_id").as("vec_id"), col("embedding")),
+          k = 2, nprobe = 2)
+        .select(col("neighbor_id").as("doc_id"), col("rn"))
+      val rrf = kw.join(vecTop, Seq("doc_id"), "full_outer")
+      assert(rrf.count() >= 2, "hybrid fusion must see both arms' candidates")
+      assert(kw.select("doc_id").as[Long].collect().toSet.subsetOf(Set(1L, 3L, 12L)))
+      assert(vecTop.select("doc_id").as[Long].collect().toSet.subsetOf(Set(3L, 12L)),
+        "ANN neighbors of probe 1 exclude the probe and erased/dup ids")
+    } finally Fs.rmTree(base.toString)
+  }
+
+  test("ANN arm: catch-up heals a crashed trigger; replay appends nothing; erased docs never enter") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_annc")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"
+    try {
+      DedupStore.appendBatch(spark, mkEmb(1L -> "alpha beta", 2L -> "gamma delta"),
+        dedupDir, buckets = 4)
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir, nlist = 2) == 1L)
+      assert(annVecIds(annDir) == Set(1L, 2L))
+      // trigger 2 "crashed" after the dedup commit; an erase of one of
+      // its docs lands before recovery — the catch-up must skip it
+      DedupStore.appendBatch(spark, mkEmb(3L -> "epsilon zeta", 4L -> "eta theta"),
+        dedupDir)
+      assert(DedupStore.delete(spark, dedupDir, Seq(3L)) == 1L)
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir,
+        Some(annDir)).contains(0L)) // index never caught up here at all
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir) == 1L)
+      assert(annVecIds(annDir) == Set(1L, 2L, 4L),
+        "erased doc resurrected into the ANN store through the lagging version")
+      // replay: no versions lag, nothing commits
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir) == 0L)
+      // index still lags both versions — the ann arm being current must
+      // not unpin vacuum for the index's sake
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir,
+        Some(annDir)).contains(0L))
+      assert(IngestPipeline.indexCatchUp(spark, dedupDir, idxDir) == 2L)
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, idxDir,
+        Some(annDir)).isEmpty)
+    } finally Fs.rmTree(base.toString)
+  }
 }
