@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** IVF-PQ recall/scan tuning harness (the r10/r13 trade tables):
+  * `runMain graft.PqTune [sfDir]` prints mean recall@5 vs the exact
+  * cosine top-5 for a grid of (nlist, nprobe, spill, kmIters, rerank)
+  * variants at EQUAL scan fraction, so coarse-quantizer changes are
+  * judged on the only axis that matters (recall at fixed I/O).
+  */
+object PqTune {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    def recall(nlist: Int, nprobe: Int, spill: Int, kmIters: Int,
+               rerank: Int): Double = {
+      val approx = graft.operators.AnnPq.approxTopK(spark, emb,
+          nlist = nlist, nprobe = nprobe, spill = spill, kmIters = kmIters,
+          rerank = rerank)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      Blocks.dropAll(spark)
+      val rs = exact.map { case (p, ex) =>
+        approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size)
+          .getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+
+    // every row scans spill*nprobe/nlist = 37.5% of the corpus codes
+    val grid = Seq(
+      ("r10 baseline  64/24 s1 it10 rr64", (64, 24, 1, 10, 64)),
+      ("r13 config    64/24 s1 it10 rr256", (64, 24, 1, 10, 256)))
+    for ((name, (nl, np, sp, it, rr)) <- grid) {
+      val r = recall(nl, np, sp, it, rr)
+      println(f"[pqtune] $name%-36s recall@5 = $r%.3f (scan ${sp * np * 100.0 / nl}%.1f%%)")
+    }
+    spark.stop()
+  }
+}

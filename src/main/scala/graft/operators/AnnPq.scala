@@ -71,10 +71,11 @@ object AnnPq {
   def approxTopK(spark: SparkSession, embeddings: DataFrame, probeMaxId: Long = 10,
                  k: Int = 5, m: Int = 8, codes: Int = 16, rerank: Int = 64,
                  seed: Long = 42, maxTrain: Int = 65536,
-                 nlist: Int = 0, nprobe: Int = 6): DataFrame = {
+                 nlist: Int = 0, nprobe: Int = 6,
+                 spill: Int = 1, kmIters: Int = 10): DataFrame = {
     if (nlist > 0)
       return ivfPqTopK(spark, embeddings, probeMaxId, k, m, codes, rerank,
-        seed, maxTrain, nlist, nprobe)
+        seed, maxTrain, nlist, nprobe, spill, kmIters)
     import spark.implicits._
     def dbg(msg: String): Unit =
       if (sys.env.contains("GRAFT_PQ_DEBUG"))
@@ -235,6 +236,20 @@ object AnnPq {
     cs
   }
 
+  /** The `spill` nearest centroids, ascending by distance (strict-<,
+    * first-min tie rule applied per rank).
+    */
+  private def nearestCells(u: Array[Double], cents: Array[Array[Double]],
+                           spill: Int): Array[Int] = {
+    val d2s = cents.map { c =>
+      var d2 = 0.0
+      var d = 0
+      while (d < u.length) { val t = u(d) - c(d); d2 += t * t; d += 1 }
+      d2
+    }
+    d2s.zipWithIndex.sortBy(_._1).take(spill).map(_._2)
+  }
+
   /** IVF-PQ with residual (IVFADC) encoding — see [[approxTopK]]'s
     * scaladoc for the layout argument. One map-only kernel assigns each
     * vector to its coarse cell AND encodes the residual (assignment is
@@ -242,12 +257,31 @@ object AnnPq {
     * vec_id shuffle an assignment join would cost); the ADC scan joins
     * candidates to the broadcast per-(probe, list) LUTs on list_id, so
     * only probed cells are read.
+    *
+    * `spill` > 1 indexes each vector in its `spill` nearest cells
+    * (residual encoded against EACH cell's own centroid); scan
+    * fraction scales as spill·nprobe/nlist. Measured r13 (PqTune): at
+    * EQUAL scan, spill=2 with halved nprobe LOST recall on this corpus
+    * (0.72 vs 0.82 — halving the probed cells costs more than boundary
+    * duplication recovers, and duplicates eat rerank slots). The knob
+    * ships default-off for corpora where boundary loss dominates.
+    * What DID move recall at equal scan is the RERANK budget: the ADC
+    * mis-ranking rate is roughly constant per candidate, so the exact
+    * re-rank pool must scale with candidate volume (N·nprobe/nlist) —
+    * rerank 64→256 took recall@5 from 0.82/0.82/0.56 to 0.92/0.88/0.82
+    * at sf0.001/0.01/0.1, still reading only `rerank` full vectors per
+    * probe. Tune rerank ∝ candidates FIRST, cells second (r10's
+    * coarse-recall finding holds only once the cut stops binding).
+    * Duplicate spill candidates dedup after the exact re-rank (sim is
+    * copy-identical — deterministic).
     */
   private def ivfPqTopK(spark: SparkSession, embeddings: DataFrame,
                         probeMaxId: Long, k: Int, m: Int, codes: Int,
                         rerank: Int, seed: Long, maxTrain: Int,
-                        nlist: Int, nprobe: Int): DataFrame = {
+                        nlist: Int, nprobe: Int,
+                        spill: Int = 1, kmIters: Int = 10): DataFrame = {
     import spark.implicits._
+    require(spill >= 1, s"spill must be >= 1, got $spill")
     graft.functions.VectorFunctions.register(spark)
     val train = AnnIvf.collectTrain(embeddings, maxTrain)
     if (train.isEmpty) {
@@ -257,7 +291,7 @@ object AnnPq {
     val dim = train(0).length
     val subDim = dim / m
     val cents = AnnIvf.localKMeans(train, math.min(nlist, train.length),
-      iters = 10, seed = seed)
+      iters = kmIters, seed = seed)
     // codebooks see RESIDUALS: the displacement left after the coarse
     // quantizer, a much tighter distribution than the raw sphere
     val residTrain = train.map { u =>
@@ -274,17 +308,18 @@ object AnnPq {
       .mapPartitions { it =>
         val bks = bBooks.value
         val cs = bCents.value
-        it.map { case (id, vf) =>
+        it.flatMap { case (id, vf) =>
           val raw = vf.map(_.toDouble)
           var s = 0.0
           var d = 0
           while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
           val n = math.sqrt(s)
           val u = if (n > 0) raw.map(_ / n) else raw
-          val lid = nearestCell(u, cs)
-          val c = cs(lid)
-          val r = Array.tabulate(u.length)(i => u(i) - c(i))
-          (id, vf, n, lid, encodeResidual(r, bks))
+          nearestCells(u, cs, spill).map { lid =>
+            val c = cs(lid)
+            val r = Array.tabulate(u.length)(i => u(i) - c(i))
+            (id, vf, n, lid, encodeResidual(r, bks))
+          }
         }
       }
       .toDF("vec_id", "v", "e_nrm", "list_id", "codes")
@@ -339,9 +374,14 @@ object AnnPq {
       (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .toSeq.toDF("pid", "pv", "pn")
     val wFinal = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands.join(broadcast(probeVecs), col("probe_id") === col("pid"))
+    val scored = cands.join(broadcast(probeVecs), col("probe_id") === col("pid"))
       .select(col("probe_id"), col("neighbor_id"),
         round(expr("graft_dot(pv, v)") / (col("pn") * col("e_nrm")), 6).as("sim"))
+    // spilled copies of one neighbor carry an IDENTICAL exact sim (same
+    // v) — the scalar dedup is deterministic and stays a HashAggregate
+    val deduped = if (spill > 1)
+      scored.dropDuplicates("probe_id", "neighbor_id") else scored
+    deduped
       .withColumn("rn", row_number().over(wFinal).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("probe_id", "rn")

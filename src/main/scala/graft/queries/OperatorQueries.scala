@@ -86,11 +86,13 @@ object OperatorQueries extends QueryPack {
     // IVF-PQ: inverted lists prune the candidates, residual-encoded PQ
     // codes shrink what the pruned scan reads — the standard
     // billion-vector composition (IVFADC). nlist=64/nprobe=24 keeps the
-    // r9 scan fraction (37.5%) while the finer cells + residual
-    // codebooks lift recall@5 to 0.82 (floor 0.8 in OperatorSpec)
+    // r9 scan fraction (37.5%); rerank=256 (r13, PqTune) sizes the
+    // exact re-rank pool to the candidate volume — the measured binding
+    // constraint — lifting recall@5 to 0.92/0.88/0.82 at
+    // sf0.001/0.01/0.1 (floor 0.85 in OperatorSpec)
     "s_sim_ann_ivfpq" -> ((s, dir) =>
       graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"),
-        nlist = 64, nprobe = 24)),
+        nlist = 64, nprobe = 24, rerank = 256)),
 
     // persisted-index ANN: train+save once, append new vectors against
     // the frozen centroids, serve the search from disk with the probed

@@ -234,10 +234,10 @@ class OperatorSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
-  test("ann-ivfpq: residual encoding + finer cells hold recall@5 >= 0.8 at 37.5% scan") {
+  test("ann-ivfpq: candidate-sized rerank pool holds recall@5 >= 0.85 at 37.5% scan") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val approx = AnnPq.approxTopK(spark, emb, probeMaxId = 10, k = 5,
-        nlist = 64, nprobe = 24)
+        nlist = 64, nprobe = 24, rerank = 256)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
@@ -247,13 +247,14 @@ class OperatorSpec extends SparkSpec {
       approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    // recall here is bounded by COARSE list recall, not PQ distortion:
-    // residual (IVFADC) codebooks keep ADC ordering accurate while
-    // nlist=64/nprobe=24 holds the r9 scan fraction with finer cells —
-    // measured 0.82 at sf0.001 and sf0.01 (PqTune, r10), floor 0.8 per
-    // the r9 verdict
+    // r13 finding (PqTune trade table): the first binding constraint is
+    // the RERANK CUT, not coarse list recall — ADC mis-ranking grows
+    // with candidate volume, so the exact re-rank pool must track
+    // N·nprobe/nlist. rerank 64→256 at the unchanged 37.5% scan:
+    // recall@5 0.92/0.88/0.82 at sf0.001/0.01/0.1 (was 0.82/0.82/0.56).
+    // Floor 0.85 leaves seed-drift headroom below the 0.92 measured here.
     info(s"ivfpq mean recall@5 = $mean")
-    assert(mean >= 0.8, s"mean IVF-PQ recall@5 $mean below the 0.8 floor")
+    assert(mean >= 0.85, s"mean IVF-PQ recall@5 $mean below the 0.85 floor")
   }
 
   test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
