@@ -260,6 +260,29 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("near mode: staged-but-uncommitted band files are invisible and vacuum sweeps them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_n5").toString
+    try {
+      DedupStore.appendBatch(spark, mkDocs(1L -> para(1)), dir,
+        buckets = 4, near = near)
+      // crash after the near-file rename, before the manifest commit:
+      // hand-plant an orphan band file in a live pb dir
+      val pbDir = new java.io.File(s"$dir/near").listFiles()
+        .filter(_.getName.startsWith("pb=")).head
+      val orphan = new java.io.File(pbDir, "v99-part-orphan.parquet")
+      val live = pbDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(live.toPath, orphan.toPath)
+      // probes resolve the manifest — the orphan must not change any
+      // accept/reject decision (same text still drops, fresh passes)
+      assert(DedupStore.appendBatch(spark, mkDocs(5L -> (para(1) + " x")), dir) == 0L)
+      assert(DedupStore.appendBatch(spark, mkDocs(6L -> para(6)), dir) == 1L)
+      assert(DedupStore.vacuum(spark, dir, retain = 1) >= 1L)
+      assert(!orphan.exists(), "vacuum must sweep the orphaned band file")
+      // and the committed near set still guards
+      assert(DedupStore.appendBatch(spark, mkDocs(7L -> (para(6) + " y")), dir) == 0L)
+    } finally Fs.rmTree(dir)
+  }
+
   test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
     try {

@@ -257,6 +257,25 @@ class OperatorSpec extends SparkSpec {
     assert(mean >= 0.85, s"mean IVF-PQ recall@5 $mean below the 0.85 floor")
   }
 
+  test("ann-ivfpq spill: duplicated cell assignments dedup, ranks stay dense 1..k") {
+    // spill is a default-off knob (measured no-gain at equal scan on
+    // this corpus — PqTune r13); the code path must still be valid:
+    // a neighbor indexed in 2 cells may enter via both, and the
+    // post-rerank dedup must leave exactly one densely-ranked copy
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val rows = AnnPq.approxTopK(spark, emb, probeMaxId = 10, k = 5,
+        nlist = 8, nprobe = 6, spill = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (p, ns) =>
+      assert(ns.map(_._2).distinct.length == ns.length,
+        s"probe $p returned a duplicate neighbor: ${ns.toSeq}")
+      assert(ns.map(_._3).sorted.toSeq == (1L to ns.length).toSeq,
+        s"probe $p ranks not dense: ${ns.toSeq}")
+    }
+  }
+
   test("multimodal: featurize preserves ids, emits fixed-width normalized features") {
     import spark.implicits._
     val media = Seq(
