@@ -171,28 +171,45 @@ object IngestPipeline {
     * after a catch-up.)
     */
   private val DvHighWater = "_graft_dv_highwater"
+  private val DvMarkRe = """v(\d+)""".r
 
+  /** The mark is a DIRECTORY of `v<N>` files and the max wins — a raise
+    * CREATES a new name (one rename, nothing overwritten or deleted
+    * first), then sweeps older entries; a crash at any point leaves
+    * either the old max or both (harmless). A delete-then-rename single
+    * file would have a lost-mark crash window, and a lost mark after a
+    * compaction folded the dv names would re-index those versions.
+    * Legacy note: an index built before the mark existed adopts at its
+    * next catch-up via the still-live dv names; if such an index was
+    * ALREADY compacted, folded versions are indistinguishable from
+    * unconsumed ones — seed the mark (one `v<N>` file) or rebuild.
+    */
   private def dvHighWater(spark: SparkSession, indexDir: String): Long = {
-    val p = new Path(indexDir, DvHighWater)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    val d = new Path(indexDir, DvHighWater)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) -1L
+    else fs.listStatus(d).map(_.getPath.getName)
+      .collect { case DvMarkRe(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
   }
 
   private def raiseDvHighWater(spark: SparkSession, indexDir: String,
                                v: Long): Unit = {
-    val p = new Path(indexDir, DvHighWater)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(indexDir, s".$DvHighWater.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"highwater commit $tmp -> $p failed")
+    val d = new Path(indexDir, DvHighWater)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dvHighWater(spark, indexDir) >= v) return
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".v$v-${java.util.UUID.randomUUID()}.tmp")
+    fs.create(tmp, true).close()
+    require(fs.rename(tmp, new Path(d, s"v$v")), s"highwater raise to $v failed")
+    // sweep superseded marks (and crash-orphaned dot-tmps — single
+    // writer, so any tmp left is a dead earlier attempt) AFTER the new
+    // max landed
+    fs.listStatus(d).map(_.getPath.getName).foreach {
+      case DvMarkRe(n) if n.toLong < v => fs.delete(new Path(d, s"v$n"), false)
+      case t if t.startsWith(".") => fs.delete(new Path(d, t), false)
+      case _ => ()
+    }
   }
 
   /** Index every retained ingest version the index has not committed
