@@ -315,7 +315,12 @@ object AnnPq {
           while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
           val n = math.sqrt(s)
           val u = if (n > 0) raw.map(_ / n) else raw
-          nearestCells(u, cs, spill).map { lid =>
+          // spill=1 (the default) keeps the allocation-free linear
+          // argmin — the sort-all-cells path is per-row garbage the
+          // corpus-wide encode kernel must not pay unless spilling
+          val lids = if (spill == 1) Array(nearestCell(u, cs))
+                     else nearestCells(u, cs, spill)
+          lids.map { lid =>
             val c = cs(lid)
             val r = Array.tabulate(u.length)(i => u(i) - c(i))
             (id, vf, n, lid, encodeResidual(r, bks))
