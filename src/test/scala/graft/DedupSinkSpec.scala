@@ -260,6 +260,62 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("near mode, randomized: per-batch rule == batch operators, 3 batches, seeded corpus") {
+    // the EXACT streamed contract, checked on an adversarial random
+    // corpus (tiny vocab → dense accidental near-dups, including the
+    // chains where greedy-vs-global differ): per delivered batch,
+    //   accepted = exactFirst(batch)
+    //     − {b | ∃ a<b in batch: pair(a,b) ≥ θ}            (batch rule)
+    //     − {d | ∃ s ∈ ACCEPTED-so-far: pair(d,s) ≥ θ}      (store rule)
+    // with pair() computed BY MinHashDedup.candidatePairs — the one
+    // shared banding/threshold text.
+    import operators.MinHashDedup
+    val rnd = new scala.util.Random(1337)
+    // mutated copies of 5 base paragraphs: dense near-dup clusters plus
+    // the a~b~c chains where a greedy rule and a global drop-b differ
+    val bases = (0 until 5).map(b => (0 until 20).map(i => s"b${b}t$i").toArray)
+    val docs = (0L until 30L).map { id =>
+      val t = bases(rnd.nextInt(bases.length)).clone()
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        t(rnd.nextInt(t.length)) = s"mut${rnd.nextInt(50)}"
+      }
+      id -> t.mkString(" ")
+    }
+    val batches = docs.grouped(10).toSeq // ascending-id batches
+    def pairsOf(rows: Seq[(Long, String)]): Set[(Long, Long)] =
+      MinHashDedup.nearDupPairs(mkDocs(rows: _*), threshold = 0.3)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_nr").toString
+    try {
+      var accepted = Vector.empty[(Long, String)]
+      for (b <- batches) {
+        // exact keep-first within the batch (min id per text)
+        val exactFirst = b.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+          .filterNot { case (_, t) => accepted.exists(_._2 == t) }
+          .sortBy(_._1)
+        val batchPairs = pairsOf(exactFirst)
+        val dropWithin = batchPairs.map(_._2)
+        val kept = exactFirst.filterNot(d => dropWithin(d._1))
+        // store rule: pairs between accepted (smaller ids) and the batch
+        val crossPairs = pairsOf(accepted ++ kept)
+          .filter { case (a, bb) =>
+            accepted.exists(_._1 == a) && kept.exists(_._1 == bb) }
+        val dropCross = crossPairs.map(_._2)
+        accepted = accepted ++ kept.filterNot(d => dropCross(d._1))
+        DedupStore.appendBatch(spark, mkDocs(b: _*), dir, buckets = 4,
+          near = Some(DedupStore.NearConfig()))
+      }
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      val expect = accepted.map(_._1).toSet
+      assert(got == expect,
+        s"streamed ${got.toSeq.sorted} != per-batch-rule twin ${expect.toSeq.sorted}")
+      // the fixture must actually exercise near-drops, not just exact ones
+      assert(expect.size < docs.map(_._2).distinct.size,
+        "fixture produced no near-dup drops — tighten the vocab")
+    } finally Fs.rmTree(dir)
+  }
+
   test("near mode: staged-but-uncommitted band files are invisible and vacuum sweeps them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_n5").toString
     try {

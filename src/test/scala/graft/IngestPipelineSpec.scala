@@ -183,6 +183,31 @@ class IngestPipelineSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  test("near mode through the pipeline: a perturbed re-crawl never reaches the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_near")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    def para(salt: Int): String =
+      (0 until 24).map(i => s"w${salt}x$i").mkString(" ")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = IngestPipeline.start(in.toDF().toDF("doc_id", "text"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 8,
+        near = Some(DedupStore.NearConfig()))
+      try {
+        in.addData((1L, para(1)), (2L, para(2)))
+        q.processAllAvailable()
+        // one changed token per doc — exact md5 would accept both
+        in.addData((11L, para(1) + " edit"), (12L, "v2 " + para(2)),
+          (13L, para(13)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(indexedDocIds(idxDir) == Set(1L, 2L, 13L),
+        "near-dup re-crawl leaked into the index")
+    } finally Fs.rmTree(base.toString)
+  }
+
   // ---- ANN arm (r13): one stream builds dedup + index + ANN ----
 
   private def vec(seed: Long): Seq[Float] =
