@@ -78,6 +78,47 @@ object AnnIndexStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** OFFLINE RETRAIN — the documented refresh path for the frozen
+    * geometry (append never retrains; a quantizer trained on an early
+    * unrepresentative sample eventually wants this). Rebuilds centroids
+    * (+ codebooks) AND lists from the store's own live content, with
+    * tombstoned ids excluded — a rebuild is also a purge, so the
+    * tombstones retire with it. Crash-safe via a source snapshot: the
+    * live rows land under `.rebuild-src` FIRST (parquet `_SUCCESS` is
+    * the snapshot commit), the save reads only the snapshot, and any
+    * crash mid-overwrite re-runs from the intact snapshot (the source
+    * is deleted LAST). Batch markers survive, so a version-derived
+    * feeder ([[graft.streaming.IngestPipeline]]) keeps its consumption
+    * record. Single-writer maintenance slot; like [[save]], readers
+    * must not race the rewrite. Returns vectors in the rebuilt index.
+    */
+  def rebuild(spark: SparkSession, dir: String, nlist: Int = 16, m: Int = 0,
+              codes: Int = 16, seed: Long = 42, maxTrain: Int = 65536): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new Path(root, ".rebuild-src")
+    if (!fs.exists(new Path(src, "_SUCCESS"))) {
+      fs.delete(src, true) // a torn earlier snapshot restages cleanly
+      val tomb = loadTombstones(spark, dir)
+      spark.read.parquet(s"$dir/lists")
+        .select(col("vec_id"), col("embedding"))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .dropDuplicates("vec_id") // crash-overlap copies fold (scaladoc on purge)
+        .write.mode("overwrite").parquet(src.toString)
+    }
+    val live = spark.read.parquet(src.toString)
+    val n = live.count()
+    require(n > 0, "rebuild over an empty (or fully-tombstoned) index")
+    save(spark, live, dir, nlist, m, codes, seed, maxTrain)
+    // rebuilt content excludes the tombstoned ids — retire the
+    // tombstones, then the snapshot (LAST: it is the recovery source)
+    val tombDir = new Path(root, TombDir)
+    tombFiles(fs, tombDir).foreach(f => fs.delete(f.getPath, false))
+    fs.delete(src, true)
+    n
+  }
+
   /** Incrementally add vectors: assign against the PERSISTED centroids
     * (no retrain — the index geometry is frozen at build time, exactly
     * the production contract) and append files to the assigned cells.

@@ -78,7 +78,8 @@ object IngestPipeline {
             checkpoint: String, buckets: Int = 64, idxBuckets: Int = 32,
             maxSeenFiles: Int = 256, maxSegments: Int = 8,
             near: Option[DedupStore.NearConfig] = None,
-            annDir: Option[String] = None, annNlist: Int = 16): StreamingQuery =
+            annDir: Option[String] = None, annNlist: Int = 16,
+            vacuumRetain: Int = 0): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -94,6 +95,13 @@ object IngestPipeline {
           InvertedIndex.compact(spark, indexDir, idxBuckets,
             targetSegs = math.max(1, maxSegments / 2))
         annDir.foreach(ad => annCatchUp(spark, dedupDir, ad, annNlist))
+        // vacuumRetain > 0 bounds the dedup store's manifest/file growth
+        // under an ENDLESS stream (each trigger commits versions; the
+        // index bounds itself inside append) — always through the
+        // catch-up floor, never a bare vacuum, and AFTER the catch-ups
+        // so the common case retains nothing extra
+        if (vacuumRetain > 0)
+          vacuumSafe(spark, dedupDir, indexDir, vacuumRetain, annDir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -83,6 +83,54 @@ class AnnStoreSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("rebuild: retrains from live content, drops tombstoned ids for good, retires tombstones; crash re-runs converge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_rb").toString
+    try {
+      AnnIndexStore.save(spark, emb, dir, nlist = 4)
+      AnnIndexStore.append(spark,
+        emb.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), dir)
+      assert(AnnIndexStore.delete(spark, dir, Seq(11L, 12L)) == 2L)
+      val n = AnnIndexStore.rebuild(spark, dir, nlist = 8)
+      val lists = spark.read.parquet(s"$dir/lists")
+      assert(n == lists.count(), "returned count must match the rebuilt lists")
+      val ids = lists.select("vec_id").as[Long].collect().toSet
+      assert(!ids.contains(11L) && !ids.contains(12L),
+        "tombstoned ids must not survive a rebuild")
+      assert(ids.contains(1000001L), "appended vectors must survive a rebuild")
+      assert(!AnnIndexStore.hasTombstones(spark, dir),
+        "rebuild purges, so tombstones retire with it")
+      // the rebuilt geometry serves: every probe still finds its exact
+      // appended twin at rank 1 (cosine 1.0 survives any quantizer)
+      val got = AnnIndexStore.searchTopK(spark, dir,
+          emb.filter(col("vec_id") < 3), k = 3, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      (0L until 3L).foreach { pid =>
+        val top = got.filter(_._1 == pid).minBy(_._4)
+        assert(top._2 == pid + 1000000L && top._3 == 1.0, s"probe $pid: $top")
+      }
+      // crash window: a half-finished rebuild leaves the .rebuild-src
+      // snapshot — the re-run must read IT (not the possibly-torn
+      // lists) and converge to the same content
+      AnnIndexStore.delete(spark, dir, Seq(13L))
+      val before = spark.read.parquet(s"$dir/lists")
+        .select("vec_id").as[Long].collect().toSet - 13L
+      // simulate: snapshot staged, then "crash" before save — re-run
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(s"$dir/lists")
+        .join(AnnIndexStore.loadTombstones(spark, dir), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").dropDuplicates("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/.rebuild-src")
+      AnnIndexStore.rebuild(spark, dir, nlist = 8)
+      val after = spark.read.parquet(s"$dir/lists")
+        .select("vec_id").as[Long].collect().toSet
+      assert(after == before, s"crash re-run diverged: ${after -- before} / ${before -- after}")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.rebuild-src")))
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("PQ codebooks round-trip bitwise") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
     try {

@@ -208,6 +208,30 @@ class IngestPipelineSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  test("vacuumRetain bounds dedup manifest growth under the stream; nothing lost") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_av")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = IngestPipeline.start(in.toDF().toDF("doc_id", "text"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 4, vacuumRetain = 1)
+      try {
+        for (t <- 0 until 4) {
+          in.addData((t * 2).toLong -> s"alpha t$t", (t * 2 + 1).toLong -> s"beta t$t")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // per-trigger vacuum with retain=1 after a clean catch-up: one
+      // retained manifest, not one per trigger
+      assert(operators.StoreManifest.versions(spark, dedupDir).length == 1,
+        "auto-vacuum must expire per-trigger manifests")
+      assert(indexedDocIds(idxDir) == (0L until 8L).toSet,
+        "auto-vacuum must not cost a single document")
+    } finally Fs.rmTree(base.toString)
+  }
+
   // ---- ANN arm (r13): one stream builds dedup + index + ANN ----
 
   private def vec(seed: Long): Seq[Float] =
