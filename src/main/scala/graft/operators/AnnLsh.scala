@@ -54,6 +54,14 @@ object AnnLsh {
           .as(Seq("table_id", "bucket")))
   }
 
+  /** Raw (unrounded) cosine between two (vector, norm) column pairs —
+    * THE threshold expression [[nearDupPairs]] filters on, shared by
+    * the ingest store's semantic gate ([[DedupStore]] emb mode) so the
+    * two can never disagree on a boundary pair.
+    */
+  def cosineRaw(av: String, an: String, bv: String, bn: String): Column =
+    expr(s"graft_dot($av, $bv)") / (col(an) * col(bn))
+
   /** Approximate top-k cosine neighbors for each probe.
     *
     * Recall/cost on THIS corpus (near-uniform random vectors, top-5
@@ -157,7 +165,7 @@ object AnnLsh {
     val b = vecs.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
     cand.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
       .select(col("a_id"), col("b_id"),
-        (expr("graft_dot(av, bv)") / (col("an") * col("bn"))).as("sim_raw"))
+        cosineRaw("av", "an", "bv", "bn").as("sim_raw"))
       .filter(col("sim_raw") >= threshold)
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), round(col("sim_raw"), 6).as("sim"))

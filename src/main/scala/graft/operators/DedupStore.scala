@@ -76,6 +76,22 @@ import org.apache.spark.sql.functions._
   * trigger. At 100 TB, tune bands/numHashes down or raise `buckets`;
   * the probe stays bucket-local either way.
   *
+  * ==Semantic mode (r13 — the third probe family)==
+  *
+  * With an [[EmbConfig]], survivors of the lexical gates also probe an
+  * embedding seen-set — `embs/pb=pmod(xxhash64(table, bucket),
+  * buckets)/` rows (doc_id, table_id, bucket, v, nrm) bucketed by the
+  * batch operator's own hyperplane LSH ([[AnnLsh.buckets]], seeded
+  * planes) — and drop on any bucket collision with an accepted doc at
+  * exact cosine ≥ threshold ([[AnnLsh.cosineRaw]], the batch
+  * operator's own comparison). This is the crawl case md5 AND MinHash
+  * both miss: the same content re-encoded (translation, paraphrase,
+  * template re-render) with a near-identical embedding. Null
+  * embeddings are exempt (the no-signature analog); gates compose
+  * exact → lexical → semantic, each family's seen-rows landing only
+  * for the FINAL accepted set, and every maintenance path (delete,
+  * compactSeen, vacuum) treats the three families uniformly.
+  *
   * Single-writer per store root, like every sink here.
   */
 object DedupStore {
@@ -104,16 +120,47 @@ object DedupStore {
     }
   }
 
+  /** SEMANTIC near-dup ingest configuration (r13 — the third probe
+    * family: exact md5, lexical MinHash, embedding cosine): a batch
+    * survivor drops when it shares a random-hyperplane LSH bucket
+    * ([[AnnLsh.buckets]] — the batch operator's own banding) with an
+    * accepted doc in ANY table AND exact cosine ≥ threshold
+    * ([[AnnLsh.cosineRaw]] — the batch operator's own comparison).
+    * Requires batches to carry an `embedding` column (null = exempt
+    * from this gate, like sig-less short docs in near mode). `dim`
+    * fixes the plane geometry and bakes with the rest at first commit.
+    * Defaults mirror [[AnnLsh.nearDupPairs]].
+    */
+  final case class EmbConfig(dim: Int, tables: Int = 16,
+                             planesPerTable: Int = 5,
+                             threshold: Double = 0.4, seed: Long = 42) {
+    require(dim > 0 && tables > 0 && planesPerTable > 0 && planesPerTable <= 62,
+      s"bad emb geometry: dim=$dim tables=$tables planes=$planesPerTable")
+    require(threshold > -1 && threshold <= 1,
+      s"cosine threshold must be in (-1, 1], got $threshold")
+    def encode: String = s"$dim,$tables,$planesPerTable,$threshold,$seed"
+  }
+
+  object EmbConfig {
+    def decode(s: String): EmbConfig = s.split(',') match {
+      case Array(d, t, p, th, sd) =>
+        EmbConfig(d.toInt, t.toInt, p.toInt, th.toDouble, sd.toLong)
+      case _ => throw new IllegalStateException(s"malformed emb config: $s")
+    }
+  }
+
   /** Idempotent per-trigger core. `batch` needs `doc_id` and `text`;
     * every other column rides along into `docs/`. `near` arms the
-    * near-dup band seen-set on the store's FIRST commit (a store
-    * property, baked like `buckets` — later calls use the stored
-    * config regardless of the argument). Returns the number of newly
+    * lexical (MinHash) and `emb` the semantic (embedding-cosine)
+    * near-dup seen-sets on the store's FIRST commit (store properties,
+    * baked like `buckets` — later calls use the stored configs
+    * regardless of the arguments). Returns the number of newly
     * accepted documents (0 = nothing committed).
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
                   buckets: Int = DefaultBuckets,
-                  near: Option[NearConfig] = None): Long = {
+                  near: Option[NearConfig] = None,
+                  emb: Option[EmbConfig] = None): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val root = new Path(dir)
     val fs = StoreManifest.hfs(spark, root)
@@ -162,13 +209,16 @@ object DedupStore {
       }).localCheckpoint()
     val nNew = fresh.count()
     if (nNew == 0L) return 0L // clean replay / all duplicates: no commit
-    // ---- near-dup gate (object scaladoc): exact-fresh docs also drop
-    // when near an ACCEPTED doc (band-bucket collision + signature
-    // agreement ≥ threshold) or a smaller-id batch doc. Probe reads
-    // only the pb= dirs the batch's band buckets touch.
+    // ---- near-dup gates (object scaladoc): exact-fresh docs pass the
+    // LEXICAL gate (MinHash band collision + signature agreement ≥
+    // threshold vs an accepted or smaller-id batch doc), then the
+    // SEMANTIC gate (hyperplane-LSH bucket collision + exact cosine ≥
+    // threshold). Each probe reads only the pb= dirs the batch touches;
+    // each family's seen-rows land only for the FINAL accepted set.
     val nearCfg = if (cur < 0) near else storedNear(spark, dir, cur)
-    val (accepted, nAcc, nearKeep) = nearCfg match {
-      case None => (fresh, nNew, None)
+    val embCfg = if (cur < 0) emb else storedEmb(spark, dir, cur)
+    val (kept2, bandedKept) = nearCfg match {
+      case None => (fresh, None)
       case Some(nc) =>
         // docs too short to shingle carry no signature: exact-only,
         // same as the batch operator's domain
@@ -187,12 +237,12 @@ object DedupStore {
               col("a_id") < col("b_id"))
           .filter(MinHashDedup.estJaccard("a_sig", "b_sig") >= nc.threshold)
           .select(col("b_id").as("doc_id")).distinct()
-        val bandedKept = MinHashDedup.banded(
+        val banded = MinHashDedup.banded(
             sigs.join(batchDrops, Seq("doc_id"), "left_anti"),
             "doc_id", nc.bands, nc.rowsPerBand)
           .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
           .localCheckpoint()
-        val touchedNear = bandedKept.select("pb").distinct()
+        val touchedNear = banded.select("pb").distinct()
           .collect().map(_.getLong(0)).toSet
         val nearSeen =
           if (cur < 0) Seq.empty[String]
@@ -200,7 +250,7 @@ object DedupStore {
             .filter(f => touchedNear.contains(bucketOfPath(f)))
         val storeDrops =
           if (nearSeen.isEmpty) None
-          else Some(bandedKept
+          else Some(banded
             .join(spark.read.schema(NearSchema)
                 .parquet(nearSeen.map(f => s"$dir/near/$f"): _*)
                 .select(col("band").as("s_band"), col("bucket").as("s_bucket"),
@@ -213,15 +263,75 @@ object DedupStore {
           .localCheckpoint()
         val acc = fresh.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        // band rows land only for ACCEPTED docs — the seen-set is the
-        // canon, exactly like the exact fp side
-        val keep = bandedKept
+        val keep = banded
           .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("band"), col("bucket"), col("sig"),
             col("pb").cast("long").as("pb"))
-        (acc, acc.count(), Some(keep))
+        (acc, Some(keep))
     }
+    val (accepted, embKeep) = embCfg match {
+      case None => (kept2, None)
+      case Some(ec) =>
+        require(kept2.columns.contains("embedding"),
+          "emb mode needs an `embedding` column on the batch")
+        graft.functions.VectorFunctions.register(spark)
+        // null embeddings are exempt from this gate (the no-sig analog)
+        val withV = kept2.filter(col("embedding").isNotNull)
+          .select(col("doc_id"), col("embedding").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        val withB = withV.join(
+            AnnLsh.buckets(withV.select("doc_id", "v"), "doc_id", "v",
+              ec.tables, ec.planesPerTable, ec.dim, ec.seed), "doc_id")
+          .withColumn("pb",
+            pmod(xxhash64(col("table_id"), col("bucket")), lit(b.toLong)))
+          .localCheckpoint()
+        // within-batch: the batch operator's rule (nearDupPairs' shape)
+        val xa = withB.select(col("doc_id").as("a_id"), col("v").as("av"),
+          col("nrm").as("an"), col("table_id"), col("bucket"))
+        val xb = withB.select(col("doc_id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bn"), col("table_id").as("b_t"), col("bucket").as("b_b"))
+        val batchDrops = xa.join(xb,
+            col("table_id") === col("b_t") && col("bucket") === col("b_b") &&
+              col("a_id") < col("b_id"))
+          .filter(AnnLsh.cosineRaw("av", "an", "bv", "bn") >= ec.threshold)
+          .select(col("b_id").as("doc_id")).distinct()
+        val keptB = withB.join(batchDrops, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val touchedEmb = keptB.select("pb").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val embSeen =
+          if (cur < 0) Seq.empty[String]
+          else embFiles(spark, dir, cur)
+            .filter(f => touchedEmb.contains(bucketOfPath(f)))
+        val storeDrops =
+          if (embSeen.isEmpty) None
+          else Some(keptB
+            .join(spark.read.schema(EmbSchema)
+                .parquet(embSeen.map(f => s"$dir/embs/$f"): _*)
+                .select(col("table_id").as("s_t"), col("bucket").as("s_b"),
+                  col("v").as("s_v"), col("nrm").as("s_nrm"))
+                .hint("shuffle_hash"),
+              col("table_id") === col("s_t") && col("bucket") === col("s_b"))
+            .filter(AnnLsh.cosineRaw("v", "nrm", "s_v", "s_nrm") >= ec.threshold)
+            .select("doc_id").distinct())
+        val drops = storeDrops.fold(batchDrops)(batchDrops.unionByName(_))
+          .localCheckpoint()
+        val acc = kept2.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val keep = keptB
+          .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("table_id"), col("bucket"),
+            col("v"), col("nrm"), col("pb").cast("long").as("pb"))
+        (acc, Some(keep))
+    }
+    val nAcc = if (nearCfg.isEmpty && embCfg.isEmpty) nNew else accepted.count()
     if (nAcc == 0L) return 0L // every exact-fresh doc was a near-dup
+    // band rows land only for FINAL accepted docs — the emb gate may
+    // have dropped lexical-gate survivors
+    val nearKeep = bandedKept.map(bk =>
+      if (embCfg.isEmpty) bk
+      else bk.join(accepted.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi"))
     val next = cur + 1
     // bound the files a trigger lands: accepted is checkpointed and
     // batch-sized, so coalesce costs nothing — without it every trigger
@@ -243,10 +353,15 @@ object DedupStore {
       StoreManifest.stageAndMove(spark, new Path(root, "near"),
         nk.repartition(math.max(1, math.min(b, 32)), col("pb")),
         "pb", None, next))
-    val (prevDocs, prevFps, prevNear) =
-      if (cur < 0) (Seq.empty[String], Seq.empty[String], Seq.empty[String])
+    val embFs = embKeep.fold(Seq.empty[String])(ek =>
+      StoreManifest.stageAndMove(spark, new Path(root, "embs"),
+        ek.repartition(math.max(1, math.min(b, 32)), col("pb")),
+        "pb", None, next))
+    val (prevDocs, prevFps, prevNear, prevEmb) =
+      if (cur < 0) (Seq.empty[String], Seq.empty[String],
+        Seq.empty[String], Seq.empty[String])
       else (docFiles(spark, dir, cur), fpFiles(spark, dir, cur),
-        nearFiles(spark, dir, cur))
+        nearFiles(spark, dir, cur), embFiles(spark, dir, cur))
     // the `ingest` tag marks THIS version as an acceptance commit —
     // downstream derivations (IngestPipeline's index catch-up) key off
     // it; maintenance versions (delete, compactSeen) carry no tag, so a
@@ -254,10 +369,12 @@ object DedupStore {
     StoreManifest.commit(spark, dir, next,
       Seq(s"schema\t${accepted.drop("b").schema.json}", s"buckets\t$b") ++
         nearCfg.map(nc => s"near\t${nc.encode}").toSeq ++
+        embCfg.map(ec => s"emb\t${ec.encode}").toSeq ++
         Seq(s"ingest\t$nAcc") ++
         (prevDocs ++ docFs).sorted.map("doc\t" + _) ++
         (prevFps ++ fpFs).sorted.map("fp\t" + _) ++
-        (prevNear ++ nearFs).sorted.map("nearf\t" + _))
+        (prevNear ++ nearFs).sorted.map("nearf\t" + _) ++
+        (prevEmb ++ embFs).sorted.map("embf\t" + _))
     nAcc
   }
 
@@ -299,7 +416,8 @@ object DedupStore {
   def seenFileCount(spark: SparkSession, dir: String): Long = {
     val cur = StoreManifest.currentVersion(spark, dir)
     if (cur < 0) 0L
-    else (fpFiles(spark, dir, cur).length + nearFiles(spark, dir, cur).length).toLong
+    else (fpFiles(spark, dir, cur).length + nearFiles(spark, dir, cur).length +
+      embFiles(spark, dir, cur).length).toLong
   }
 
   /** Fold the seen-set down to ONE file per populated bucket behind the
@@ -322,8 +440,8 @@ object DedupStore {
       all.withColumn("pb", col("b"))
         .repartition(math.max(1, math.min(b, 32)), col("pb")),
       "pb", None, next)
-    // the near band seen-set folds the same way (pb re-derives from the
-    // bucket — the same pmod that wrote it)
+    // the near band and emb bucket seen-sets fold the same way (pb
+    // re-derives from the bucket columns — the same pmods that wrote them)
     val prevNear = nearFiles(spark, dir, cur)
     val nearFs =
       if (prevNear.isEmpty) Seq.empty[String]
@@ -333,14 +451,26 @@ object DedupStore {
           .withColumn("pb", pmod(col("bucket"), lit(b.toLong)))
           .repartition(math.max(1, math.min(b, 32)), col("pb")),
         "pb", None, next)
+    val prevEmb = embFiles(spark, dir, cur)
+    val embFs =
+      if (prevEmb.isEmpty) Seq.empty[String]
+      else StoreManifest.stageAndMove(spark, new Path(dir, "embs"),
+        spark.read.schema(EmbSchema)
+          .parquet(prevEmb.map(f => s"$dir/embs/$f"): _*)
+          .withColumn("pb",
+            pmod(xxhash64(col("table_id"), col("bucket")), lit(b.toLong)))
+          .repartition(math.max(1, math.min(b, 32)), col("pb")),
+        "pb", None, next)
     val schemaLine = StoreManifest.read(spark, dir, cur, "schema").head
     StoreManifest.commit(spark, dir, next,
       Seq(s"schema\t$schemaLine", s"buckets\t$b") ++
         storedNear(spark, dir, cur).map(nc => s"near\t${nc.encode}").toSeq ++
+        storedEmb(spark, dir, cur).map(ec => s"emb\t${ec.encode}").toSeq ++
         docFiles(spark, dir, cur).sorted.map("doc\t" + _) ++
         fpFs.sorted.map("fp\t" + _) ++
-        nearFs.sorted.map("nearf\t" + _))
-    (fpFs.length + nearFs.length).toLong
+        nearFs.sorted.map("nearf\t" + _) ++
+        embFs.sorted.map("embf\t" + _))
+    (fpFs.length + nearFs.length + embFs.length).toLong
   }
 
   /** Erase accepted documents by id: their rows leave `docs/` AND their
@@ -444,12 +574,48 @@ object DedupStore {
         (keptNearFs ++ rewrittenNear).sorted.map("nearf\t" + _)
       case _ => prevNearFs.sorted.map("nearf\t" + _)
     }
+    // the erased docs' embedding bucket rows leave too (same derived-
+    // content doctrine as the bands); pb dirs re-derive from the stored
+    // embedding column, so only touched dirs rewrite
+    val embCfg = storedEmb(spark, dir, cur)
+    val prevEmbFs = embFiles(spark, dir, cur)
+    val embLines: Seq[String] = embCfg match {
+      case Some(ec) if prevEmbFs.nonEmpty =>
+        graft.functions.VectorFunctions.register(spark)
+        val erasedV = spark.read.schema(schema)
+          .parquet(hitDocFiles.toSeq.map(f => s"$dir/docs/$f"): _*)
+          .filter(col("doc_id").isin(ids: _*) && col("embedding").isNotNull)
+          .select(col("doc_id"), col("embedding").as("v"))
+        val erasedB = AnnLsh.buckets(erasedV, "doc_id", "v",
+            ec.tables, ec.planesPerTable, ec.dim, ec.seed)
+          .withColumn("pb",
+            pmod(xxhash64(col("table_id"), col("bucket")), lit(b.toLong)))
+        val hitEmbPbs = erasedB.select("pb").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val (hitEmbFs, keptEmbFs) = prevEmbFs
+          .partition(f => hitEmbPbs.contains(bucketOfPath(f)))
+        val rewrittenEmb =
+          if (hitEmbFs.isEmpty) Seq.empty[String]
+          else {
+            val embSurvivors = spark.read.schema(EmbSchema)
+              .parquet(hitEmbFs.map(f => s"$dir/embs/$f"): _*)
+              .filter(!col("doc_id").isin(ids: _*))
+              .withColumn("pb",
+                pmod(xxhash64(col("table_id"), col("bucket")), lit(b.toLong)))
+            if (embSurvivors.isEmpty) Seq.empty[String]
+            else StoreManifest.stageAndMove(spark, new Path(root, "embs"),
+              embSurvivors, "pb", Some(hitEmbPbs.map(_.toString)), next)
+          }
+        (keptEmbFs ++ rewrittenEmb).sorted.map("embf\t" + _)
+      case _ => prevEmbFs.sorted.map("embf\t" + _)
+    }
     StoreManifest.commit(spark, dir, next,
       Seq(s"schema\t${schema.json}", s"buckets\t$b") ++
         nearCfg.map(nc => s"near\t${nc.encode}").toSeq ++
+        embCfg.map(ec => s"emb\t${ec.encode}").toSeq ++
         (keptDocs ++ rewrittenDocs).sorted.map("doc\t" + _) ++
         (keptFps ++ rewrittenFps).sorted.map("fp\t" + _) ++
-        nearLines)
+        nearLines ++ embLines)
     // older versions still reference the pre-delete bytes until vacuum —
     // the same auditable-erasure window every COW store here keeps
     hitRows.map(_.getLong(1)).distinct.length.toLong
@@ -482,6 +648,7 @@ object DedupStore {
     val refDocs = keep.flatMap(v => docFiles(spark, dir, v)).toSet
     val refFps = keep.flatMap(v => fpFiles(spark, dir, v)).toSet
     val refNear = keep.flatMap(v => nearFiles(spark, dir, v)).toSet
+    val refEmb = keep.flatMap(v => embFiles(spark, dir, v)).toSet
     var deleted = 0L
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".merge-tmp"))
       .foreach(p => fs.delete(p.getPath, true))
@@ -492,7 +659,8 @@ object DedupStore {
           fs.delete(f.getPath, false); deleted += 1
         }
       }
-    for ((sub, refs) <- Seq("seen" -> refFps, "near" -> refNear)) {
+    for ((sub, refs) <- Seq("seen" -> refFps, "near" -> refNear,
+        "embs" -> refEmb)) {
       val d = new Path(root, sub)
       if (fs.exists(d))
         fs.listStatus(d).filter(_.isDirectory).foreach { bd =>
@@ -527,6 +695,26 @@ object DedupStore {
   private def storedNear(spark: SparkSession, dir: String,
                          v: Long): Option[NearConfig] =
     StoreManifest.read(spark, dir, v, "near").headOption.map(NearConfig.decode)
+
+  private def embFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    StoreManifest.read(spark, dir, v, "embf")
+
+  private def storedEmb(spark: SparkSession, dir: String,
+                        v: Long): Option[EmbConfig] =
+    StoreManifest.read(spark, dir, v, "emb").headOption.map(EmbConfig.decode)
+
+  private val EmbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("table_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType)))
 
   private val NearSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",

@@ -68,6 +68,36 @@ object OperatorQueries extends QueryPack {
         .select(col("doc_id"), col("fp")).orderBy("doc_id")
     }),
 
+    // SEMANTIC dedup at ingest (DedupStore emb mode — r13, the third
+    // probe family): the hyperplane-LSH embedding seen-set drops a
+    // re-encode — brand-new TEXT (md5 and MinHash both pass) carrying
+    // the same embedding — the translation/paraphrase/template-rerender
+    // crawl case. Fixture: corpus docs joined to their embeddings
+    // (doc_id ≡ vec_id), then a re-crawl under new ids with REWRITTEN
+    // text but identical vectors; θ=0.9 so only true re-encodes drop
+    // (identical vectors collide in every table at cosine 1.0 —
+    // deterministic). No SQL oracle (LSH is approximate); the gate is
+    // DedupSinkSpec's equivalence vs batch AnnLsh.nearDupPairs + the
+    // compose/erasure/replay cases. Probe cost: batch buckets ×
+    // touched pb= dirs, driver-pruned like the other two families.
+    "s_dedup_stream_emb" -> ((s, dir) => {
+      import graft.operators.DedupStore
+      val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .join(Tables.t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val (st, _) = Fixtures.store("dedup_emb", dir) { fx =>
+        DedupStore.appendBatch(s, docs, fx,
+          emb = Some(DedupStore.EmbConfig(dim = 64, threshold = 0.9)))
+        DedupStore.appendBatch(s,
+          docs.select((col("doc_id") + 40000L).as("doc_id"),
+            concat(lit("reencoded "), col("doc_id"), lit(" zz")).as("text"),
+            col("embedding")), fx)
+        Map.empty
+      }
+      DedupStore.readDocs(s, st)
+        .select(col("doc_id"), col("fp")).orderBy("doc_id")
+    }),
+
     // LSH-bucketed approximate top-5 cosine (exact twin: q_sim_cosine_topk)
     "s_sim_ann_lsh" -> ((s, dir) =>
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),

@@ -39,12 +39,13 @@ object DedupSink {
     */
   def start(docs: DataFrame, dir: String, checkpoint: String,
             buckets: Int = 64, maxSeenFiles: Int = 256,
-            near: Option[DedupStore.NearConfig] = None): StreamingQuery =
+            near: Option[DedupStore.NearConfig] = None,
+            emb: Option[DedupStore.EmbConfig] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          DedupStore.appendBatch(spark, batch, dir, buckets, near)
+          DedupStore.appendBatch(spark, batch, dir, buckets, near, emb)
           if (DedupStore.seenFileCount(spark, dir) > maxSeenFiles)
             DedupStore.compactSeen(spark, dir)
         }

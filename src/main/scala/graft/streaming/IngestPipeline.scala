@@ -79,12 +79,13 @@ object IngestPipeline {
             maxSeenFiles: Int = 256, maxSegments: Int = 8,
             near: Option[DedupStore.NearConfig] = None,
             annDir: Option[String] = None, annNlist: Int = 16,
-            vacuumRetain: Int = 0): StreamingQuery =
+            vacuumRetain: Int = 0,
+            emb: Option[DedupStore.EmbConfig] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          DedupStore.appendBatch(spark, batch, dedupDir, buckets, near)
+          DedupStore.appendBatch(spark, batch, dedupDir, buckets, near, emb)
           if (DedupStore.seenFileCount(spark, dedupDir) > maxSeenFiles)
             DedupStore.compactSeen(spark, dedupDir)
         }

@@ -339,6 +339,83 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  // ---- semantic (embedding-cosine) mode (r13): the third family ----
+
+  private val embCfg = Some(DedupStore.EmbConfig(dim = 8)) // AnnLsh defaults, θ=0.4
+
+  /** Unit-ish 8-dim vectors: same `axis` → cosine ≈ 1 after the jitter;
+    * different axes → cosine 0. Texts stay distinct so the lexical
+    * gates never fire and the semantic gate is what's under test.
+    */
+  private def ev(axis: Int, jitter: Float = 0f): Seq[Float] =
+    (0 until 8).map(i => (if (i == axis) 1f else 0f) +
+      (if (i == (axis + 1) % 8) jitter else 0f))
+
+  private def mkEmbDocs(rows: (Long, String, Seq[Float])*) =
+    rows.toSeq.toDF("doc_id", "text", "embedding")
+
+  test("emb mode, single batch: survivors == batch AnnLsh.nearDupPairs keep-first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_e1").toString
+    try {
+      // 1~2 same axis (cos≈0.995), 3 orthogonal, 4 near 3, 5 null-exempt
+      val rows = Seq(
+        (1L, "text one", ev(0)), (2L, "text two", ev(0, 0.1f)),
+        (3L, "text three", ev(4)), (4L, "text four", ev(4, 0.2f)),
+        (5L, "text five", null.asInstanceOf[Seq[Float]]))
+      val docs = mkEmbDocs(rows: _*)
+      val pairs = operators.AnnLsh.nearDupPairs(spark,
+          docs.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(pairs.map(_._2) == Set(2L, 4L), s"fixture drifted: $pairs")
+      assert(DedupStore.appendBatch(spark, docs, dir, buckets = 4,
+        emb = embCfg) == 3L)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L),
+        s"streamed survivors $got != batch twin {1,3,5} (5 is null-exempt)")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("emb mode composes with near mode: a re-encoded doc (new text, same embedding) drops; delete re-admits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_e2").toString
+    try {
+      DedupStore.appendBatch(spark,
+        mkEmbDocs((1L, para(1), ev(0)), (2L, para(2), ev(3))), dir,
+        buckets = 4, near = near, emb = embCfg)
+      // same CONTENT re-encoded: brand-new text (md5 and MinHash both
+      // pass) but the embedding is a jittered copy — the semantic gate
+      // is the only thing standing
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((11L, para(11), ev(0, 0.1f))), dir) == 0L,
+        "re-encoded near-dup sailed past the semantic gate")
+      // a lexical near-dup still drops at the MinHash gate even with an
+      // orthogonal embedding — the gates COMPOSE
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((12L, para(1) + " tail", ev(6))), dir) == 0L,
+        "lexical near-dup sailed past with a fresh embedding")
+      // fresh on both axes: accepted
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((13L, para(13), ev(5))), dir) == 1L)
+      // erasure forgets the embedding buckets too: the re-encoded copy
+      // re-enters once doc 1 is erased
+      assert(DedupStore.delete(spark, dir, Seq(1L)) == 1L)
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((11L, para(11), ev(0, 0.1f))), dir) == 1L)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L, 11L, 13L), s"got $got")
+      // and the re-entered copy's buckets now guard the store
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((14L, para(14), ev(0))), dir) == 0L)
+      // replay convergence: nothing fresh, no version
+      val v = StoreManifest.currentVersion(spark, dir)
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((13L, para(13), ev(5))), dir) == 0L &&
+        StoreManifest.currentVersion(spark, dir) == v)
+    } finally Fs.rmTree(dir)
+  }
+
   test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
     try {
