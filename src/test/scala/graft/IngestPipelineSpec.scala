@@ -232,6 +232,72 @@ class IngestPipelineSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  test("full composition: three gates + three stores + auto-vacuum + mid-stream erasure, one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_full")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"
+    def para(salt: Int): String =
+      (0 until 24).map(i => s"w${salt}x$i").mkString(" ")
+    def v8(axis: Int, jitter: Float = 0f): Seq[Float] =
+      (0 until 8).map(i => (if (i == axis) 1f else 0f) +
+        (if (i == (axis + 1) % 8) jitter else 0f))
+    try {
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = IngestPipeline.start(in.toDF().toDF("doc_id", "text", "embedding"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 8,
+        near = Some(DedupStore.NearConfig()),
+        emb = Some(DedupStore.EmbConfig(dim = 8)),
+        annDir = Some(annDir), annNlist = 2, vacuumRetain = 2)
+      try {
+        in.addData((1L, para(1), v8(0)), (2L, para(2), v8(3)))
+        q.processAllAvailable()
+        // 11 exact dup; 12 lexical near-dup (fresh vector); 13 semantic
+        // re-encode (fresh text, jittered vector); 14 fresh on all axes
+        in.addData((11L, para(1), v8(5)), (12L, para(2) + " tail", v8(6)),
+          (13L, para(13), v8(0, 0.1f)), (14L, para(14), v8(4)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(accepted == Set(1L, 2L, 14L), s"gate composition wrong: $accepted")
+      assert(indexedDocIds(idxDir) == Set(1L, 2L, 14L))
+      assert(annVecIds(annDir) == Set(1L, 2L, 14L))
+      // erase doc 1 everywhere via the per-store deletes (EraseSink's
+      // recipe); the semantic re-encode then re-enters and flows to ALL
+      // derived stores through the next trigger's catch-ups
+      operators.InvertedIndex.delete(spark, idxDir, Seq(1L))
+      operators.AnnIndexStore.delete(spark, annDir, Seq(1L))
+      DedupStore.delete(spark, dedupDir, Seq(1L))
+      val in2 = in // same stream, next trigger
+      val q2 = IngestPipeline.start(in2.toDF().toDF("doc_id", "text", "embedding"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 8,
+        annDir = Some(annDir), annNlist = 2, vacuumRetain = 2)
+      try {
+        in2.addData((23L, para(23), v8(0, 0.1f)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet == Set(2L, 14L, 23L))
+      assert(indexedDocIds(idxDir) == Set(2L, 14L, 23L),
+        "post-erasure re-entry must reach the index; erased doc must not")
+      // the ANN store tombstones at delete (unreturnable now) and drops
+      // bytes at purge — assert both halves of that contract
+      val searchable = spark.read.parquet(s"$annDir/lists")
+        .join(operators.AnnIndexStore.loadTombstones(spark, annDir)
+          .select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select("vec_id").as[Long].collect().toSet
+      assert(searchable == Set(2L, 14L, 23L),
+        s"erased vector still searchable: $searchable")
+      assert(operators.AnnIndexStore.purgeDeletes(spark, annDir) == 1L)
+      assert(annVecIds(annDir) == Set(2L, 14L, 23L),
+        "purge must drop the erased vector's bytes")
+      // auto-vacuum kept the manifest count bounded through all of it
+      assert(operators.StoreManifest.versions(spark, dedupDir).length <= 2)
+    } finally Fs.rmTree(base.toString)
+  }
+
   // ---- ANN arm (r13): one stream builds dedup + index + ANN ----
 
   private def vec(seed: Long): Seq[Float] =
