@@ -86,11 +86,42 @@ object AnnIndexStore {
     * tombstones retire with it. Crash-safe via a source snapshot: the
     * live rows land under `.rebuild-src` FIRST (parquet `_SUCCESS` is
     * the snapshot commit), the save reads only the snapshot, and any
-    * crash mid-overwrite re-runs from the intact snapshot (the source
-    * is deleted LAST). Batch markers survive, so a version-derived
-    * feeder ([[graft.streaming.IngestPipeline]]) keeps its consumption
-    * record. Single-writer maintenance slot; like [[save]], readers
-    * must not race the rewrite. Returns vectors in the rebuilt index.
+    * crash mid-overwrite re-runs from the intact snapshot.
+    *
+    * ==The snapshot is SELF-EXPIRING (ADVICE r13)==
+    *
+    * A rebuild that crashed after [[save]] but before the snapshot
+    * delete used to leave a trusted-forever stale snapshot: if the
+    * ingest pipeline resumed appending before the re-run, the re-run
+    * restored the pre-append lists and the appended vectors were lost
+    * permanently (their `_ann_commits/b<v>` markers survive, so the
+    * catch-up never re-appends them). Now staging records the
+    * `_ann_commits` listing as a fingerprint (`.rebuild-marks`,
+    * written BEFORE the snapshot), and re-entry reconciles:
+    *
+    *   - fingerprint unchanged → nothing landed since staging: recover
+    *     from the snapshot (the torn-save case, as before);
+    *   - fingerprint changed and `lists/_SUCCESS` exists → the save
+    *     completed before the new commits, so `lists/` holds rebuilt
+    *     content PLUS the new appends: restage fresh from it;
+    *   - fingerprint changed, lists torn, new marks are all appends →
+    *     recover snapshot ∪ the new batches' marker-committed files
+    *     (deduped by vec_id — idempotent under re-crash);
+    *   - fingerprint changed, lists torn, a PURGE landed in the gap →
+    *     fail loudly (a purge racing a torn rebuild is doubly out of
+    *     the single-writer contract; silent recovery could resurrect
+    *     erased vectors).
+    *
+    * Tombstones that land after staging are re-applied right before the
+    * save (and only the tombstone files present then retire), so a
+    * delete in the crash gap cannot resurrect. The snapshot and
+    * fingerprint delete IMMEDIATELY after save() — the stale window is
+    * gone, not just narrowed. Batch markers survive throughout, so a
+    * version-derived feeder ([[graft.streaming.IngestPipeline]]) keeps
+    * its consumption record. Single-writer maintenance slot; like
+    * [[save]], readers must not race the rewrite (a live append DURING
+    * the rebuild aborts loudly at the pre-save fingerprint re-check).
+    * Returns vectors in the rebuilt index.
     */
   def rebuild(spark: SparkSession, dir: String, nlist: Int = 16, m: Int = 0,
               codes: Int = 16, seed: Long = 42, maxTrain: Int = 65536): Long = {
@@ -98,8 +129,31 @@ object AnnIndexStore {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = new Path(root, ".rebuild-src")
-    if (!fs.exists(new Path(src, "_SUCCESS"))) {
-      fs.delete(src, true) // a torn earlier snapshot restages cleanly
+    val srcNext = new Path(root, ".rebuild-src-next")
+    val marksFile = new Path(root, ".rebuild-marks")
+    def commitMarks(): Array[String] = {
+      val commits = new Path(root, "_ann_commits")
+      (if (fs.exists(commits)) fs.listStatus(commits) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath.getName).sorted
+    }
+    def writeMarks(ms: Array[String]): Unit = {
+      val tmp = new Path(root, s".rebuild-marks-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ms.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.delete(marksFile, false)
+      require(fs.rename(tmp, marksFile), s"marks commit $tmp -> $marksFile failed")
+    }
+    def readMarks(): Option[Array[String]] =
+      if (!fs.exists(marksFile)) None
+      else {
+        val in = fs.open(marksFile)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(s.split('\n').filter(_.nonEmpty).sorted)
+      }
+    def restageFresh(marks: Array[String]): Unit = {
+      fs.delete(src, true)
+      writeMarks(marks) // BEFORE staging: anything landing after is visible
       val tomb = loadTombstones(spark, dir)
       spark.read.parquet(s"$dir/lists")
         .select(col("vec_id"), col("embedding"))
@@ -107,15 +161,73 @@ object AnnIndexStore {
         .dropDuplicates("vec_id") // crash-overlap copies fold (scaladoc on purge)
         .write.mode("overwrite").parquet(src.toString)
     }
+    // a crash between `delete(src)` and `rename(srcNext, src)` in the
+    // union path below leaves only the complete next-snapshot: adopt it
+    if (!fs.exists(new Path(src, "_SUCCESS")) &&
+        fs.exists(new Path(srcNext, "_SUCCESS"))) {
+      fs.delete(src, true)
+      require(fs.rename(srcNext, src), s"adopting $srcNext as $src failed")
+    }
+    fs.delete(srcNext, true)
+    val marksNow = commitMarks()
+    if (!fs.exists(new Path(src, "_SUCCESS"))) restageFresh(marksNow)
+    else readMarks() match {
+      case Some(staged) if staged.sameElements(marksNow) => () // intact recovery source
+      case stagedOpt =>
+        // commits landed after staging (or a legacy fingerprint-less
+        // snapshot whose gap is unknowable): the snapshot alone is stale
+        if (fs.exists(new Path(root, "lists/_SUCCESS"))) restageFresh(marksNow)
+        else {
+          val staged = stagedOpt.getOrElse(
+            throw new IllegalStateException(
+              s"legacy .rebuild-src under $dir with torn lists: cannot prove " +
+                "freshness — delete the snapshot after reconciling by hand"))
+          val news = marksNow.filterNot(staged.contains)
+          require(news.forall(_.startsWith("b")),
+            s"purge marker(s) ${news.filterNot(_.startsWith("b")).mkString(",")} " +
+              s"landed during a torn rebuild of $dir — reconcile by hand")
+          // marker-committed batches are complete files in lists/ even
+          // though the dir as a whole is torn
+          val newFiles = news.flatMap { mark =>
+            val listsRoot = new Path(root, "lists")
+            (if (fs.exists(listsRoot)) fs.listStatus(listsRoot) else Array.empty[org.apache.hadoop.fs.FileStatus])
+              .filter(_.isDirectory).flatMap(cell =>
+                fs.listStatus(cell.getPath).filter(f => f.isFile &&
+                  f.getPath.getName.startsWith(s"$mark-") &&
+                  f.getPath.getName.endsWith(".parquet")).map(_.getPath.toString))
+          }
+          val base = spark.read.parquet(src.toString)
+          val unioned = if (newFiles.isEmpty) base
+            else base.unionByName(
+              spark.read.schema(base.schema)
+                .parquet(newFiles.toIndexedSeq: _*)
+                .select(col("vec_id"), col("embedding")))
+          unioned.dropDuplicates("vec_id")
+            .write.mode("overwrite").parquet(srcNext.toString)
+          fs.delete(src, true)
+          require(fs.rename(srcNext, src), s"rename $srcNext -> $src failed")
+          writeMarks(marksNow) // LAST: a crash before this re-unions (idempotent)
+        }
+    }
+    // tombstones that landed AFTER staging still need excluding, and only
+    // the files excluded here may retire after the save
+    val tombSnapshot = tombFiles(fs, new Path(root, TombDir)).map(_.getPath)
+    // reads src + _tombstones only — save() rewrites lists/centroids,
+    // neither of which this plan touches, so no checkpoint is needed
     val live = spark.read.parquet(src.toString)
+      .join(loadTombstones(spark, dir), Seq("vec_id"), "left_anti")
     val n = live.count()
     require(n > 0, "rebuild over an empty (or fully-tombstoned) index")
+    // loud abort on a LIVE append racing this rebuild (out of contract):
+    // failing here, before lists/ is touched, loses nothing
+    require(commitMarks().sameElements(marksNow),
+      s"_ann_commits changed during rebuild of $dir — single-writer violated")
     save(spark, live, dir, nlist, m, codes, seed, maxTrain)
-    // rebuilt content excludes the tombstoned ids — retire the
-    // tombstones, then the snapshot (LAST: it is the recovery source)
-    val tombDir = new Path(root, TombDir)
-    tombFiles(fs, tombDir).foreach(f => fs.delete(f.getPath, false))
+    // the recovery source retires IMMEDIATELY (the old stale window);
+    // a crash past here re-runs as a fresh restage from complete lists
     fs.delete(src, true)
+    fs.delete(marksFile, false)
+    tombSnapshot.foreach(p => fs.delete(p, false))
     n
   }
 

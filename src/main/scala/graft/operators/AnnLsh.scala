@@ -140,8 +140,15 @@ object AnnLsh {
       return Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "sim")
     }
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    // zero-norm vectors are exempt (cosine is undefined for them): nrm=0
+    // makes cosineRaw 0/0 = NaN and Spark orders NaN above every double,
+    // so NaN >= threshold would be TRUE — and zero vectors collide in
+    // every bucket, so they would all pair with each other (ADVICE r13).
+    // The ingest store's semantic gate ([[graft.operators.DedupStore]]
+    // emb mode) carries the same guard, preserving batch ≡ stream.
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .filter(col("nrm") > 0)
     // materialize the bucket table once — it feeds BOTH self-join sides,
     // and the L×P plane projection is the expensive part of this stage
     // (one-shot harness; long-lived sessions should unpersist after use)

@@ -275,10 +275,18 @@ object DedupStore {
         require(kept2.columns.contains("embedding"),
           "emb mode needs an `embedding` column on the batch")
         graft.functions.VectorFunctions.register(spark)
-        // null embeddings are exempt from this gate (the no-sig analog)
+        // null AND zero-norm embeddings are exempt from this gate (the
+        // no-sig analog). The zero guard is load-bearing: nrm=0 makes
+        // cosineRaw 0/0 = NaN, and Spark orders NaN ABOVE every double,
+        // so NaN >= threshold is TRUE — and zero vectors collide in
+        // every hyperplane bucket, so without the guard the second and
+        // every later zero-embedding doc silently drops as a semantic
+        // dup of the first (ADVICE r13). Mirrored in
+        // [[AnnLsh.nearDupPairs]] so batch ≡ stream holds.
         val withV = kept2.filter(col("embedding").isNotNull)
           .select(col("doc_id"), col("embedding").as("v"))
           .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+          .filter(col("nrm") > 0)
         val withB = withV.join(
             AnnLsh.buckets(withV.select("doc_id", "v"), "doc_id", "v",
               ec.tables, ec.planesPerTable, ec.dim, ec.seed), "doc_id")
@@ -582,9 +590,12 @@ object DedupStore {
     val embLines: Seq[String] = embCfg match {
       case Some(ec) if prevEmbFs.nonEmpty =>
         graft.functions.VectorFunctions.register(spark)
+        // zero-norm vectors never landed emb rows (the gate's guard) —
+        // same exemption here so the touched-pb set matches what wrote
         val erasedV = spark.read.schema(schema)
           .parquet(hitDocFiles.toSeq.map(f => s"$dir/docs/$f"): _*)
-          .filter(col("doc_id").isin(ids: _*) && col("embedding").isNotNull)
+          .filter(col("doc_id").isin(ids: _*) && col("embedding").isNotNull &&
+            expr("graft_dot(embedding, embedding)") > 0)
           .select(col("doc_id"), col("embedding").as("v"))
         val erasedB = AnnLsh.buckets(erasedV, "doc_id", "v",
             ec.tables, ec.planesPerTable, ec.dim, ec.seed)

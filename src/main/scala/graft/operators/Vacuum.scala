@@ -63,12 +63,20 @@ object Vacuum {
     stores.cube.foreach(d =>
       out += "cube" -> RollupNav.vacuum(spark, d, retainVersions))
     stores.dedup.foreach { d =>
+      // the floor applies for ANY derived arm, not only the index — an
+      // index-less dedup+ANN pipeline would otherwise expire ingest
+      // versions the ANN arm has not consumed (ADVICE r13)
       val keepFrom =
-        if (pipeline && stores.index.isDefined)
+        if (pipeline && (stores.index.isDefined || stores.ann.isDefined))
           graft.streaming.IngestPipeline.oldestLagging(
-            spark, d, stores.index.get, stores.ann)
+            spark, d, stores.index, stores.ann)
         else None
       out += "dedup" -> DedupStore.vacuum(spark, d, retainVersions, keepFrom)
+      // batch markers for versions the dedup store no longer retains are
+      // dead weight (annCatchUp reads markers only for retained versions)
+      if (pipeline) stores.ann.foreach(ad =>
+        out += "ann_markers" ->
+          graft.streaming.IngestPipeline.sweepAnnMarkers(spark, d, ad))
     }
     stores.ann.foreach { d =>
       out += "ann_purged" -> AnnIndexStore.purgeDeletes(spark, d)

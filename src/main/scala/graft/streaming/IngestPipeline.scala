@@ -270,11 +270,22 @@ object IngestPipeline {
     var appended = 0L
     for (v <- ingestVersions
          if !fs.exists(new Path(annDir, s"_ann_commits/b$v"))) {
-      val vecs = versionSurvivors(spark, dedupDir, v, ingestVersions,
-          curDocFiles, Seq("doc_id", "embedding"))
-        .map(_.filter(col("embedding").isNotNull)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-          .localCheckpoint()) // read once: bootstrap probe + train + append
+      // legacy adoption (ADVICE r13): a version ingested before the ANN
+      // arm was armed may have a pinned schema with NO `embedding`
+      // column — selecting it would throw on EVERY trigger (a crash
+      // loop with no remediation). Such a version is vector-less by
+      // definition: commit its bare marker below like an empty one.
+      val hasEmbCol = org.apache.spark.sql.types.DataType
+        .fromJson(StoreManifest.read(spark, dedupDir, v, "schema").head)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("embedding")
+      val vecs =
+        if (!hasEmbCol) None
+        else versionSurvivors(spark, dedupDir, v, ingestVersions,
+            curDocFiles, Seq("doc_id", "embedding"))
+          .map(_.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .localCheckpoint()) // read once: bootstrap probe + train + append
       val hasVecs = vecs.exists(!_.isEmpty)
       if (!AnnIndexStore.trained(spark, annDir) && hasVecs)
         AnnIndexStore.train(spark, vecs.get, annDir, nlist)
@@ -297,15 +308,27 @@ object IngestPipeline {
     * pins.
     */
   def oldestLagging(spark: SparkSession, dedupDir: String, indexDir: String,
-                    annDir: Option[String] = None): Option[Long] = {
+                    annDir: Option[String] = None): Option[Long] =
+    oldestLagging(spark, dedupDir, Some(indexDir), annDir)
+
+  /** [[oldestLagging]] for any combination of derived arms — an
+    * index-less pipeline (dedup + ANN only) still needs its floor:
+    * without it a dedup vacuum can expire ingest versions the ANN arm
+    * has not consumed, exactly the silent-data-loss mode the floor
+    * exists to prevent (ADVICE r13).
+    */
+  def oldestLagging(spark: SparkSession, dedupDir: String,
+                    indexDir: Option[String],
+                    annDir: Option[String]): Option[Long] = {
     if (StoreManifest.currentVersion(spark, dedupDir) < 0) return None
-    val have = InvertedIndex.segments(spark, indexDir).toSet
-    val hw = dvHighWater(spark, indexDir)
+    val have = indexDir.fold(Set.empty[String])(d =>
+      InvertedIndex.segments(spark, d).toSet)
+    val hw = indexDir.fold(Long.MaxValue)(d => dvHighWater(spark, d))
     val fs = annDir.map(ad =>
       new Path(ad).getFileSystem(spark.sparkContext.hadoopConfiguration))
     StoreManifest.versions(spark, dedupDir)
       .filter(v => StoreManifest.read(spark, dedupDir, v, "ingest").nonEmpty)
-      .find(v => (v > hw && !have.contains(s"seg=dv$v")) ||
+      .find(v => indexDir.exists(_ => v > hw && !have.contains(s"seg=dv$v")) ||
         annDir.exists(ad =>
           !fs.get.exists(new Path(ad, s"_ann_commits/b$v"))))
   }
@@ -320,7 +343,35 @@ object IngestPipeline {
     * deleted.
     */
   def vacuumSafe(spark: SparkSession, dedupDir: String, indexDir: String,
-                 retain: Int = 2, annDir: Option[String] = None): Long =
-    DedupStore.vacuum(spark, dedupDir, retain,
+                 retain: Int = 2, annDir: Option[String] = None): Long = {
+    val swept = DedupStore.vacuum(spark, dedupDir, retain,
       keepFrom = oldestLagging(spark, dedupDir, indexDir, annDir))
+    swept + annDir.fold(0L)(ad => sweepAnnMarkers(spark, dedupDir, ad))
+  }
+
+  /** Retire `_ann_commits/b<v>` batch markers for ingest versions the
+    * dedup store no longer retains — without this sweep the marker dir
+    * grows one file per ingest version for the stream's LIFETIME
+    * (ADVICE r13), quietly contradicting the disk-bounded retention
+    * story. Safe by construction: [[annCatchUp]] consults markers only
+    * for RETAINED ingest versions (it iterates the surviving
+    * manifests), so a marker below the oldest retained version can
+    * never be read again. Purge-generation markers (`p<g>`) are a
+    * different namespace and never swept. Returns markers deleted.
+    */
+  def sweepAnnMarkers(spark: SparkSession, dedupDir: String,
+                      annDir: String): Long = {
+    val retained = ingestVersionsOf(spark, dedupDir)
+    if (retained.isEmpty) return 0L // adopt nothing: no retained floor to judge by
+    val floor = retained.min
+    val commits = new Path(annDir, "_ann_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) return 0L
+    val BMark = """b(\d+)""".r
+    val stale = fs.listStatus(commits).map(_.getPath.getName).collect {
+      case n @ BMark(v) if v.toLong < floor => n
+    }
+    stale.foreach(n => fs.delete(new Path(commits, n), false))
+    stale.length.toLong
+  }
 }

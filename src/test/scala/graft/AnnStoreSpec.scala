@@ -131,6 +131,82 @@ class AnnStoreSpec extends SparkSpec {
     } finally graft.Fs.rmTree(dir)
   }
 
+  test("rebuild snapshot self-expires: appends landing after a crashed rebuild survive the re-run (ADVICE r13)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_rb2").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stageCrashedRebuild(): Unit = {
+      // replicate rebuild's own staging order: fingerprint FIRST, then
+      // the snapshot — the state a rebuild leaves if it crashes after
+      // save() but before the src delete
+      val commits = new org.apache.hadoop.fs.Path(s"$dir/_ann_commits")
+      val marks = (if (fs.exists(commits)) fs.listStatus(commits)
+        else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath.getName).sorted
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/.rebuild-marks"), true)
+      try out.write(marks.mkString("\n").getBytes("UTF-8")) finally out.close()
+      spark.read.parquet(s"$dir/lists")
+        .select("vec_id", "embedding").dropDuplicates("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/.rebuild-src")
+    }
+    def ids() = spark.read.parquet(s"$dir/lists")
+      .select("vec_id").as[Long].collect().toSet
+    try {
+      AnnIndexStore.save(spark, emb, dir, nlist = 4)
+      val baseIds = ids()
+      // --- case 1 (THE ADVICE scenario): crash after save(), pipeline
+      // appends batch b7, rebuild re-runs — the appended vectors used to
+      // be restored away permanently (marker survives, catch-up skips)
+      stageCrashedRebuild()
+      AnnIndexStore.appendBatch(spark,
+        emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")),
+        dir, batchId = 7L)
+      AnnIndexStore.rebuild(spark, dir, nlist = 4)
+      assert(ids() == baseIds ++ (2000000L until 2000005L),
+        "vectors appended after a crashed rebuild must survive the re-run")
+      // --- case 2: torn save (lists/_SUCCESS gone, dir half-written) +
+      // an interleaved append — recovery is snapshot ∪ the new batch's
+      // marker-committed files
+      stageCrashedRebuild()
+      val live = spark.read.parquet(s"$dir/lists")
+        .select("vec_id", "embedding").dropDuplicates("vec_id").localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists"), true)
+      // a torn overwrite: SOME cells re-written, no _SUCCESS
+      live.filter(col("vec_id") % 2 === 0).repartition(1)
+        .withColumn("list_id", lit(0))
+        .write.partitionBy("list_id").parquet(s"$dir/lists")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists/_SUCCESS"), false)
+      AnnIndexStore.appendBatch(spark,
+        emb.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")),
+        dir, batchId = 8L)
+      AnnIndexStore.rebuild(spark, dir, nlist = 4)
+      assert(ids() == baseIds ++ (2000000L until 2000005L) ++ (3000000L until 3000003L),
+        "torn-save recovery must be snapshot ∪ marker-committed appends")
+      // --- case 3: a delete landing after the snapshot staged must
+      // still erase (tombstones re-apply pre-save; only those retire)
+      stageCrashedRebuild()
+      assert(AnnIndexStore.delete(spark, dir, Seq(2000001L)) == 1L)
+      AnnIndexStore.rebuild(spark, dir, nlist = 4)
+      assert(!ids().contains(2000001L),
+        "a delete landing after the snapshot staged must not resurrect")
+      assert(!AnnIndexStore.hasTombstones(spark, dir))
+      // --- case 4: a purge racing a TORN rebuild is unrecoverable by
+      // machine — must abort loudly, not silently resurrect erased bytes
+      stageCrashedRebuild()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists/_SUCCESS"), false)
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_ann_commits/p99"), true).close()
+      val e = intercept[IllegalArgumentException](
+        AnnIndexStore.rebuild(spark, dir, nlist = 4))
+      assert(e.getMessage.contains("p99"), s"wrong abort: ${e.getMessage}")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_ann_commits/p99"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.rebuild-src"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.rebuild-marks"), false)
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("PQ codebooks round-trip bitwise") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
     try {

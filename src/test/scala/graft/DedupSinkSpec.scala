@@ -377,6 +377,31 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("emb mode: zero-norm embeddings are exempt like nulls, in stream AND batch (ADVICE r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_e0").toString
+    try {
+      val zero = Seq.fill(8)(0f)
+      // cosine(0⃗, anything) is 0/0 = NaN, and Spark orders NaN above
+      // every double — without the guard the second zero-vector doc
+      // silently drops as a "semantic dup" of the first
+      val batch1 = mkEmbDocs((1L, "text one", zero), (2L, "text two", zero),
+        (3L, "text three", ev(0)))
+      val pairs = operators.AnnLsh.nearDupPairs(spark,
+          batch1.select(col("doc_id").as("vec_id"), col("embedding")))
+        .collect()
+      assert(pairs.isEmpty, s"zero vectors must pair with nothing: ${pairs.toSeq}")
+      assert(DedupStore.appendBatch(spark, batch1, dir, buckets = 4,
+        emb = embCfg) == 3L, "zero-norm docs must be exempt, not dropped")
+      // cross-batch: a third zero vector is still exempt (nothing of the
+      // first two landed in the emb seen-set); a true dup still drops
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((11L, "text eleven", zero), (12L, "text twelve", ev(0, 0.1f))),
+        dir) == 1L)
+      assert(DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 11L))
+    } finally Fs.rmTree(dir)
+  }
+
   test("emb mode composes with near mode: a re-encoded doc (new text, same embedding) drops; delete re-admits") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_e2").toString
     try {

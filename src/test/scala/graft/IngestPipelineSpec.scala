@@ -350,6 +350,28 @@ class IngestPipelineSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  test("ANN arm armed on a store with pre-ANN history: embedding-less versions adopt as bare markers (ADVICE r13)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_leg")
+    val dedupDir = s"$base/dedup"; val annDir = s"$base/ann"
+    try {
+      // two versions ingested BEFORE the ANN arm existed — their pinned
+      // schemas have no `embedding` column at all
+      DedupStore.appendBatch(spark, mkDocs((1L, "alpha beta")), dedupDir, buckets = 4)
+      DedupStore.appendBatch(spark, mkDocs((2L, "gamma delta")), dedupDir)
+      // arming the arm must NOT crash-loop on the legacy versions: they
+      // are vector-less by definition and commit bare markers
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir, nlist = 2) == 2L)
+      assert(!operators.AnnIndexStore.trained(spark, annDir),
+        "nothing to train on yet")
+      assert(IngestPipeline.oldestLagging(spark, dedupDir, None, Some(annDir)).isEmpty)
+      // the first embedding-bearing version trains and appends as usual
+      DedupStore.appendBatch(spark, mkEmb(3L -> "epsilon zeta"), dedupDir)
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir, nlist = 2) == 1L)
+      assert(annVecIds(annDir) == Set(3L))
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir) == 0L)
+    } finally Fs.rmTree(base.toString)
+  }
+
   test("ANN arm: catch-up heals a crashed trigger; replay appends nothing; erased docs never enter") {
     val base = java.nio.file.Files.createTempDirectory("graft_ipipe_annc")
     val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"

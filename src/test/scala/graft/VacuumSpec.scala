@@ -89,6 +89,47 @@ class VacuumSpec extends SparkSpec {
     } finally Fs.rmTree(base)
   }
 
+  test("index-less pipeline (dedup+ANN only): sweepAll still pins the floor; stale b-markers sweep (ADVICE r13)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vac3").toString
+    val dedupDir = s"$base/dedup"; val annDir = s"$base/ann"
+    val stores = Vacuum.Stores(ann = Some(annDir), dedup = Some(dedupDir))
+    try {
+      DedupStore.appendBatch(spark,
+        Seq((1L, "alpha beta", vec(1))).toDF("doc_id", "text", "embedding"),
+        dedupDir, buckets = 4)
+      IngestPipeline.annCatchUp(spark, dedupDir, annDir, nlist = 2)
+      // version 1 ingests; the ANN arm "crashes" before its catch-up,
+      // then maintenance commits push v1 past retain=1
+      DedupStore.appendBatch(spark,
+        Seq((2L, "gamma delta", vec(2))).toDF("doc_id", "text", "embedding"),
+        dedupDir)
+      DedupStore.compactSeen(spark, dedupDir)
+      DedupStore.compactSeen(spark, dedupDir)
+      Vacuum.sweepAll(spark, stores, retainVersions = 1, pipeline = true)
+      // the floor held WITHOUT an index store configured — the lagging
+      // version's vectors still reach the ANN arm after recovery
+      assert(IngestPipeline.annCatchUp(spark, dedupDir, annDir) == 1L)
+      assert(spark.read.parquet(s"$annDir/lists")
+        .select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+      // marker boundedness: after more rounds at retain=1, b-markers for
+      // expired versions sweep instead of accumulating one per version
+      for (i <- 3L to 6L) {
+        DedupStore.appendBatch(spark,
+          Seq((i, s"text $i round", vec(i))).toDF("doc_id", "text", "embedding"),
+          dedupDir)
+        IngestPipeline.annCatchUp(spark, dedupDir, annDir)
+        Vacuum.sweepAll(spark, stores, retainVersions = 1, pipeline = true)
+      }
+      val bMarkers = new java.io.File(s"$annDir/_ann_commits").listFiles()
+        .map(_.getName).filter(_.startsWith("b")).toSeq
+      assert(bMarkers.length == 1,
+        s"b-markers must sweep with their expired versions, got $bMarkers")
+      // everything that ever ingested is still in the ANN store
+      assert(spark.read.parquet(s"$annDir/lists")
+        .select("vec_id").as[Long].collect().toSet == (1L to 6L).toSet)
+    } finally Fs.rmTree(base)
+  }
+
   test("sweepAll removes crash scratch (ANN tmp dirs, journal .tmp) and respects the pipeline floor") {
     val base = java.nio.file.Files.createTempDirectory("graft_vac2").toString
     val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
