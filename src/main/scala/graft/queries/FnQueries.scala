@@ -77,19 +77,40 @@ object FnQueries extends QueryPack {
 
     // MAP-typed path (closes SURVEY §2.7's last test-only row): lift the
     // props JSON into a real MapType via str_to_map, then exercise map
-    // access, map_keys and size under an aggregate — all codegen'd
-    // built-ins, no UDF. DuckDB twin builds the same MAP with
-    // map(list, list) (its m[k] yields a LIST — index [1]).
-    "q_fn_map" -> ((s, dir) =>
-      Tables.events(s, dir)
+    // access, map_keys and size — all codegen'd built-ins, no UDF.
+    // Shape notes (r14, VERDICT r13 wrong #2 — the registry's last
+    // SortAggregate): (a) the map EXTRACTIONS project to scalars BEFORE
+    // the groupBy (a MapType column in the aggregate's input schema
+    // knocks out HashAggregate — the r6/r12 complex-type disease), and
+    // (b) min(STRING) itself puts an immutable type in the aggregation
+    // buffer and sort-aggs the whole corpus (measured; min_by too), so
+    // the key minimum runs as hash-distinct (string group KEYS hash
+    // fine — only buffers can't) + row_number over the distinct pairs:
+    // corpus-scale work is all HashAggregate, the window and join see
+    // ≤ |event_type × distinct keys| rows. DuckDB twin builds the same
+    // MAP with map(list, list) (its m[k] yields a LIST — index [1]).
+    "q_fn_map" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
         .withColumn("m",
           expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"))
-        .groupBy("event_type")
+        .select(col("event_type"),
+          expr("CAST(m['k'] AS BIGINT)").as("mk"),
+          size(col("m")).cast("long").as("msz"),
+          expr("map_keys(m)[0]").as("mk0"))
+      val agg = base.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
-          sum(expr("CAST(m['k'] AS BIGINT)")).as("sum_k"),
-          max(size(col("m")).cast("long")).as("max_size"),
-          min(expr("map_keys(m)[0]")).as("min_key"))
-        .orderBy("event_type")),
+          sum(col("mk")).as("sum_k"),
+          max(col("msz")).as("max_size"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("mk0")
+      val minKey = base.filter(col("mk0").isNotNull) // min() ignores nulls
+        .select("event_type", "mk0").distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("mk0").as("min_key"))
+      agg.join(minKey, Seq("event_type"), "left")
+        .orderBy("event_type")
+    }),
 
     // semi-structured VARIANT path (Spark 4): parse once into the binary
     // variant encoding, extract typed fields with variant_get — the

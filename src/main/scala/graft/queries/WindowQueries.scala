@@ -86,14 +86,15 @@ object WindowQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    "q_win_ntile_pct" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          ntile(10).over(w).cast("long").as("decile"),
-          round(percent_rank().over(w), 6).as("pct"))
-        .orderBy("o_orderkey")
-    }),
+    // r14: the contract row itself now runs the scalable formulation —
+    // ScalableNtile.ntilePct (range-repartitioned global rank, closed-
+    // form ntile/percent_rank arithmetic), row-identical to the
+    // single-reducer `ntile(10) OVER (ORDER BY …)` window it replaces
+    // (the equivalence ScalableNtileSpec has pinned since r2, and the
+    // oracle hash is unchanged). The registry is now uwin-free with NO
+    // exemptions (PlanSpec).
+    "q_win_ntile_pct" -> ((s, dir) =>
+      graft.operators.ScalableNtile.ntilePct(Tables.t(s, dir, "orders"), 10)),
 
     // navigation over the full partition frame: first/last/nth under a
     // deterministic order (unique (o_orderdate, o_orderkey) tie-break);

@@ -500,10 +500,19 @@ class OperatorSpec extends SparkSpec {
     assert(fp.toDouble / novel.size < 0.10, s"false-positive rate too high: $fp/${novel.size}")
   }
 
-  test("s_win_ntile_scalable == q_win_ntile_pct, row for row") {
-    val win = SparkEntry.queries("q_win_ntile_pct")(spark, sfDir)
+  test("q_win_ntile_pct (ScalableNtile) == the single-reducer window formulation, row for row") {
+    // since r14 the registry entry IS ScalableNtile — the window
+    // formulation it replaced lives on HERE as the equivalence anchor
+    // (this is the proof that let the swap keep the oracle hash)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val win = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pct"))
+      .orderBy("o_orderkey")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val scalable = ScalableNtile.ntilePct(Tables.t(spark, sfDir, "orders"), 10)
+    val scalable = SparkEntry.queries("q_win_ntile_pct")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(scalable == win, "scalable ntile must reproduce the window exactly")
     // and again under a different partition count — rank must be partition-invariant

@@ -19,10 +19,10 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
-  test("PLANS_r13.json: covers every query; scans visible; sampled digests match") {
-    val path = java.nio.file.Paths.get("PLANS_r13.json")
+  test("PLANS_r14.json: covers every query; scans visible; sampled digests match") {
+    val path = java.nio.file.Paths.get("PLANS_r14.json")
     assert(java.nio.file.Files.exists(path),
-      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r13.json`")
+      "plan digest artifact missing — regenerate with `runMain graft.PlanDigest PLANS_r14.json`")
     val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     val entries = """"(\w+)": \{([^}]*)\}""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2)).toMap
@@ -45,16 +45,27 @@ class PlanSpec extends SparkSpec {
       s"digests reading nothing — traversal blind spot or plan bug: ${blind.mkString(", ")}")
     // REGISTRY-WIDE single-reducer ban (VERDICT r12 #2): no query may
     // execute an unpartitioned Window (every row through ONE task) at
-    // the digest SF. The only exemption is contract-mandated: the §2
-    // operator q_win_ntile_pct IS the global-window formulation, and its
-    // 100 TB twin (s_win_ntile_scalable, ScalableNtile) already ships.
-    // Anything else regressing here needs rankBy / rankCumsum / the
-    // TakeOrdered self-rank pattern, not an exemption.
-    val uwinExempt = Set("q_win_ntile_pct")
+    // the digest SF. The exemption set is EMPTY as of r14 —
+    // q_win_ntile_pct itself now runs ScalableNtile.ntilePct (hash
+    // unchanged). Anything regressing here needs rankBy / rankCumsum /
+    // the TakeOrdered self-rank pattern, not an exemption.
+    val uwinExempt = Set.empty[String]
     val single = entries.collect { case (q, body)
       if !uwinExempt(q) && cnt(body, "uwin") > 0 => q }
     assert(single.isEmpty,
       s"unpartitioned Window executed by: ${single.mkString(", ")}")
+    // REGISTRY-WIDE SortAggregate ban (VERDICT r13 wrong #2): a map- or
+    // array-typed column in an aggregate buffer silently downgrades
+    // every partition to a per-exchange sort — at 100 TB that is the
+    // whole corpus sorted for queries whose outputs are a few scalars.
+    // Project complex-typed extractions to scalars BEFORE groupBy (the
+    // r6/r12/r14 lesson, three sightings). Exemptions must carry a
+    // measured justification; none exist today.
+    val sortAggExempt = Set.empty[String]
+    val sorted = entries.collect { case (q, body)
+      if !sortAggExempt(q) && cnt(body, "sort_agg") > 0 => q }
+    assert(sorted.isEmpty,
+      s"SortAggregate executed by: ${sorted.mkString(", ")}")
     // recompute a sample — a strategy flip in a signature query fails
     // HERE even if no dedicated shape test covers it; regenerate the
     // artifact when the change is intentional (same SF as the artifact:
@@ -92,8 +103,9 @@ class PlanSpec extends SparkSpec {
     // partials, which no hash aggregate supports — every candidate
     // partition gets sorted and the exchange carries the full vectors.
     // Both operators now score before deduping, so the aggregate sees
-    // scalars only. q_fn_map keeps its SortAggregate — MapType in the
-    // buffer has no hash support at all (documented, forced).
+    // scalars only. (q_fn_map, the last SortAggregate holdout, projects
+    // its map extractions to scalars pre-groupBy as of r14 — the PLANS
+    // digest test above holds the registry-wide sort_agg=0 blanket.)
     import org.apache.spark.sql.execution.aggregate.SortAggregateExec
     for (q <- Seq("s_dedup_minhash", "s_sim_ann_lsh")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
