@@ -41,12 +41,27 @@ object PqTune {
     }
 
     // every row scans spill*nprobe/nlist = 37.5% of the corpus codes
+    val n = emb.count()
     val grid = Seq(
       ("r10 baseline  64/24 s1 it10 rr64", (64, 24, 1, 10, 64)),
-      ("r13 config    64/24 s1 it10 rr256", (64, 24, 1, 10, 256)))
+      ("r13 config    64/24 s1 it10 rr256", (64, 24, 1, 10, 256)),
+      // r14 grid: separate the two candidate causes of the sf0.1 decay —
+      // rerank-cut re-binding (candidates = 0.375·n grows past 256) vs
+      // coarse-cell dilution (nlist=64 is corpus-independent)
+      ("r14 rr-scaled 64/24 s1 it10 rr.6n", (64, 24, 1, 10,
+        math.max(256, (0.6 * n * 24 / 64).toInt))),
+      ("r14 nl-scaled √n  s1 it10 rr256", (4 * math.sqrt(n.toDouble).toInt / 2 * 2,
+        (4 * math.sqrt(n.toDouble).toInt / 2 * 2) * 3 / 8, 1, 10, 256)),
+      ("r14 both-scaled  s1 it10 rr.6n", (4 * math.sqrt(n.toDouble).toInt / 2 * 2,
+        (4 * math.sqrt(n.toDouble).toInt / 2 * 2) * 3 / 8, 1, 10,
+        math.max(256, (0.6 * n * 3 / 8).toInt))),
+      ("r14 AUTO (AnnPq.autoConfig)", {
+        val (nl, np, rr) = graft.operators.AnnPq.autoConfig(n)
+        (nl, np, 1, 10, rr)
+      }))
     for ((name, (nl, np, sp, it, rr)) <- grid) {
       val r = recall(nl, np, sp, it, rr)
-      println(f"[pqtune] $name%-36s recall@5 = $r%.3f (scan ${sp * np * 100.0 / nl}%.1f%%)")
+      println(f"[pqtune] $name%-36s nlist=$nl nprobe=$np rr=$rr recall@5 = $r%.3f (scan ${sp * np * 100.0 / nl}%.1f%%) n=$n")
     }
     spark.stop()
   }

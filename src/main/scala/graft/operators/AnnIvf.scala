@@ -133,16 +133,35 @@ object AnnIvf {
     (assign(embeddings, centroids), centroidsDf)
   }
 
-  /** Nearest-centroid assignment as ONE projection: argmin_i dist² of
-    * the UNIT vector via the lexicographic min of (score_i, i) structs,
-    * where score_i = |c_i|² - 2·(v·c_i)/|v| (the constant 1 from |v̂|²
-    * drops). Ties break to the lowest list id — same first-min rule as
-    * training. Shared by [[buildIndex]] and AnnIndexStore.append (the
-    * incremental-add path assigns NEW vectors against PERSISTED
-    * centroids with exactly this geometry).
+  /** Nearest-centroid assignment. Two physical strategies, one
+    * geometry (argmin over euclidean distance of the UNIT vector, ties
+    * to the lowest list id — the training rule):
+    *
+    *   - nlist ≤ 32: ONE codegen'd projection — the lexicographic min
+    *     of (score_i, i) structs with score_i = |c_i|² - 2·(v·c_i)/|v|
+    *     (the constant 1 from |v̂|² drops). Stays inside whole-stage
+    *     codegen, zero per-row allocation.
+    *   - nlist > 32: a typed mapPartitions kernel ([[AnnPq.nearestCell]]
+    *     — the r13 encode-kernel rationale): unrolling hundreds of
+    *     argmin structs compiles a giant janino method (measured r14:
+    *     corpus-proportional nlist=179 at sf0.1 pushed s_sim_ann_ivf to
+    *     10.6 s cold / 1.5 s warm, ~4× the r13 stamp, almost entirely
+    *     expression compilation + interpreted fallback). The kernel is
+    *     the same dense data-independent loop as AnnPq's encoder.
+    *
+    * The two paths round differently at the last ulp (|u−c|² by
+    * subtraction vs the expanded form), so a near-tied boundary vector
+    * MAY land in a different cell across the 32 threshold — assignment
+    * is an internal index layout, not an output contract; search
+    * results stay exact-cosine-ranked either way. Shared by
+    * [[buildIndex]] and AnnIndexStore.append (the incremental-add path
+    * assigns NEW vectors against PERSISTED centroids — nlist ≤ 32
+    * everywhere a store is built today, so persisted layouts are
+    * unchanged).
     */
   private[operators] def assign(embeddings: DataFrame,
                                 centroids: Array[Array[Double]]): DataFrame = {
+    if (centroids.length > 32) return assignKernel(embeddings, centroids)
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val nrm = sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
     val scored: Column = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -155,6 +174,29 @@ object AnnIvf {
     }: _*)
     embeddings.withColumn("e_nrm", nrm)
       .select(col("vec_id"), array_min(scored).getField("i").as("list_id"))
+  }
+
+  /** The large-nlist assignment kernel — see [[assign]]'s scaladoc. */
+  private def assignKernel(embeddings: DataFrame,
+                           centroids: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bC = spark.sparkContext.broadcast(centroids)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bC.value
+        it.map { case (id, vf) =>
+          val raw = vf.map(_.toDouble)
+          var s = 0.0
+          var d = 0
+          while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
+          val n = math.sqrt(s)
+          val u = if (n > 0) raw.map(_ / n) else raw
+          (id, AnnPq.nearestCell(u, cs))
+        }
+      }
+      .toDF("vec_id", "list_id")
   }
 
   /** Approximate top-k cosine neighbors searching nprobe inverted lists.

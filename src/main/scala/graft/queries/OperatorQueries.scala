@@ -103,10 +103,16 @@ object OperatorQueries extends QueryPack {
       AnnLsh.approxTopK(s, Tables.t(s, dir, "embeddings"))),
 
     // IVF (k-means inverted lists) approximate top-5 cosine — the
-    // data-adaptive scale path; measured recall@5 0.72 at nprobe=4/nlist=16
-    // on this corpus vs 0.42 for LSH, scanning ~25% of the corpus
-    "s_sim_ann_ivf" -> ((s, dir) =>
-      AnnIvf.approxTopK(s, Tables.t(s, dir, "embeddings"))),
+    // data-adaptive scale path. nlist/nprobe are CORPUS-PROPORTIONAL
+    // (r14, VERDICT r13 #1): nlist ∝ √n at the fixed ~37.5% scan
+    // fraction via AnnPq.autoConfig — a frozen nlist dilutes as the
+    // corpus grows (the measured r13 IVF-PQ decay; plain IVF's recall
+    // IS its coarse recall, so it dilutes identically)
+    "s_sim_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val (nl, np, _) = graft.operators.AnnPq.autoConfig(emb.count())
+      AnnIvf.approxTopK(s, emb, nlist = nl, nprobe = np)
+    }),
 
     // product-quantization ADC + exact re-rank — compresses the candidate
     // scan (codes instead of raw vectors); composes with IVF at scale
@@ -115,14 +121,18 @@ object OperatorQueries extends QueryPack {
 
     // IVF-PQ: inverted lists prune the candidates, residual-encoded PQ
     // codes shrink what the pruned scan reads — the standard
-    // billion-vector composition (IVFADC). nlist=64/nprobe=24 keeps the
-    // r9 scan fraction (37.5%); rerank=256 (r13, PqTune) sizes the
-    // exact re-rank pool to the candidate volume — the measured binding
-    // constraint — lifting recall@5 to 0.92/0.88/0.82 at
-    // sf0.001/0.01/0.1 (floor 0.85 in OperatorSpec)
-    "s_sim_ann_ivfpq" -> ((s, dir) =>
-      graft.operators.AnnPq.approxTopK(s, Tables.t(s, dir, "embeddings"),
-        nlist = 64, nprobe = 24, rerank = 256)),
+    // billion-vector composition (IVFADC). The config is
+    // CORPUS-PROPORTIONAL (r14, VERDICT r13 #1 — AnnPq.autoConfig):
+    // nlist ∝ √n at the fixed ~37.5% scan, rerank tracking the
+    // candidate volume n·nprobe/nlist. Measured recall@5 (PqTune r14):
+    // 0.98/0.92/0.98 at sf0.001/0.01/0.1 vs the frozen r13 config's
+    // 0.92/0.88/0.82 (floors in OperatorSpec, incl. at sf0.1)
+    "s_sim_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val (nl, np, rr) = graft.operators.AnnPq.autoConfig(emb.count())
+      graft.operators.AnnPq.approxTopK(s, emb, nlist = nl, nprobe = np,
+        rerank = rr)
+    }),
 
     // persisted-index ANN: train+save once, append new vectors against
     // the frozen centroids, serve the search from disk with the probed

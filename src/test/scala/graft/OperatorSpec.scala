@@ -195,9 +195,11 @@ class OperatorSpec extends SparkSpec {
     assert(mean >= 0.35, s"mean recall@5 $mean too low for 8x6-bit LSH")
   }
 
-  test("ann-ivf: data-adaptive recall@5 beats the LSH floor on real embeddings") {
-    val emb = Tables.t(spark, sfDir, "embeddings")
-    val approx = AnnIvf.approxTopK(spark, emb, probeMaxId = 10, k = 5)
+  test("ann-ivf: corpus-proportional recall@5 beats the LSH floor on real embeddings") {
+    // the registry entry runs autoConfig-sized nlist/nprobe (r14) —
+    // IVF recall IS coarse recall, so the √n scaling that fixed the
+    // IVF-PQ decay applies identically
+    val approx = SparkEntry.queries("s_sim_ann_ivf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
@@ -207,9 +209,11 @@ class OperatorSpec extends SparkSpec {
       approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    // measured 0.64–0.70 across seeds at nlist=16/nprobe=6 on sf0.01
-    // (random corpus = IVF worst case; floor leaves seed-drift headroom)
-    assert(mean >= 0.55, s"mean IVF recall@5 $mean below floor")
+    // measured 0.98 at autoConfig 89/33 on sf0.001 (was 0.64–0.70 at
+    // the frozen 16/6; random corpus = IVF worst case; floor leaves
+    // seed-drift headroom)
+    info(s"ivf mean recall@5 = $mean")
+    assert(mean >= 0.85, s"mean IVF recall@5 $mean below floor")
   }
 
   test("ann-pq: ADC + exact re-rank recall@5 on real embeddings") {
@@ -234,27 +238,41 @@ class OperatorSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
-  test("ann-ivfpq: candidate-sized rerank pool holds recall@5 >= 0.85 at 37.5% scan") {
-    val emb = Tables.t(spark, sfDir, "embeddings")
-    val approx = AnnPq.approxTopK(spark, emb, probeMaxId = 10, k = 5,
-        nlist = 64, nprobe = 24, rerank = 256)
+  /** Mean recall@5 of the registry IVF-PQ (autoConfig) vs the exact
+    * cosine top-5, at the given scale dir.
+    */
+  private def ivfPqRecall(dir: String): Double = {
+    val approx = SparkEntry.queries("s_sim_ann_ivfpq")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, sfDir)
+    val exact = graft.queries.SimQueries.queries("q_sim_cosine_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (p, ex) =>
       approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
     }
-    val mean = recalls.sum / recalls.size
-    // r13 finding (PqTune trade table): the first binding constraint is
-    // the RERANK CUT, not coarse list recall — ADC mis-ranking grows
-    // with candidate volume, so the exact re-rank pool must track
-    // N·nprobe/nlist. rerank 64→256 at the unchanged 37.5% scan:
-    // recall@5 0.92/0.88/0.82 at sf0.001/0.01/0.1 (was 0.82/0.82/0.56).
-    // Floor 0.85 leaves seed-drift headroom below the 0.92 measured here.
+    recalls.sum / recalls.size
+  }
+
+  test("ann-ivfpq: corpus-proportional config holds recall@5 >= 0.85 at ~37.5% scan") {
+    // r14 (VERDICT r13 #1): the registry entry runs AnnPq.autoConfig —
+    // nlist ∝ √n at fixed scan fraction, rerank ∝ candidate volume.
+    // Measured (PqTune r14): 0.98/0.92/0.98 at sf0.001/0.01/0.1 vs the
+    // frozen r13 config's 0.92/0.88/0.82. Floor 0.85 leaves seed-drift
+    // headroom below the 0.92 spec-scale minimum.
+    val mean = ivfPqRecall(sfDir)
     info(s"ivfpq mean recall@5 = $mean")
     assert(mean >= 0.85, s"mean IVF-PQ recall@5 $mean below the 0.85 floor")
+  }
+
+  test("ann-ivfpq: the floor holds at the LARGEST test corpus (sf0.1) — no silent scale decay") {
+    // the r13 defect was precisely a floor asserted only at spec scale
+    // while the sf0.1 number sat below it (0.82) — this asserts where
+    // the decay actually showed. autoConfig measured 0.98 here; 0.9 is
+    // the VERDICT bar with seed-drift headroom.
+    val mean = ivfPqRecall("/root/testdata/sf0.1")
+    info(s"ivfpq mean recall@5 at sf0.1 = $mean")
+    assert(mean >= 0.9, s"mean IVF-PQ recall@5 $mean below the 0.9 sf0.1 floor")
   }
 
   test("ann-ivfpq spill: duplicated cell assignments dedup, ranks stay dense 1..k") {
