@@ -441,6 +441,111 @@ class DedupSinkSpec extends SparkSpec {
     } finally Fs.rmTree(dir)
   }
 
+  test("emb mode, randomized: per-batch rule == batch operator, 3 batches, seeded vectors (VERDICT r13 #3)") {
+    // the semantic twin of the randomized near-mode case: per delivered
+    // batch,
+    //   accepted = exactFirst(batch)
+    //     − {b | ∃ a<b in batch: embPair(a,b)}              (batch rule)
+    //     − {d | ∃ s ∈ ACCEPTED-so-far: embPair(d,s)}       (store rule)
+    // with embPair() computed BY AnnLsh.nearDupPairs — the one shared
+    // bucketing/threshold text (tables/planes/seed/θ = EmbConfig
+    // defaults). Perturbations straddle θ=0.4 (dense boundary pairs +
+    // a~b~c chains where greedy-vs-global differ); null and zero-norm
+    // rows ride along as exempt.
+    import operators.AnnLsh
+    val rnd = new scala.util.Random(4242)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n > 0) v.map(x => (x / n).toFloat) else v
+    }
+    val bases = Array.fill(4)(unit(Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val docs: Seq[(Long, String, Seq[Float])] = (0L until 30L).map { id =>
+      val emb: Seq[Float] =
+        if (id % 11 == 10) null // null-exempt rows among the randomized ones
+        else if (id == 25L) Seq.fill(8)(0f) // zero-norm-exempt too
+        else {
+          val b = bases(rnd.nextInt(4))
+          val sigma = 0.3 + rnd.nextDouble() * 1.2
+          unit(Array.tabulate(8)(i =>
+            b(i) + (sigma * rnd.nextGaussian()).toFloat)).toSeq
+        }
+      (id, s"unique text $id", emb)
+    }
+    def gated(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.filter(r => r._3 != null && r._3.exists(_ != 0f))
+    def pairsOf(rows: Seq[(Long, String, Seq[Float])]): Set[(Long, Long)] =
+      AnnLsh.nearDupPairs(spark,
+          mkEmbDocs(gated(rows): _*)
+            .select(col("doc_id").as("vec_id"), col("embedding")))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val batches = docs.grouped(10).toSeq // ascending-id batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_er").toString
+    try {
+      var accepted = Vector.empty[(Long, String, Seq[Float])]
+      for (b <- batches) {
+        // texts are all unique → the exact gate keeps everything
+        val batchPairs = pairsOf(b)
+        val dropWithin = batchPairs.map(_._2)
+        val kept = b.filterNot(d => dropWithin(d._1))
+        val crossPairs = pairsOf(accepted ++ kept)
+          .filter { case (a, bb) =>
+            accepted.exists(_._1 == a) && kept.exists(_._1 == bb) }
+        val dropCross = crossPairs.map(_._2)
+        accepted = accepted ++ kept.filterNot(d => dropCross(d._1))
+        DedupStore.appendBatch(spark, mkEmbDocs(b: _*), dir, buckets = 4,
+          emb = embCfg)
+      }
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      val expect = accepted.map(_._1).toSet
+      assert(got == expect,
+        s"streamed ${got.toSeq.sorted} != per-batch-rule twin ${expect.toSeq.sorted}")
+      // the fixture must exercise real semantic drops AND real keeps
+      // among the gated rows, and every exempt row must be accepted
+      val exempt = docs.filterNot(d => gated(Seq(d)).nonEmpty).map(_._1).toSet
+      assert(exempt.subsetOf(got), s"exempt rows must all be accepted: $exempt vs $got")
+      val gatedCount = docs.size - exempt.size
+      assert(expect.size - exempt.size < gatedCount,
+        "fixture produced no semantic drops — widen the perturbations")
+      assert(expect.size - exempt.size > gatedCount / 4,
+        "fixture dropped nearly everything — tighten the perturbations")
+    } finally Fs.rmTree(dir)
+  }
+
+  test("composed gates disagreeing on one batch: each doc drops at its own gate; seen-rows land only for the accepted") {
+    // one batch where the three families give CONFLICTING verdicts per
+    // doc — the composition order (exact → lexical → semantic) and the
+    // land-only-final-accepted invariant are what is under test
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsink_cg").toString
+    try {
+      assert(DedupStore.appendBatch(spark,
+        mkEmbDocs((1L, para(1), ev(0))), dir, buckets = 4,
+        near = near, emb = embCfg) == 1L)
+      val batch = mkEmbDocs(
+        (21L, para(1) + " tail", ev(3)),      // lexical dup of 1, semantically fresh → DROP (lexical)
+        (22L, para(22), ev(0, 0.1f)),         // lexically fresh, semantic re-encode of 1 → DROP (semantic)
+        (23L, para(1), ev(5)),                // exact dup of 1 (same text) → DROP (exact)
+        (24L, para(24), ev(6)))               // fresh on all three axes → ACCEPT
+      assert(DedupStore.appendBatch(spark, batch, dir) == 1L)
+      val got = DedupStore.readDocs(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 24L), s"composed gate verdicts wrong: $got")
+      // land-only-final-accepted: doc 21 passed the exact gate and doc
+      // 22 passed the lexical gate, but NONE of their probe rows may be
+      // in any family's seen-set — staging a gate's rows for a doc a
+      // later gate drops would poison future probes
+      val nearIds = spark.read.parquet(s"$dir/near")
+        .select("doc_id").as[Long].collect().toSet
+      val embIds = spark.read.parquet(s"$dir/embs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(nearIds == Set(1L, 24L), s"near bands leaked for dropped docs: $nearIds")
+      assert(embIds == Set(1L, 24L), s"emb rows leaked for dropped docs: $embIds")
+      // and the fp seen-set holds exactly the accepted fingerprints
+      val fpCount = DedupStore.readSeen(spark, dir).count()
+      assert(fpCount == 2L, s"fp rows must be the accepted set only: $fpCount")
+    } finally Fs.rmTree(dir)
+  }
+
   test("poison rows drop instead of wedging the trigger; bucket modulus is baked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsink_p").toString
     try {
