@@ -149,6 +149,25 @@ object DedupStore {
     }
   }
 
+  /** Per-attempt gate accounting for one [[appendBatchStats]] call.
+    * The waterfall is the gate order: batchRows → (clean + within-batch
+    * keep-first + committed-fp probe) → exactFresh → (lexical gate) →
+    * lexicalKept → (semantic gate) → accepted. `droppedExact` folds
+    * invalid rows (null/unparseable ids, null text) with exact dups —
+    * both leave at the first gate. These are ATTEMPT-scoped truths: a
+    * replayed delivery legitimately reports its rows as droppedExact
+    * (the store already has them) — exactly-once CUMULATIVE counts
+    * must derive from the committed `ingest` manifest tags instead
+    * ([[graft.streaming.IngestMetrics]]).
+    */
+  final case class AppendStats(batchRows: Long, exactFresh: Long,
+                               lexicalKept: Long, accepted: Long,
+                               version: Long) {
+    def droppedExact: Long = batchRows - exactFresh
+    def droppedLexical: Long = exactFresh - lexicalKept
+    def droppedSemantic: Long = lexicalKept - accepted
+  }
+
   /** Idempotent per-trigger core. `batch` needs `doc_id` and `text`;
     * every other column rides along into `docs/`. `near` arms the
     * lexical (MinHash) and `emb` the semantic (embedding-cosine)
@@ -160,11 +179,31 @@ object DedupStore {
   def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
                   buckets: Int = DefaultBuckets,
                   near: Option[NearConfig] = None,
-                  emb: Option[EmbConfig] = None): Long = {
+                  emb: Option[EmbConfig] = None): Long =
+    appendImpl(spark, batch, dir, buckets, near, emb, stats = false).accepted
+
+  /** [[appendBatch]] with per-gate accounting (the observability hook —
+    * VERDICT r13 #4). Costs up to three extra counts over batch-sized
+    * (mostly checkpointed) frames; the store commits are identical.
+    */
+  def appendBatchStats(spark: SparkSession, batch: DataFrame, dir: String,
+                       buckets: Int = DefaultBuckets,
+                       near: Option[NearConfig] = None,
+                       emb: Option[EmbConfig] = None): AppendStats =
+    appendImpl(spark, batch, dir, buckets, near, emb, stats = true)
+
+  private def appendImpl(spark: SparkSession, batch: DataFrame, dir: String,
+                         buckets: Int,
+                         near: Option[NearConfig],
+                         emb: Option[EmbConfig], stats: Boolean): AppendStats = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val root = new Path(dir)
     val fs = StoreManifest.hfs(spark, root)
     fs.mkdirs(root)
+    // counts run only on the stats path — the plain append pays no
+    // extra jobs (batchRows is the one count over the RAW batch; the
+    // others read checkpointed frames)
+    val batchRows = if (stats) batch.count() else 0L
     val cur = StoreManifest.currentVersion(spark, dir)
     // the modulus is a STORE property, not a call-site default: first
     // commit bakes it, later appends use the baked value regardless of
@@ -192,7 +231,8 @@ object DedupStore {
     // are bounded by `buckets`, so this collect is coordinator-sized
     val touched = firsts.select("b").distinct()
       .collect().map(_.getLong(0)).toSet
-    if (touched.isEmpty) return 0L // nothing survived the clean/keep-first
+    if (touched.isEmpty) // nothing survived the clean/keep-first
+      return AppendStats(batchRows, 0L, 0L, 0L, -1L)
     val fresh = (if (cur < 0) firsts
       else {
         val seenFiles = fpFiles(spark, dir, cur)
@@ -208,7 +248,8 @@ object DedupStore {
         }
       }).localCheckpoint()
     val nNew = fresh.count()
-    if (nNew == 0L) return 0L // clean replay / all duplicates: no commit
+    if (nNew == 0L) // clean replay / all duplicates: no commit
+      return AppendStats(batchRows, 0L, 0L, 0L, -1L)
     // ---- near-dup gates (object scaladoc): exact-fresh docs pass the
     // LEXICAL gate (MinHash band collision + signature agreement ≥
     // threshold vs an accepted or smaller-id batch doc), then the
@@ -332,8 +373,15 @@ object DedupStore {
             col("v"), col("nrm"), col("pb").cast("long").as("pb"))
         (acc, Some(keep))
     }
+    // lexical-kept count for the stats waterfall: kept2 is the near
+    // gate's checkpointed survivor frame (== fresh when near is off)
+    val nLex =
+      if (!stats) 0L
+      else if (nearCfg.isEmpty) nNew
+      else kept2.count()
     val nAcc = if (nearCfg.isEmpty && embCfg.isEmpty) nNew else accepted.count()
-    if (nAcc == 0L) return 0L // every exact-fresh doc was a near-dup
+    if (nAcc == 0L) // every exact-fresh doc was a near-dup
+      return AppendStats(batchRows, nNew, nLex, 0L, -1L)
     // band rows land only for FINAL accepted docs — the emb gate may
     // have dropped lexical-gate survivors
     val nearKeep = bandedKept.map(bk =>
@@ -383,7 +431,7 @@ object DedupStore {
         (prevFps ++ fpFs).sorted.map("fp\t" + _) ++
         (prevNear ++ nearFs).sorted.map("nearf\t" + _) ++
         (prevEmb ++ embFs).sorted.map("embf\t" + _))
-    nAcc
+    AppendStats(batchRows, nNew, nLex, nAcc, next)
   }
 
   /** The accepted corpus at the current version (manifest-resolved —

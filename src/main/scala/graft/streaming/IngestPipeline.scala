@@ -80,15 +80,23 @@ object IngestPipeline {
             near: Option[DedupStore.NearConfig] = None,
             annDir: Option[String] = None, annNlist: Int = 16,
             vacuumRetain: Int = 0,
-            emb: Option[DedupStore.EmbConfig] = None): StreamingQuery =
+            emb: Option[DedupStore.EmbConfig] = None,
+            metricsDir: Option[String] = None): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          DedupStore.appendBatch(spark, batch, dedupDir, buckets, near, emb)
-          if (DedupStore.seenFileCount(spark, dedupDir) > maxSeenFiles)
-            DedupStore.compactSeen(spark, dedupDir)
-        }
+        val stats =
+          if (!batch.isEmpty) {
+            // per-gate accounting runs only when somebody will read it
+            val st =
+              if (metricsDir.isDefined)
+                DedupStore.appendBatchStats(spark, batch, dedupDir, buckets, near, emb)
+              else DedupStore.AppendStats(0L, 0L, 0L,
+                DedupStore.appendBatch(spark, batch, dedupDir, buckets, near, emb), -1L)
+            if (DedupStore.seenFileCount(spark, dedupDir) > maxSeenFiles)
+              DedupStore.compactSeen(spark, dedupDir)
+            st
+          } else DedupStore.AppendStats(0L, 0L, 0L, 0L, -1L)
         // AFTER the append so this trigger's version lands immediately;
         // also sweeps any version a prior crash left un-consumed
         indexCatchUp(spark, dedupDir, indexDir, idxBuckets)
@@ -103,6 +111,10 @@ object IngestPipeline {
         // so the common case retains nothing extra
         if (vacuumRetain > 0)
           vacuumSafe(spark, dedupDir, indexDir, vacuumRetain, annDir)
+        // LAST: the lag fields must reflect this trigger's healed state
+        // (the version-keyed records inside heal crash gaps themselves)
+        metricsDir.foreach(md => IngestMetrics.record(spark, md, batchId,
+          stats, dedupDir, indexDir, annDir))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -160,7 +172,7 @@ object IngestPipeline {
     Some((liveDocs.toSeq ++ reDocs.toSeq).reduce(_ unionByName _))
   }
 
-  private def ingestVersionsOf(spark: SparkSession, dedupDir: String): Seq[Long] =
+  private[streaming] def ingestVersionsOf(spark: SparkSession, dedupDir: String): Seq[Long] =
     StoreManifest.versions(spark, dedupDir)
       .filter(v => StoreManifest.read(spark, dedupDir, v, "ingest").nonEmpty)
 
@@ -193,7 +205,7 @@ object IngestPipeline {
     * ALREADY compacted, folded versions are indistinguishable from
     * unconsumed ones — seed the mark (one `v<N>` file) or rebuild.
     */
-  private def dvHighWater(spark: SparkSession, indexDir: String): Long = {
+  private[streaming] def dvHighWater(spark: SparkSession, indexDir: String): Long = {
     val d = new Path(indexDir, DvHighWater)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) -1L

@@ -350,6 +350,68 @@ class IngestPipelineSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  test("metrics sidecar: counters reconcile with the stores across crash/replay; cumulative never double-counts (VERDICT r13 #4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestMetrics
+    val base = java.nio.file.Files.createTempDirectory("graft_ipipe_mx")
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"; val mDir = s"$base/metrics"
+    try {
+      // trigger 0's dedup commit happened, then the pipeline "crashed"
+      // BEFORE catch-ups and before any metrics write — the replayed
+      // trigger will re-deliver the same rows
+      val b0 = mkEmb(1L -> "alpha beta", 2L -> "gamma delta", 2L -> "gamma delta")
+      assert(DedupStore.appendBatch(spark, b0, dedupDir, buckets = 4) == 2L)
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = IngestPipeline.start(in.toDF().toDF("doc_id", "text", "embedding"),
+        dedupDir, idxDir, s"$base/ckpt", buckets = 4,
+        annDir = Some(annDir), annNlist = 2, metricsDir = Some(mDir))
+      try {
+        // the replay: same rows, every one drops at the exact gate —
+        // but the version-keyed record heals from the COMMITTED tag
+        in.addData((1L, "alpha beta", vec(1)), (2L, "gamma delta", vec(2)),
+          (2L, "gamma delta", vec(2)))
+        q.processAllAvailable()
+        val t0 = IngestMetrics.readTrigger(spark, mDir, 0L).get
+        assert(t0.contains("\"accepted\":0") &&
+          t0.contains("\"dropped_exact\":3"),
+          s"replayed trigger must report ITS truth (all dropped): $t0")
+        assert(IngestMetrics.acceptedTotal(spark, mDir) == 2L,
+          "cumulative must come from the committed ingest tag, not the attempt")
+        // a fresh trigger with a per-gate drop: 12 is an exact dup of 11
+        // within the batch, 13 is fresh
+        in.addData((11L, "epsilon zeta", vec(11)), (12L, "epsilon zeta", vec(12)),
+          (13L, "eta theta", vec(13)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val t1 = IngestMetrics.readTrigger(spark, mDir, 1L).get
+      assert(t1.contains("\"batch_rows\":3") && t1.contains("\"accepted\":2") &&
+        t1.contains("\"dropped_exact\":1"), s"gate waterfall wrong: $t1")
+      // reconciliation: Σ version-keyed records == docs in the store
+      val docsNow = DedupStore.readDocs(spark, dedupDir).count()
+      assert(IngestMetrics.acceptedTotal(spark, mDir) == docsNow,
+        "cumulative acceptance must reconcile with the store")
+      // lag fields reflect the healed state: all high-waters level, no
+      // lagging version
+      assert(t1.contains("\"lagging\":-1"), s"no version may lag after the trigger: $t1")
+      assert(t1.contains("\"ingest_high_water\":1") &&
+        t1.contains("\"dv_high_water\":1") && t1.contains("\"ann_high_water\":1"),
+        s"high-waters must be level after catch-up: $t1")
+      // re-recording the same trigger (a metrics-write replay) moves
+      // nothing: version files are write-once
+      IngestMetrics.record(spark, mDir, 1L,
+        DedupStore.AppendStats(0L, 0L, 0L, 0L, -1L), dedupDir, idxDir, Some(annDir))
+      assert(IngestMetrics.acceptedTotal(spark, mDir) == docsNow,
+        "version-keyed records must be write-once under metrics replay")
+      // and vacuum cannot erode the cumulative: expire all but the
+      // newest manifest, the v-files persist
+      IngestPipeline.vacuumSafe(spark, dedupDir, idxDir, retain = 1, Some(annDir))
+      assert(IngestMetrics.acceptedTotal(spark, mDir) == docsNow,
+        "cumulative acceptance must survive manifest expiry")
+    } finally Fs.rmTree(base.toString)
+  }
+
   test("ANN arm armed on a store with pre-ANN history: embedding-less versions adopt as bare markers (ADVICE r13)") {
     val base = java.nio.file.Files.createTempDirectory("graft_ipipe_leg")
     val dedupDir = s"$base/dedup"; val annDir = s"$base/ann"
