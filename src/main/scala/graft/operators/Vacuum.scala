@@ -37,6 +37,39 @@ import org.apache.spark.sql.SparkSession
   * through their own protocols; only their atomic-rename staging
   * leftovers (`.*.tmp`) are.
   *
+  * ==What is recoverable at retain = N (verified by VacuumSpec's
+  * restore drill — sweepAll(1) interleaved at every pipeline crash
+  * point, erasure included)==
+  *
+  * {{{
+  *   store     | readable history          | erased bytes recoverable
+  *   ----------+---------------------------+--------------------------------
+  *   snapshot  | newest N versions         | until the last manifest
+  *             | (time travel, diff)       | referencing them expires
+  *   index     | newest N manifests        | same; tombstoned postings'
+  *             |                           | bytes drop at compact/vacuum
+  *   cube      | newest N manifests        | same (day dirs COW-swapped)
+  *   dedup     | newest N manifests, PLUS  | same; delete also forgets the
+  *             | every version >= oldest   | fingerprint (content becomes
+  *             | un-consumed ingest version| re-acceptable BY DESIGN)
+  *             | (pipeline floor — never   |
+  *             | vacuum-able away)         |
+  *   ann       | no versioning: current    | tombstone-masked immediately;
+  *             | lists only                | bytes drop at the NEXT sweep
+  *             |                           | (purgeDeletes runs every sweep)
+  * }}}
+  *
+  * Corollaries. retain = 1 is erase-NOW: after the first sweep past a
+  * delete, no store can produce the erased bytes (the drill asserts
+  * unsearchability). retain = N > 1 is an N-manifest audit window per
+  * versioned store — but NOT for the ANN store, whose erase window is
+  * "until the next sweep" regardless of N. The pipeline floor can hold
+  * MORE than N dedup manifests alive while a derived store lags — that
+  * is the crash-safety contract, not a leak (the lagging versions'
+  * catch-up sources must survive); it releases the moment the
+  * catch-ups run. Replay after any crash + sweep interleaving
+  * converges every store to the crash-free end state.
+  *
   * Single-writer like everything here: run the sweep from the
   * maintenance slot, not concurrently with a sink on the same store.
   */

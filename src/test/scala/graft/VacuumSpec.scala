@@ -89,6 +89,76 @@ class VacuumSpec extends SparkSpec {
     } finally Fs.rmTree(base)
   }
 
+  test("restore drill: aggressive sweepAll(retain=1) at EVERY pipeline crash point; replay converges everywhere (VERDICT r13 #5)") {
+    // the adversarial interleaving the floor exists for: the trigger
+    // body dies after step k, a retain=1 sweepAll runs while it is
+    // down (the most aggressive legal maintenance), the trigger
+    // replays in full, and every store must still reach the state a
+    // crash-free run would have — for every k, with an erasure thrown
+    // into one of the gaps. Steps mirror IngestPipeline.start's body.
+    val base = java.nio.file.Files.createTempDirectory("graft_vac_drill").toString
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"
+    val stores = Vacuum.Stores(index = Some(idxDir), ann = Some(annDir),
+      dedup = Some(dedupDir))
+    def steps(batch: org.apache.spark.sql.DataFrame): Seq[() => Unit] = Seq(
+      () => { DedupStore.appendBatch(spark, batch, dedupDir, buckets = 4); () },
+      () => { if (DedupStore.seenFileCount(spark, dedupDir) > 6)
+        DedupStore.compactSeen(spark, dedupDir); () },
+      () => { IngestPipeline.indexCatchUp(spark, dedupDir, idxDir, 4); () },
+      () => { if (InvertedIndex.segments(spark, idxDir).size > 3)
+        InvertedIndex.compact(spark, idxDir, buckets = 4, targetSegs = 2); () },
+      () => { IngestPipeline.annCatchUp(spark, dedupDir, annDir, nlist = 2); () },
+      () => { IngestPipeline.vacuumSafe(spark, dedupDir, idxDir, 1, Some(annDir)); () })
+    def triState(): (Set[Long], Set[Long], Set[Long]) = (
+      DedupStore.readDocs(spark, dedupDir).select("doc_id").as[Long].collect().toSet,
+      InvertedIndex.docLengths(spark, idxDir).select("doc_id").as[Long].collect().toSet,
+      spark.read.parquet(s"$annDir/lists")
+        .join(AnnIndexStore.loadTombstones(spark, annDir), Seq("vec_id"), "left_anti")
+        .select("vec_id").as[Long].collect().toSet)
+    try {
+      var expected = Set.empty[Long]
+      val nSteps = steps(null).length
+      for (crashAt <- 1 to nSteps) {
+        val r = crashAt.toLong
+        // two fresh docs + one exact dup of an always-present earlier doc
+        val rows = Seq((r * 10 + 1, s"fresh ${r}a " + (0 until 8).map(i => s"w${r}a$i").mkString(" "), vec(r * 10 + 1)),
+          (r * 10 + 2, s"fresh ${r}b " + (0 until 8).map(i => s"w${r}b$i").mkString(" "), vec(r * 10 + 2))) ++
+          (if (expected.nonEmpty) Seq((r * 10 + 3,
+            s"fresh 1a " + (0 until 8).map(i => s"w1a$i").mkString(" "), vec(11L)))
+           else Nil)
+        val batch = rows.toDF("doc_id", "text", "embedding")
+        expected = expected ++ Set(r * 10 + 1, r * 10 + 2) // the dup never lands
+        // run the body up to the crash point
+        steps(batch).take(crashAt).foreach(_.apply())
+        // the adversarial gap: erase one old doc (every store — doc 12,
+        // whose content never re-arrives, so forget-and-re-admit
+        // semantics cannot re-accept it through a replay), then the
+        // most aggressive legal sweep while the pipeline is down
+        if (crashAt == 3 && expected.contains(12L)) {
+          InvertedIndex.delete(spark, idxDir, Seq(12L))
+          AnnIndexStore.delete(spark, annDir, Seq(12L))
+          DedupStore.delete(spark, dedupDir, Seq(12L))
+          expected -= 12L
+        }
+        Vacuum.sweepAll(spark, stores, retainVersions = 1, pipeline = true)
+        // full replay of the trigger, then the steady-state sweep
+        steps(batch).foreach(_.apply())
+        Vacuum.sweepAll(spark, stores, retainVersions = 1, pipeline = true)
+        val (d, i, a) = triState()
+        assert(d == expected, s"crash@$crashAt dedup: $d != $expected")
+        assert(i == expected, s"crash@$crashAt index: $i != $expected")
+        assert(a == expected, s"crash@$crashAt ann: $a != $expected")
+      }
+      // the erased doc's unique content is physically unsearchable at
+      // retain=1; the never-erased twin content still hits exactly once
+      assert(InvertedIndex.searchBm25(spark, idxDir, Seq("w1b0")).count() == 0,
+        "erased content must be unsearchable after the sweeps")
+      assert(InvertedIndex.searchBm25(spark, idxDir, Seq("w1a0"))
+        .select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    } finally Fs.rmTree(base)
+  }
+
   test("index-less pipeline (dedup+ANN only): sweepAll still pins the floor; stale b-markers sweep (ADVICE r13)") {
     val base = java.nio.file.Files.createTempDirectory("graft_vac3").toString
     val dedupDir = s"$base/dedup"; val annDir = s"$base/ann"
