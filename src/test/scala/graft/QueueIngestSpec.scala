@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{DedupStore, InvertedIndex}
+import graft.sources.QueueIngest
+import graft.streaming.{IngestMetrics, IngestPipeline, StreamOps}
+import org.apache.spark.sql.functions._
+
+/** The external-queue-shaped source (VERDICT r13 #7): a directory-spool
+  * broker with REAL at-least-once semantics — duplicated deliveries,
+  * out-of-event-time-order arrival, producer-crash republish — feeding
+  * (a) the shared JsonIngest validation chain and (b) the full composed
+  * IngestPipeline. The contracts proven here:
+  *
+  *  - the checkpoint is the ack ledger: a consumed delivery is never
+  *    re-read, across restarts included; file-level exactly-once;
+  *  - logical redelivery is NOT hidden by the source — duplicates
+  *    really arrive, and it is downstream content dedup (dedupById for
+  *    events, the DedupStore exact gate for documents) that restores
+  *    exactly-once EFFECT — the reference's MQ + idempotent-worker
+  *    division of labor;
+  *  - malformed/contract-violating messages dead-letter with reasons
+  *    instead of poisoning the stream, even when redelivered.
+  */
+class QueueIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- events: shared validation chain over a lossy producer ----
+
+  private def ev(id: Long, ts: String, typ: String = "view"): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":${id % 10},"event_type":"$typ","value":1.0,"props":"{}"}"""
+
+  test("queue events: ack ledger survives restart; redelivery and out-of-order arrival flow through; dedupById restores uniqueness") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_events")
+    val spool = s"$base/spool"; val out = s"$base/out"
+    try {
+      val e1 = ev(1, "2024-01-01T00:10:00"); val e2 = ev(2, "2024-01-01T00:20:00")
+      val e3 = ev(3, "2024-01-01T00:01:00") // out of event-time order
+      val bad = Seq("not json at all", ev(99, "2024-01-01T00:02:00", "teleport"))
+      QueueIngest.publish(spool, "d1", Seq(e1, e2))
+      QueueIngest.publish(spool, "d2", e3 +: bad)
+      QueueIngest.publish(spool, "d2", e3 +: bad) // broker redelivery: same tag, new file
+
+      def run(): Unit = {
+        val q = QueueIngest.streamEvents(spark, spool, maxFilesPerTrigger = 1)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      val got1 = spark.read.parquet(out)
+      assert(got1.count() == 8, "each delivery file consumed exactly once (2 + 3 + 3)")
+      assert(got1.filter(col("delivery") === "d2").count() == 6,
+        "both d2 deliveries arrived under the producer's tag")
+      // the shared validation chain classifies redelivered garbage identically
+      val rejects = got1.filter(col("reject_reason").isNotNull)
+        .groupBy("reject_reason").count().as[(String, Long)].collect().toMap
+      assert(rejects == Map("malformed_json" -> 2L, "unknown_event_type" -> 2L))
+      // at-least-once is REAL: the redelivered valid event arrives twice
+      assert(got1.filter(col("event_id") === 3).count() == 2)
+
+      // restart = a resumed consumer: the ledger holds, only new files read
+      QueueIngest.publish(spool, "d3", Seq(e1, ev(4, "2024-01-01T00:30:00")))
+      run()
+      val got2 = spark.read.parquet(out)
+      assert(got2.count() == 10, "restart must not re-read acked deliveries")
+      assert(got2.filter(col("event_id") === 1).count() == 2,
+        "producer republish after the restart duplicates event 1")
+
+      // a second consumer group (own checkpoint) with in-stream content
+      // dedup: at-least-once delivery → exactly-once event set
+      val deduped = StreamOps.dedupById(
+        QueueIngest.streamEvents(spark, spool, maxFilesPerTrigger = 1)
+          .transform(graft.sources.JsonIngest.valid)
+          .withColumn("ts", col("ts").cast("timestamp")))
+      val q2 = deduped.writeStream.format("parquet")
+        .option("path", s"$base/out2").option("checkpointLocation", s"$base/ckpt2")
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      val ids = spark.read.parquet(s"$base/out2")
+        .select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L, 4L),
+        s"dedupById must collapse redeliveries to one row per event, got $ids")
+    } finally Fs.rmTree(base.toString)
+  }
+
+  // ---- documents: queue → full composed pipeline ----
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until 8).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text","embedding":[${vec(id).mkString(",")}]}"""
+
+  private def indexedDocIds(dir: String): Set[Long] =
+    InvertedIndex.docLengths(spark, dir).select("doc_id").as[Long].collect().toSet
+
+  test("queue → composed pipeline: duplicated/malformed/out-of-order deliveries and a producer-crash republish still yield exactly-once stores") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_pipe")
+    val spool = s"$base/spool"
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val annDir = s"$base/ann"; val mDir = s"$base/metrics"
+    try {
+      val d1 = doc(1, "alpha beta gamma"); val d2 = doc(2, "delta epsilon zeta")
+      val badLines = Seq(
+        "{{{ definitely not json",
+        """{"doc_id":9,"text":"","embedding":[0.1]}""", // contract violation
+        """{"text":"orphan with no id"}""")
+      val del1 = Seq(d1, d2) ++ badLines
+      val del2 = Seq(d1, // broker redelivery of doc 1
+        doc(3, "delta epsilon zeta"), // same CONTENT under a new id
+        doc(4, "eta theta iota"))
+      QueueIngest.publish(spool, "del1", del1)
+      QueueIngest.publish(spool, "del2", del2)
+
+      def runPipeline(): Unit = {
+        val q = IngestPipeline.start(
+          QueueIngest.streamDocs(spark, spool, maxFilesPerTrigger = 1),
+          dedupDir, idxDir, s"$base/ckpt", buckets = 8,
+          annDir = Some(annDir), annNlist = 2, metricsDir = Some(mDir))
+        try q.processAllAvailable() finally q.stop()
+      }
+      runPipeline()
+      assert(DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+        "exact gate drops the redelivery AND the same-content re-post")
+
+      // producer crash: it never saw acks, so it republishes EVERYTHING
+      // under a fresh delivery, plus one genuinely new doc
+      QueueIngest.publish(spool, "del3",
+        del1 ++ del2 :+ doc(5, "kappa lambda mu"))
+      runPipeline() // resumed consumer: ledger skips del1/del2 files
+
+      val accepted = Set(1L, 2L, 4L, 5L)
+      assert(DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet == accepted)
+      assert(indexedDocIds(idxDir) == accepted,
+        "the index holds exactly the accepted docs — no duplicate postings")
+      assert(spark.read.parquet(s"$annDir/lists")
+        .select("vec_id").as[Long].collect().toSet == accepted,
+        "the ANN store holds exactly the accepted docs' vectors")
+      // ranked retrieval over the queue-fed segmented index ≡ fresh build
+      val freshDir = s"$base/fresh"
+      InvertedIndex.write(InvertedIndex.build(
+        DedupStore.readDocs(spark, dedupDir).select("doc_id", "text")), freshDir)
+      val terms = Seq("alpha", "epsilon", "kappa")
+      def search(d: String) = InvertedIndex.searchBm25(spark, d, terms)
+        .orderBy("doc_id").collect().toSeq
+      assert(search(idxDir) == search(freshDir))
+      // the metrics sidecar reconciles: cumulative accepted == store size
+      assert(IngestMetrics.acceptedTotal(spark, mDir) == accepted.size.toLong)
+
+      // the dead-letter consumer group sees each bad message per delivery
+      val qr = QueueIngest.docRejects(
+          QueueIngest.parseDocs(QueueIngest.stream(spark, spool)))
+        .writeStream.format("parquet")
+        .option("path", s"$base/rejects").option("checkpointLocation", s"$base/ckptR")
+        .start()
+      try qr.processAllAvailable() finally qr.stop()
+      val reasons = spark.read.parquet(s"$base/rejects")
+        .groupBy("reject_reason").count().as[(String, Long)].collect().toMap
+      assert(reasons == Map( // del1 once + the del3 republish = 2 each
+        "malformed_json" -> 2L, "missing_text" -> 2L, "missing_doc_id" -> 2L),
+        s"dead-letter classification drifted: $reasons")
+    } finally Fs.rmTree(base.toString)
+  }
+}
