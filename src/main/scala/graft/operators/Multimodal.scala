@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus a deterministic
   * decode/feature-extract stage.
   *
-  * Decode is REAL for PPM/P6 images (`decodePpm` — the format needs no
-  * codec, just header parsing + raw RGB; features are channel means +
-  * a luminance histogram). The container has no codecs for compressed
-  * formats, so everything else goes through `decodeStub`, a
-  * clearly-marked deterministic fake (byte histogram "features"); the
-  * Spark-side plumbing — schema, typed Dataset, per-partition batched
-  * processing, feature column shape — is identical on both paths, so a
-  * jpeg/png/audio decoder slots in exactly like the PPM one did.
+  * Decode is REAL for PPM/P6 images (`decodePpm` — header parsing +
+  * raw RGB), for WAV audio (`decodeWav` — RIFF/PCM), and — via the
+  * JDK's own ImageIO codecs (java.desktop, public JDK API, r14) — for
+  * JPEG/PNG/GIF/BMP (`decodeImage`), all reducing through ONE shared
+  * feature kernel (`pixelStats`). Only codec-less formats (mp3/mp4/
+  * webp, plus CLIP-style cross-modal embeddings — the honest remaining
+  * debt) go through `decodeStub`, a clearly-marked deterministic fake
+  * (byte histogram "features"); the Spark-side plumbing — schema, typed
+  * Dataset, per-partition batched processing, feature column shape —
+  * is identical on every path, so a further codec slots in exactly
+  * like the ImageIO ones did.
   *
   * Scale notes: decode runs in `mapPartitions`, the per-partition
   * imperative escape hatch (SURVEY.md §1.3) — media bytes never shuffle;
@@ -90,34 +93,49 @@ object Multimodal {
 
   def decodePpm(bytes: Array[Byte]): Option[Array[Float]] =
     ppmHeader(bytes).map { case (w, h, pixels) =>
-      val n = w * h
-      var r = 0L; var g = 0L; var b = 0L
-      val lumHist = new Array[Long](11)
-      var sumLum = 0.0; var sumLum2 = 0.0
-      var i = 0
-      while (i < n) {
+      pixelStats(w * h, { i =>
         val off = pixels + i * 3
-        val pr = bytes(off) & 0xff
-        val pg = bytes(off + 1) & 0xff
-        val pb = bytes(off + 2) & 0xff
-        r += pr; g += pg; b += pb
-        val lum = 0.299 * pr + 0.587 * pg + 0.114 * pb
-        sumLum += lum; sumLum2 += lum * lum
-        lumHist(math.min(10, (lum / 25.6).toInt)) += 1
-        i += 1
-      }
-      val meanLum = sumLum / n
-      val varLum = math.max(0.0, sumLum2 / n - meanLum * meanLum)
-      val out = new Array[Float](FeatureDim)
-      out(0) = (r.toDouble / n / 255.0).toFloat
-      out(1) = (g.toDouble / n / 255.0).toFloat
-      out(2) = (b.toDouble / n / 255.0).toFloat
-      out(3) = (meanLum / 255.0).toFloat
-      out(4) = (math.sqrt(varLum) / 255.0).toFloat
-      var k = 0
-      while (k < 11) { out(5 + k) = lumHist(k).toFloat / n; k += 1 }
-      out
+        ((bytes(off) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
+          (bytes(off + 2) & 0xff)
+      })
     }
+
+  /** The ONE feature kernel every image decode path reduces through:
+    * mean R, G, B, mean luminance, luminance std-dev, 11-bin luminance
+    * histogram (FeatureDim = 16), over packed 0xRRGGBB pixels in
+    * row-major order. Sharing the kernel (not copies of it) is what
+    * makes "a losslessly-coded image featurizes BIT-IDENTICALLY to its
+    * raw P6 twin" provable — MultimodalCodecSpec asserts the float
+    * arrays equal, element for element.
+    */
+  private def pixelStats(n: Int, rgbAt: Int => Int): Array[Float] = {
+    var r = 0L; var g = 0L; var b = 0L
+    val lumHist = new Array[Long](11)
+    var sumLum = 0.0; var sumLum2 = 0.0
+    var i = 0
+    while (i < n) {
+      val px = rgbAt(i)
+      val pr = (px >> 16) & 0xff
+      val pg = (px >> 8) & 0xff
+      val pb = px & 0xff
+      r += pr; g += pg; b += pb
+      val lum = 0.299 * pr + 0.587 * pg + 0.114 * pb
+      sumLum += lum; sumLum2 += lum * lum
+      lumHist(math.min(10, (lum / 25.6).toInt)) += 1
+      i += 1
+    }
+    val meanLum = sumLum / n
+    val varLum = math.max(0.0, sumLum2 / n - meanLum * meanLum)
+    val out = new Array[Float](FeatureDim)
+    out(0) = (r.toDouble / n / 255.0).toFloat
+    out(1) = (g.toDouble / n / 255.0).toFloat
+    out(2) = (b.toDouble / n / 255.0).toFloat
+    out(3) = (meanLum / 255.0).toFloat
+    out(4) = (math.sqrt(varLum) / 255.0).toFloat
+    var k = 0
+    while (k < 11) { out(5 + k) = lumHist(k).toFloat / n; k += 1 }
+    out
+  }
 
   /** REAL image resize for P6 PPM: box-average DOWNSAMPLE to tw×th — the
     * thumbnail/normalize step before feature extraction. Each target
@@ -164,6 +182,141 @@ object Multimodal {
         }
         head ++ out
       }
+  }
+
+  // ---- Compressed-image codecs: the JDK's OWN ImageIO (java.desktop,
+  // public JDK API — no external jars, verified present in this
+  // container's JDK 17) gives REAL JPEG/PNG/GIF/BMP decode and
+  // JPEG/PNG encode. This retires the byte-histogram stub for those
+  // formats; the stub remains only for formats with no JDK codec
+  // (mp3/mp4/webp — the honest remaining debt, with CLIP-style
+  // cross-modal embeddings).
+
+  /** AWT must never probe for a display server: decode and raster work
+    * are fully headless-capable, but AWT's static init consults this
+    * property — pin it before the first codec call (same-JVM executors
+    * in local mode; on a cluster set it in executor JVM opts).
+    */
+  private lazy val imageIoReady: Boolean = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    true
+  }
+
+  /** REAL compressed-image decode via the JDK's codecs: JPEG, PNG, GIF,
+    * BMP (format sniffed from the bytes — ImageIO picks the reader).
+    * Returns (width, height, row-major packed 0xRRGGBB pixels); None on
+    * malformed/unsupported blobs, so callers degrade to the stub — the
+    * same contract as [[decodePpm]]. Alpha is dropped (media-curation
+    * features are RGB statistics; a transparent-aware pipeline would
+    * composite first).
+    */
+  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val _ = imageIoReady
+    try {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (im == null) None // no registered reader recognized the bytes
+      else {
+        val w = im.getWidth; val h = im.getHeight
+        // bulk ARGB grab, then mask alpha off: one pass, no per-pixel
+        // ColorModel dance, identical packing to pixelStats's contract
+        val px = im.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+        Some((w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None } // truncated/hostile blob
+  }
+
+  /** Compressed image → the same 16-float feature layout as
+    * [[decodePpm]], through the SHARED [[pixelStats]] kernel — so a
+    * losslessly-coded image (PNG, BMP) featurizes bit-identically to
+    * its raw-pixel P6 twin, and a JPEG differs only by the codec's
+    * bounded quantization error (both asserted in MultimodalCodecSpec).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImagePixels(bytes).map { case (w, h, px) =>
+      pixelStats(w * h, px(_))
+    }
+
+  /** REAL image encode via the JDK's writers — `format` ∈ {"png",
+    * "jpeg"} (the JDK's writer set). Deterministic for a fixed JDK
+    * (MultimodalCodecSpec pins it), which is what lets registry
+    * queries synthesize compressed fixtures per doc_id.
+    */
+  def encodeImage(w: Int, h: Int, rgb: Array[Int], format: String): Array[Byte] = {
+    val _ = imageIoReady
+    require(w > 0 && h > 0 && rgb.length == w * h,
+      s"bad dims ${w}x$h for ${rgb.length} pixels")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    im.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(im, format, bos),
+      s"no JDK writer for image format '$format' (JDK writers: png, jpeg)")
+    bos.toByteArray
+  }
+
+  /** REAL thumbnail for compressed formats: decode → box-average
+    * DOWNSAMPLE (the same area-mean semantics as [[resizePpm]], so
+    * channel means survive to ±0.5 LSB) → re-encode as `outFormat`.
+    * Deterministic (own resampler — Graphics2D interpolation is
+    * implementation-defined). None on malformed input or an upscale
+    * request, like [[resizePpm]].
+    */
+  def thumbnailImage(bytes: Array[Byte], tw: Int, th: Int,
+                     outFormat: String = "png"): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive, got ${tw}x$th")
+    decodeImagePixels(bytes).filter { case (w, h, _) => tw <= w && th <= h }
+      .map { case (w, h, px) =>
+        val out = new Array[Int](tw * th)
+        var ty = 0
+        while (ty < th) {
+          val y0 = ty * h / th
+          val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+          var tx = 0
+          while (tx < tw) {
+            val x0 = tx * w / tw
+            val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+            var r = 0L; var g = 0L; var b = 0L; var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = px(y * w + x)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                cnt += 1; x += 1
+              }
+              y += 1
+            }
+            out(ty * tw + tx) =
+              ((((r + cnt / 2) / cnt).toInt) << 16) |
+                ((((g + cnt / 2) / cnt).toInt) << 8) |
+                (((b + cnt / 2) / cnt).toInt)
+            tx += 1
+          }
+          ty += 1
+        }
+        encodeImage(tw, th, out, outFormat)
+      }
+  }
+
+  /** Deterministic synthetic RGB pattern — a pure function of (id, w,
+    * h), the SAME per-channel ramps the P6 fixtures pack
+    * (s_mm_ppm_decode), as packed ints: the shared source both fixture
+    * families encode, which is what makes the PNG-vs-P6 bit-identity
+    * assertable.
+    */
+  def synthRgb(id: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = ((((id * 31 + i * 7) % 256).toInt & 0xff) << 16) |
+        ((((id * 17 + i * 13) % 256).toInt & 0xff) << 8) |
+        (((id * 11 + i * 3) % 256).toInt & 0xff)
+      i += 1
+    }
+    px
   }
 
   /** REAL decoder for WAV (RIFF, PCM 16-bit little-endian, any channel
@@ -243,13 +396,17 @@ object Multimodal {
     Some(out)
   }
 
-  /** Format dispatch: real decode where the format needs no codec,
-    * deterministic stub elsewhere (and for malformed real-format blobs).
+  /** Format dispatch: real decode wherever a real codec exists (raw
+    * P6/WAV parsing, or the JDK's own ImageIO for compressed images);
+    * the deterministic stub only for codec-less formats and malformed
+    * real-format blobs (degrade, never fail the stage).
     */
   def decode(bytes: Array[Byte], format: String): Array[Float] =
     format match {
       case "ppm" => decodePpm(bytes).getOrElse(decodeStub(bytes))
       case "wav" => decodeWav(bytes).getOrElse(decodeStub(bytes))
+      case "jpeg" | "jpg" | "png" | "gif" | "bmp" =>
+        decodeImage(bytes).getOrElse(decodeStub(bytes))
       case _     => decodeStub(bytes)
     }
 
