@@ -301,6 +301,87 @@ object Multimodal {
       }
   }
 
+  /** REAL multi-frame container decode: animated GIF through the JDK's
+    * GIF reader (`getNumImages` + per-frame `read`) — the first
+    * real-world VIDEO-shaped container the engine decodes with an
+    * actual codec (the PPMV chain is real parsing of a codec-free
+    * concatenation). Returns each frame's (width, height, packed
+    * 0xRRGGBB pixels), in order; None on malformed input or an empty
+    * sequence. Frames come back AS STORED: full-frame GIFs (what
+    * [[encodeGif]] writes, and the common screen-capture case) carry
+    * whole rasters; a delta-coded GIF (per-frame offsets + disposal)
+    * would need metadata compositing — documented debt, same honesty
+    * rule as the mp3/mp4 stubs.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
+    val _ = imageIoReady
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val r = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      if (n < 1) return None
+      val out = Seq.newBuilder[(Int, Int, Array[Int])]
+      var i = 0
+      while (i < n) {
+        val im = r.read(i)
+        val w = im.getWidth; val h = im.getHeight
+        val px = im.getRGB(0, 0, w, h, null, 0, w)
+        var j = 0
+        while (j < px.length) { px(j) = px(j) & 0xffffff; j += 1 }
+        out += ((w, h, px))
+        i += 1
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally { r.dispose(); iis.close() }
+  }
+
+  /** Animated-GIF encode via the JDK writer's sequence API — the
+    * deterministic multi-frame fixture writer (MultimodalCodecSpec pins
+    * byte determinism). All frames share (w, h); palettization is the
+    * writer's — callers keep fixtures within 256 colors for exactness.
+    */
+  def encodeGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    val _ = imageIoReady
+    require(frames.nonEmpty, "an animated GIF needs at least one frame")
+    require(frames.forall(_.length == w * h),
+      s"every frame must be ${w}x$h (${w * h} pixels)")
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        im.setRGB(0, 0, w, h, f, 0, w)
+        wr.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** Motion energy of an animated GIF: mean |Δ mean-luminance| between
+    * consecutive frames in [0,1] units — the SAME metric
+    * [[motionEnergy]] computes for PPMV streams (shared [[pixelStats]]
+    * kernel, luminance = feature 3), now over a real codec'd
+    * container. None on malformed input or fewer than 2 frames.
+    */
+  def gifMotionEnergy(bytes: Array[Byte]): Option[Double] =
+    decodeGifFrames(bytes).filter(_.length >= 2).map { frames =>
+      val lums = frames.map { case (w, h, px) =>
+        pixelStats(w * h, px(_))(3).toDouble
+      }
+      lums.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum /
+        (lums.length - 1)
+    }
+
   /** Deterministic synthetic RGB pattern — a pure function of (id, w,
     * h), the SAME per-channel ramps the P6 fixtures pack
     * (s_mm_ppm_decode), as packed ints: the shared source both fixture
