@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Compaction, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator, ZOrderLayout}
+import graft.operators.{AnnIvf, AnnLsh, BpeTrainer, Compaction, CrossModal, Multimodal, MinHashDedup, NgramJaccard, PageRank, ScalableNtile, SimHashDedup, TopKAggregator, ZOrderLayout}
 import org.apache.spark.sql.functions._
 
 /** Spark-only operator surface (probabilistic / binary — no SQL oracle;
@@ -290,6 +290,42 @@ object OperatorQueries extends QueryPack {
         sum(when(col("jpeg_drift") > 0.03, 1).otherwise(0)).cast("long")
           .as("n_jpeg_violations"),
         min("jpeg_bytes").as("min_jpeg_bytes"))
+    }),
+
+    // cross-modal alignment (r14): ridge-fit the affine map from a
+    // partial-observation modality (the embedding's first 16 coords —
+    // "modality A features") into the full 64-dim embedding space, then
+    // retrieve each probe's OWN embedding by cosine from its projection.
+    // The fit is one distributed pass reducing to a 17×17 Gram (KBs of
+    // partials, driver solve, broadcast model); retrieval is the
+    // broadcast-probe × corpus shape of q_sim_cosine_topk. Self-proving:
+    // self_hits/n_probes is recall@1 of the learned alignment.
+    "s_xmodal_align" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").as("y"))
+        .withColumn("x", slice(col("y"), 1, 16))
+        .localCheckpoint() // fit, corpus, and probes read ONE snapshot
+      val model = CrossModal.fitRidge(e, lambda = 1e-4)
+      val probes = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          CrossModal.projectCol(model, "x").as("pv"))
+        .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
+      val corpus = e.select(col("vec_id"), col("y").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("sim_raw").desc, col("vec_id"))
+      broadcast(probes).join(corpus)
+        .select(col("probe_id"), col("probe_label"), col("vec_id"),
+          (expr("graft_dot(pv, v)") / (col("pn") * col("nrm"))).as("sim_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("probe_label").as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("probe_id") === col("vec_id"), 1).otherwise(0))
+            .cast("long").as("self_hits"),
+          round(avg("sim_raw"), 4).as("avg_top1_sim"))
+        .orderBy("label")
     }),
 
     // typed bounded top-k Aggregator (map-side-combinable window-topk twin)
@@ -1030,6 +1066,39 @@ object OperatorQueries extends QueryPack {
         .agg(count(lit(1)).as("n_videos"),
           first(col("n_frames")).as("n_frames"),
           first(col("n_sampled")).as("n_sampled"),
+          round(avg("motion"), 6).as("motion"),
+          round(avg("expected"), 6).as("expected"),
+          sum("bad").as("violations"))
+        .orderBy("cls")
+    }),
+
+    // the SAME motion metric over a REAL codec'd video-shaped container
+    // (r14): per document, an 8-frame animated GIF of solid-gray ramp
+    // frames (gray = base + t·step, pure function of doc_id, never
+    // clamped) round-trips through the JDK's actual GIF writer+reader;
+    // motion energy must equal the analytic step/255 to float
+    // precision. Self-proving corpus-wide like s_mm_video_motion;
+    // map-only — blobs never leave their partition.
+    "s_mm_gif_motion" -> ((s, dir) => {
+      import s.implicits._
+      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = (id % 5).toInt
+          val step = (cls + 1) * 4
+          val frames = (0 until 8).map { t =>
+            val g = 20 + t * step
+            Array.fill(8 * 8)((g << 16) | (g << 8) | g)
+          }
+          val gif = Multimodal.encodeGif(8, 8, frames)
+          val motion = Multimodal.gifMotionEnergy(gif).get
+          val expected = step / 255.0
+          (cls, gif.length, motion, expected,
+            if (math.abs(motion - expected) > 1e-5) 1 else 0)
+        }
+        .toDF("cls", "gif_bytes", "motion", "expected", "bad")
+      out.groupBy("cls")
+        .agg(count(lit(1)).as("n_videos"),
+          min("gif_bytes").as("min_gif_bytes"),
           round(avg("motion"), 6).as("motion"),
           round(avg("expected"), 6).as("expected"),
           sum("bad").as("violations"))

@@ -105,6 +105,42 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: the sequence round-trips frame-exact through the JDK codec") {
+    val frames = (0 until 5).map { t =>
+      val g = 40 + t * 20
+      Array.fill(8 * 8)((g << 16) | (g << 8) | g)
+    }
+    val gif = Multimodal.encodeGif(8, 8, frames)
+    val back = Multimodal.decodeGifFrames(gif).get
+    assert(back.length == 5)
+    back.zip(frames).zipWithIndex.foreach { case (((w, h, px), src), i) =>
+      assert((w, h) == (8, 8), s"frame $i dims")
+      assert(px.sameElements(src), s"frame $i pixels must survive exactly")
+    }
+    // determinism (fixture contract for s_mm_gif_motion)
+    assert(java.util.Arrays.equals(gif, Multimodal.encodeGif(8, 8, frames)))
+  }
+
+  test("gifMotionEnergy matches the analytic ramp and the PPMV metric; degenerate inputs refuse") {
+    val step = 12
+    val frames = (0 until 8).map { t =>
+      val g = 20 + t * step
+      Array.fill(8 * 8)((g << 16) | (g << 8) | g)
+    }
+    val viaGif = Multimodal.gifMotionEnergy(Multimodal.encodeGif(8, 8, frames)).get
+    assert(math.abs(viaGif - step / 255.0) < 1e-5,
+      s"gif motion $viaGif vs analytic ${step / 255.0}")
+    // same metric as the PPMV chain on the same gray ramp
+    val viaPpm = Multimodal.motionEnergy(
+      Multimodal.splitPpmStream(
+        Multimodal.synthPpmVideo(8, 8, 8, 20, step)).get).get
+    assert(math.abs(viaGif - viaPpm) < 1e-5)
+    assert(Multimodal.gifMotionEnergy(
+      Multimodal.encodeGif(8, 8, frames.take(1))).isEmpty,
+      "motion is undefined on a single frame")
+    assert(Multimodal.gifMotionEnergy("not a gif".getBytes).isEmpty)
+  }
+
   test("featurize dispatches compressed formats through the real codecs") {
     import spark.implicits._
     val rows = spark.createDataset(Seq(
