@@ -485,7 +485,12 @@ object Multimodal {
   def decode(bytes: Array[Byte], format: String): Array[Float] =
     format match {
       case "ppm" => decodePpm(bytes).getOrElse(decodeStub(bytes))
-      case "wav" => decodeWav(bytes).getOrElse(decodeStub(bytes))
+      // the own parser handles PCM16 (the fast path, no conversion);
+      // a µ-law/A-law or oddly-coded WAV falls through to the JDK codec
+      case "wav" => decodeWav(bytes).orElse(decodeAudio(bytes))
+        .getOrElse(decodeStub(bytes))
+      case "aiff" | "aif" | "au" =>
+        decodeAudio(bytes).getOrElse(decodeStub(bytes))
       case "jpeg" | "jpg" | "png" | "gif" | "bmp" =>
         decodeImage(bytes).getOrElse(decodeStub(bytes))
       case _     => decodeStub(bytes)
@@ -500,6 +505,135 @@ object Multimodal {
       it.map(r => MediaFeatures(r.media_id, r.format, r.media.length.toLong,
         decode(r.media, r.format)))
     }
+  }
+
+  // ---- Audio containers/codecs beyond raw WAV-PCM16: the JDK's OWN
+  // javax.sound.sampled (java.desktop) reads AIFF and AU containers and
+  // the µ-law/A-law telephony codecs, and converts between encodings —
+  // real codecs, no external jars (probed in this container's JDK 17).
+
+  /** REAL audio decode for any JDK-supported container/codec — AIFF,
+    * AU, WAVE, including µ-law/A-law payloads: the stream converts to
+    * PCM16 and channel-averages to the same [-1, 1] sample contract as
+    * [[decodeWavPcm]]. Returns (sampleRate, samples); None on
+    * unrecognized/malformed bytes (degrade, never fail the stage).
+    */
+  def decodeAudioPcm(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val sf = in.getFormat
+        val target = new AudioFormat(sf.getSampleRate, 16, sf.getChannels,
+          true, false) // PCM16 signed little-endian, channels kept
+        val conv =
+          if (sf.matches(target)) in
+          else AudioSystem.getAudioInputStream(target, in)
+        val raw = conv.readAllBytes()
+        val ch = sf.getChannels
+        val n = raw.length / (2 * ch)
+        if (n == 0) None
+        else {
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val s = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            out(i) = (acc / ch).toFloat
+            i += 1
+          }
+          Some((sf.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The audio feature kernel over extracted samples — the SAME
+    * 16-float layout [[decodeWav]] computes inline over raw WAV bytes
+    * (RMS, zero-crossing rate, mean |amplitude|, peak, 12-segment RMS
+    * envelope); MultimodalCodecSpec pins the two paths together on
+    * identical content.
+    */
+  def audioFeatures(s: Array[Float]): Array[Float] = {
+    val n = s.length
+    require(n > 0, "no samples")
+    var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0L
+    var lastSign = 0
+    val segs = 12
+    val segSumSq = new Array[Double](segs)
+    val segN = new Array[Long](segs)
+    var i = 0
+    while (i < n) {
+      val x = s(i).toDouble
+      sumSq += x * x; sumAbs += math.abs(x); peak = math.max(peak, math.abs(x))
+      if (x != 0) {
+        val sg = if (x > 0) 1 else -1
+        if (lastSign != 0 && sg != lastSign) zc += 1
+        lastSign = sg
+      }
+      val seg = math.min(segs - 1, (i.toLong * segs / n).toInt)
+      segSumSq(seg) += x * x; segN(seg) += 1
+      i += 1
+    }
+    val out = new Array[Float](FeatureDim)
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = (zc.toDouble / math.max(1, n - 1)).toFloat
+    out(2) = (sumAbs / n).toFloat
+    out(3) = peak.toFloat
+    var k = 0
+    while (k < segs) {
+      out(4 + k) = if (segN(k) > 0) math.sqrt(segSumSq(k) / segN(k)).toFloat else 0f
+      k += 1
+    }
+    out
+  }
+
+  /** Any JDK-decodable audio blob → the [[decodeWav]] feature layout. */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeAudioPcm(bytes).map { case (_, s) => audioFeatures(s) }
+
+  /** REAL audio encode via the JDK — PCM16 samples into an AIFF/AU/WAVE
+    * container, optionally through the µ-law telephony codec (8-bit,
+    * the real lossy conversion). The fixture/transcode writer side of
+    * [[decodeAudioPcm]]; deterministic for a fixed JDK.
+    */
+  def encodeAudio(pcm: Array[Float], sampleRate: Int, container: String,
+                  ulaw: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(pcm.nonEmpty, "no samples")
+    val raw = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      val v = math.max(-32768, math.min(32767,
+        math.round(pcm(i) * 32767.0).toInt))
+      raw(i * 2) = (v & 0xff).toByte
+      raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    var ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong)
+    if (ulaw)
+      ais = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.ULAW, sampleRate.toFloat, 8, 1, 1,
+          sampleRate.toFloat, false), ais)
+    val typ = container match {
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case "au"   => AudioFileFormat.Type.AU
+      case "wav"  => AudioFileFormat.Type.WAVE
+      case other  => throw new IllegalArgumentException(
+        s"unsupported audio container '$other' (JDK writers: wav, aiff, au)")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, typ, bos)
+    bos.toByteArray
   }
 
   /** REAL PCM extraction for WAV (same container contract as

@@ -292,6 +292,37 @@ object OperatorQueries extends QueryPack {
         min("jpeg_bytes").as("min_jpeg_bytes"))
     }),
 
+    // REAL audio containers/codecs in-pipeline (r14, javax.sound — no
+    // external jars): per document, one synthesized tone (freq a pure
+    // function of doc_id, whole cycles so RMS is analytic) travels
+    // WAV → AIFF re-encode → decode, and WAV → µ-law AU → decode. The
+    // output self-proves the contracts corpus-wide: lossless container
+    // RMS within re-quantization noise of the analytic amp/√2, µ-law
+    // within its telephony error bound. Map-only; blobs stay put.
+    "s_mm_audio_codec" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val freq = 200.0 + (id % 20) * 40.0 // freq·n/sr = 40+8k whole cycles
+          val wav = Multimodal.synthToneWav(freq, 8000, 1600)
+          val samples = Multimodal.decodeWavPcm(wav).get
+          val rmsWav = Multimodal.audioFeatures(samples)(0).toDouble
+          val aiff = Multimodal.encodeAudio(samples, 8000, "aiff")
+          val rmsAiff = Multimodal.decodeAudio(aiff).get(0).toDouble
+          val ulaw = Multimodal.encodeAudio(samples, 8000, "au", ulaw = true)
+          val rmsUlaw = Multimodal.decodeAudio(ulaw).get(0).toDouble
+          val analytic = 0.4 / math.sqrt(2)
+          (id, math.abs(rmsAiff - rmsWav), math.abs(rmsUlaw - rmsWav),
+            if (math.abs(rmsAiff - analytic) > 1e-3) 1 else 0,
+            if (math.abs(rmsUlaw - rmsWav) > 0.01) 1 else 0)
+        }.toDF("doc_id", "aiff_drift", "ulaw_drift", "bad_aiff", "bad_ulaw")
+      rows.agg(count(lit(1)).as("n_audio"),
+        round(max("aiff_drift"), 6).as("max_aiff_drift"),
+        round(max("ulaw_drift"), 6).as("max_ulaw_drift"),
+        sum("bad_aiff").cast("long").as("aiff_violations"),
+        sum("bad_ulaw").cast("long").as("ulaw_violations"))
+    }),
+
     // cross-modal alignment (r14): ridge-fit the affine map from a
     // partial-observation modality (the embedding's first 16 coords —
     // "modality A features") into the full 64-dim embedding space, then

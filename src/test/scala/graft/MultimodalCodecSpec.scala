@@ -141,6 +141,64 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.gifMotionEnergy("not a gif".getBytes).isEmpty)
   }
 
+  // ---- audio: AIFF/AU containers + µ-law codec via javax.sound ----
+
+  private def toneWav(freq: Double = 440, sr: Int = 8000, n: Int = 1600) =
+    Multimodal.synthToneWav(freq, sr, n)
+
+  test("the JDK audio path and the own WAV parser extract bit-identical PCM from the same blob") {
+    val wav = toneWav()
+    val own = Multimodal.decodeWavPcm(wav).get
+    val (sr, jdk) = Multimodal.decodeAudioPcm(wav).get
+    assert(sr == 8000)
+    assert(jdk.sameElements(own),
+      "two independent parsers of the same PCM16 payload must agree exactly")
+    // and the extracted-samples feature kernel pins to the inline one
+    val viaKernel = Multimodal.audioFeatures(own)
+    val inline = Multimodal.decodeWav(wav).get
+    viaKernel.zip(inline).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(math.abs(a - b) < 1e-5, s"audio feature $k: $a vs $b")
+    }
+  }
+
+  test("AIFF and AU containers round-trip PCM16 to within one quantization LSB") {
+    val samples = Multimodal.decodeWavPcm(toneWav()).get
+    for (container <- Seq("aiff", "au")) {
+      val enc = Multimodal.encodeAudio(samples, 8000, container)
+      val (sr, back) = Multimodal.decodeAudioPcm(enc).get
+      assert(sr == 8000 && back.length == samples.length, s"$container shape")
+      val maxErr = back.zip(samples).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 2.0f / 32768,
+        s"$container round-trip drifted $maxErr (>1 LSB + re-quantization)")
+      // determinism (fixture contract for s_mm_audio_codec)
+      assert(java.util.Arrays.equals(enc,
+        Multimodal.encodeAudio(samples, 8000, container)))
+    }
+  }
+
+  test("µ-law is a REAL lossy telephony codec: bounded error, not bit-identity") {
+    val samples = Multimodal.decodeWavPcm(toneWav()).get
+    val au = Multimodal.encodeAudio(samples, 8000, "au", ulaw = true)
+    val (_, back) = Multimodal.decodeAudioPcm(au).get
+    val maxErr = back.zip(samples).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr > 0, "µ-law must actually quantize")
+    assert(maxErr < 0.01, s"µ-law error $maxErr exceeds the codec's bound")
+    val rms = Multimodal.audioFeatures(back)(0)
+    assert(math.abs(rms - 0.4 / math.sqrt(2)) < 0.005,
+      s"µ-law RMS $rms vs analytic ${0.4 / math.sqrt(2)}")
+  }
+
+  test("wav dispatch falls through to the JDK codec for µ-law WAVs instead of stubbing") {
+    val samples = Multimodal.decodeWavPcm(toneWav()).get
+    val ulawWav = Multimodal.encodeAudio(samples, 8000, "wav", ulaw = true)
+    assert(Multimodal.decodeWav(ulawWav).isEmpty,
+      "the own parser is PCM16-only by contract")
+    val feats = Multimodal.decode(ulawWav, "wav")
+    assert(math.abs(feats(0) - 0.4 / math.sqrt(2)) < 0.005,
+      "dispatch must decode a µ-law WAV through javax.sound, not the stub")
+    assert(Multimodal.decodeAudioPcm("junk".getBytes).isEmpty)
+  }
+
   test("featurize dispatches compressed formats through the real codecs") {
     import spark.implicits._
     val rows = spark.createDataset(Seq(
