@@ -491,7 +491,7 @@ object Multimodal {
         .getOrElse(decodeStub(bytes))
       case "aiff" | "aif" | "au" =>
         decodeAudio(bytes).getOrElse(decodeStub(bytes))
-      case "jpeg" | "jpg" | "png" | "gif" | "bmp" =>
+      case "jpeg" | "jpg" | "png" | "gif" | "bmp" | "tiff" | "tif" =>
         decodeImage(bytes).getOrElse(decodeStub(bytes))
       case _     => decodeStub(bytes)
     }

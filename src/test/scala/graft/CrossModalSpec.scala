@@ -95,6 +95,26 @@ class CrossModalSpec extends SparkSpec {
     assert(hits >= 90, s"recall@1 on 100 held-out probes: $hits/100")
   }
 
+  test("the projection composes with the persisted ANN store: cross-modal retrieval through AnnIndexStore") {
+    val base = java.nio.file.Files.createTempDirectory("graft_xmodal_ann")
+    try {
+      val all = pairs(300).localCheckpoint() // noiseless: recovery is exact
+      val model = CrossModal.fitRidge(all, lambda = 1e-8)
+      operators.AnnIndexStore.save(spark,
+        all.select(col("id").as("vec_id"), col("y").as("embedding")),
+        s"$base/ann", nlist = 8)
+      // offset probe ids: searchTopK excludes same-id matches by contract
+      val probes = CrossModal.project(all.filter(col("id") < 40), model)
+        .select((col("id") + 10000L).as("vec_id"), col("y_hat").as("embedding"))
+      val top1 = operators.AnnIndexStore
+        .searchTopK(spark, s"$base/ann", probes, k = 1, nprobe = 4)
+        .select(col("probe_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect()
+      val hits = top1.count { case (p, n) => p - 10000L == n }
+      assert(hits >= 38, s"cross-modal ANN recall@1: $hits/40")
+    } finally Fs.rmTree(base.toString)
+  }
+
   test("ragged pairs and degenerate features fail fast") {
     val ragged = Seq((Array(1f, 2f), Array(1f)), (Array(1f), Array(1f)))
       .toDF("x", "y")

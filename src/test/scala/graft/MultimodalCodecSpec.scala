@@ -32,7 +32,7 @@ class MultimodalCodecSpec extends SparkSpec {
     for (id <- Seq(1L, 7L, 42L, 1234L)) {
       val rgb = Multimodal.synthRgb(id, 16, 12)
       val viaPpm = Multimodal.decodePpm(p6(id, 16, 12)).get
-      for (fmt <- Seq("png", "bmp")) {
+      for (fmt <- Seq("png", "bmp", "tiff")) {
         val viaCodec = Multimodal.decodeImage(
           Multimodal.encodeImage(16, 12, rgb, fmt)).get
         assert(viaCodec.sameElements(viaPpm),
