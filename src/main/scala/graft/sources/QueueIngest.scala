@@ -120,6 +120,21 @@ object QueueIngest {
   def docRejects(parsed: DataFrame): DataFrame =
     parsed.filter(col("reject_reason").isNotNull).select("raw", "reject_reason")
 
+  /** Erasure tickets over the spool: `{"doc_id": <id>}` messages → a
+    * `doc_id` STRING column, the [[graft.streaming.EraseSink]] feed.
+    * Deliberately string-typed: the SINK owns the try_cast +
+    * null-absorption (the public-queue poison doctrine — a malformed
+    * ticket must dead-end as a no-op, never kill the query and replay
+    * forever), and malformed JSON degrades to a null id on the same
+    * path. Erasure is content-convergent, so a redelivered ticket is
+    * a commit-free no-op — at-least-once delivery is safe end to end.
+    */
+  def streamEraseTickets(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Int = 16): DataFrame =
+    stream(spark, dir, maxFilesPerTrigger)
+      .filter(length(trim(col("value"))) > 0)
+      .select(get_json_object(col("value"), "$.doc_id").as("doc_id"))
+
   /** Docs: spool → validated document stream, the frame
     * [[graft.streaming.IngestPipeline.start]] consumes (doc_id, text,
     * embedding). Redeliveries flow through — the pipeline's exact

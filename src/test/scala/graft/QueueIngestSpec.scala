@@ -85,6 +85,62 @@ class QueueIngestSpec extends SparkSpec {
     } finally Fs.rmTree(base.toString)
   }
 
+  // ---- erasure tickets: queue → EraseSink across the stores ----
+
+  test("queue → EraseSink: GDPR tickets over the spool erase the stores; poison and redelivery are commit-free no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q_erase")
+    val spool = s"$root/spool"
+    val snapDir = s"$root/snap"; val idxDir = s"$root/idx"
+    val dedupDir = s"$root/dedup"
+    try {
+      val docs = Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      operators.MergeInto.mergeFiles(spark, snapDir, docs, Seq("doc_id"), "lang")
+      operators.InvertedIndex.write(operators.InvertedIndex.build(
+        docs.select("doc_id", "text")), idxDir)
+      operators.DedupStore.appendBatch(spark,
+        docs.select("doc_id", "text"), dedupDir)
+      val dead = docs.select("doc_id").as[Long].collect().sorted.take(2).toSeq
+
+      // one delivery mixing real tickets with queue poison: malformed
+      // JSON, a ticket with an uncastable id, an id no store holds
+      QueueIngest.publish(spool, "t1",
+        dead.map(id => s"""{"doc_id":$id}""") ++ Seq(
+          "%%% torn frame %%%",
+          """{"doc_id":"not-a-number"}""",
+          """{"doc_id":999999999}"""))
+
+      def run(): Unit = {
+        val q = graft.streaming.EraseSink.start(
+          QueueIngest.streamEraseTickets(spark, spool),
+          snapDir, "lang", Some(idxDir), None,
+          s"$root/ckpt", dedupDir = Some(dedupDir))
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      assert(operators.MergeInto.readSnapshot(spark, snapDir)
+        .filter(col("doc_id").isin(dead: _*)).isEmpty)
+      assert(operators.InvertedIndex.docLengths(spark, idxDir)
+        .filter(col("doc_id").isin(dead: _*)).isEmpty)
+      assert(operators.DedupStore.readDocs(spark, dedupDir)
+        .filter(col("doc_id").isin(dead: _*)).isEmpty)
+
+      // the producer never saw the ack and republishes the whole
+      // delivery; the resumed consumer reads only the new file, and
+      // erasure's content-convergence commits nothing anywhere
+      val snapV = operators.MergeInto.currentVersion(spark, snapDir)
+      val idxV = operators.StoreManifest.currentVersion(spark, idxDir)
+      val dedupV = operators.StoreManifest.currentVersion(spark, dedupDir)
+      QueueIngest.publish(spool, "t1",
+        dead.map(id => s"""{"doc_id":$id}""") :+ "%%% torn frame %%%")
+      run()
+      assert(operators.MergeInto.currentVersion(spark, snapDir) == snapV &&
+        operators.StoreManifest.currentVersion(spark, idxDir) == idxV &&
+        operators.StoreManifest.currentVersion(spark, dedupDir) == dedupV,
+        "a redelivered erase ticket must replay as a commit-free no-op")
+    } finally Fs.rmTree(root.toString)
+  }
+
   // ---- documents: queue → full composed pipeline ----
 
   private def vec(seed: Long): Seq[Float] =
@@ -111,9 +167,6 @@ class QueueIngestSpec extends SparkSpec {
       val del2 = Seq(d1, // broker redelivery of doc 1
         doc(3, "delta epsilon zeta"), // same CONTENT under a new id
         doc(4, "eta theta iota"))
-      QueueIngest.publish(spool, "del1", del1)
-      QueueIngest.publish(spool, "del2", del2)
-
       def runPipeline(): Unit = {
         val q = IngestPipeline.start(
           QueueIngest.streamDocs(spark, spool, maxFilesPerTrigger = 1),
@@ -121,6 +174,14 @@ class QueueIngestSpec extends SparkSpec {
           annDir = Some(annDir), annNlist = 2, metricsDir = Some(mDir))
         try q.processAllAvailable() finally q.stop()
       }
+      // deliveries land over time (the broker reality): same-content
+      // keep-first winners are delivery-order-dependent, so the spec
+      // pins the order by consuming each delivery before the next —
+      // two files published in the same mtime millisecond would race
+      // the file source's (mtime, path) ordering
+      QueueIngest.publish(spool, "del1", del1)
+      runPipeline()
+      QueueIngest.publish(spool, "del2", del2)
       runPipeline()
       assert(DedupStore.readDocs(spark, dedupDir)
         .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
