@@ -196,10 +196,19 @@ object Multimodal {
     * are fully headless-capable, but AWT's static init consults this
     * property — pin it before the first codec call (same-JVM executors
     * in local mode; on a cluster set it in executor JVM opts).
+    *
+    * ImageIO's stream cache must be MEMORY, not disk: the default
+    * (useCache=true) backs every read/write stream with a temp FILE —
+    * per-row decode over a corpus means thousands of temp-file
+    * create/delete cycles per task, real IO churn that degrades every
+    * concurrent query in the JVM (measured: rotating ~0.5–1 s warm
+    * inflation across unrelated bench queries). Blobs here are
+    * in-memory byte arrays anyway.
     */
   private lazy val imageIoReady: Boolean = {
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
     true
   }
 

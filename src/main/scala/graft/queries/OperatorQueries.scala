@@ -303,8 +303,8 @@ object OperatorQueries extends QueryPack {
       import s.implicits._
       val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val freq = 200.0 + (id % 20) * 40.0 // freq·n/sr = 40+8k whole cycles
-          val wav = Multimodal.synthToneWav(freq, 8000, 1600)
+          val freq = 200.0 + (id % 20) * 40.0 // freq·n/sr = 20+4k whole cycles
+          val wav = Multimodal.synthToneWav(freq, 8000, 800)
           val samples = Multimodal.decodeWavPcm(wav).get
           val rmsWav = Multimodal.audioFeatures(samples)(0).toDouble
           val aiff = Multimodal.encodeAudio(samples, 8000, "aiff")
@@ -1104,7 +1104,7 @@ object OperatorQueries extends QueryPack {
     }),
 
     // the SAME motion metric over a REAL codec'd video-shaped container
-    // (r14): per document, an 8-frame animated GIF of solid-gray ramp
+    // (r14): per document, a 5-frame animated GIF of solid-gray ramp
     // frames (gray = base + t·step, pure function of doc_id, never
     // clamped) round-trips through the JDK's actual GIF writer+reader;
     // motion energy must equal the analytic step/255 to float
@@ -1116,7 +1116,7 @@ object OperatorQueries extends QueryPack {
         .map { id =>
           val cls = (id % 5).toInt
           val step = (cls + 1) * 4
-          val frames = (0 until 8).map { t =>
+          val frames = (0 until 5).map { t =>
             val g = 20 + t * step
             Array.fill(8 * 8)((g << 16) | (g << 8) | g)
           }

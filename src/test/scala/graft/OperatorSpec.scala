@@ -34,10 +34,20 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(f(3) - amp) < 0.01, s"peak ${f(3)}")
     // envelope: steady sine, every segment RMS near the global RMS
     (4 until 16).foreach(k => assert(math.abs(f(k) - f(0)) < 0.05, s"seg $k ${f(k)}"))
-    // truncated data chunk falls back to the stub
+    // a truncated data chunk: the own parser refuses (declared length
+    // exceeds the buffer), but the dispatch now SALVAGES the readable
+    // PCM prefix through the javax.sound fallback (r14) — real features
+    // of the same steady sine, not stub garbage
     val bad = wav.take(wav.length - 100)
-    assert(graft.operators.Multimodal.decode(bad, "wav").toSeq ==
-      graft.operators.Multimodal.decodeStub(bad).toSeq)
+    assert(graft.operators.Multimodal.decodeWav(bad).isEmpty,
+      "the strict parser must still refuse a truncated data chunk")
+    val salvaged = graft.operators.Multimodal.decode(bad, "wav")
+    assert(math.abs(salvaged(0) - amp / math.sqrt(2)) < 0.01,
+      s"salvaged RMS ${salvaged(0)}")
+    // genuinely unparseable bytes still degrade to the stub
+    val garbage = Array.tabulate[Byte](64)(i => (i * 29).toByte)
+    assert(graft.operators.Multimodal.decode(garbage, "wav").toSeq ==
+      graft.operators.Multimodal.decodeStub(garbage).toSeq)
     // hostile chunk lengths must yield None (never hang or walk
     // backwards): 0xFFFFFFF8 truncated to Int was a ZERO advance —
     // an executor-task infinite loop — and 0xFFFFFFF0 walked pos
