@@ -391,6 +391,104 @@ object Multimodal {
         (lums.length - 1)
     }
 
+  /** Perceptual difference-hash (dHash) of an image: box-average the
+    * luminance onto a 9×8 grid (the same area-mean resampler as
+    * [[thumbnailImage]]), then 64 bits of adjacent-cell comparisons
+    * (bit set ⇔ cell < right neighbor). Properties the image-dedup
+    * stack leans on, both spec-pinned: EXACTLY invariant to uniform
+    * brightness shifts (differences cancel), and stable under JPEG
+    * re-encoding on natural (smooth) content — so a re-crawled /
+    * re-posted image lands within small Hamming distance of its
+    * original and the SimHash pigeonhole join finds the pair without
+    * any all-pairs scan.
+    */
+  def dHash(w: Int, h: Int, px: Array[Int]): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs at least 9x8 pixels, got ${w}x$h")
+    val gw = 9; val gh = 8
+    // EXACT integer arithmetic throughout — box luminance sums in
+    // milli-units (299r+587g+114b), adjacent-cell comparison as the
+    // cross-multiplied rational sumA·cntB < sumB·cntA. A double-mean
+    // grid had knife-edge ties whose rounding FLIPPED under a uniform
+    // +3 shift (6 of 500 twins missed at 18×16, found by the registry
+    // query's own missed_twins column); with integers a uniform shift
+    // moves both comparison sides by the same δ·cntA·cntB, so ordering
+    // and ties are preserved bit-for-bit. No overflow: sum ≤ 255000·px
+    // per box, × cnt of the other box stays far under Long.Max for any
+    // plausible image.
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            s += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        sums(gy * gw + gx) = s; cnts(gy * gw + gx) = cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        val i = r * gw + c
+        if (sums(i) * cnts(i + 1) < sums(i + 1) * cnts(i))
+          bits |= 1L << (r * (gw - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** dHash of any decodable compressed image; None on malformed. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] =
+    decodeImagePixels(bytes).map { case (w, h, px) => dHash(w, h, px) }
+
+  /** Deterministic smooth grayscale test pattern — a 2-D sinusoid whose
+    * frequencies and phases are pure functions of `id`: smooth enough
+    * that JPEG quantization barely moves block means (the dHash-
+    * stability regime of natural images), distinct enough across ids
+    * that unrelated images land far apart in Hamming space. Range
+    * 48..208, so uniform brightness shifts up to ±40 never clamp.
+    */
+  def synthSmoothGray(id: Long, w: Int, h: Int): Array[Int] = {
+    val fx = 1 + (id % 5).toInt
+    val fy = 1 + ((id / 5) % 5).toInt
+    val p1 = (id % 97).toDouble / 97.0
+    val p2 = (id % 89).toDouble / 89.0
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128 + math.round(80.0 *
+          math.sin(2 * math.Pi * (fx.toDouble * x / w + p1)) *
+          math.cos(2 * math.Pi * (fy.toDouble * y / h + p2))).toInt
+        px(y * w + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   /** Deterministic synthetic RGB pattern — a pure function of (id, w,
     * h), the SAME per-channel ramps the P6 fixtures pack
     * (s_mm_ppm_decode), as packed ints: the shared source both fixture

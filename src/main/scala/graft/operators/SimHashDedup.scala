@@ -39,13 +39,26 @@ object SimHashDedup {
     * equi-join (sound for maxHamming <= 3 with 4 chunks).
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 disjoint 16-bit chunks are only sound up to distance 3")
+                   maxHamming: Int = 3): DataFrame =
     // cache: both self-join sides derive from the 64-way aggregate —
     // without this the dominant fingerprint computation runs twice
     // (one-shot harness; long-lived sessions can spark.catalog.clearCache())
-    val fp = fingerprints(docs, textCol, idCol).cache()
-    val chunked = fp.select(col(idCol), col("simhash"),
+    pairsFromFingerprints(
+      fingerprints(docs, textCol, idCol).cache(), idCol, "simhash", maxHamming)
+
+  /** The pigeonhole candidate join over ANY precomputed 64-bit
+    * fingerprint frame — the same machinery serves text simhashes and
+    * perceptual image hashes (Multimodal.dHash, r14): fingerprints
+    * within Hamming distance d agree exactly on one of d+1 disjoint
+    * 16-bit chunks, so candidates are an equi-join on (chunk, value),
+    * never an all-pairs scan.
+    */
+  def pairsFromFingerprints(fp: DataFrame, idCol: String, fpCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 disjoint 16-bit chunks are only sound up to distance 3")
+    // normalize first: the chunk expr below resolves `simhash` by name
+    val fpn = fp.select(col(idCol), col(fpCol).as("simhash"))
+    val chunked = fpn.select(col(idCol), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), c -> named_struct('chunk', c, 'val', (simhash >> (c * 16)) & 65535))"))
         .as("cc"))

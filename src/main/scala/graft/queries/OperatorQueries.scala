@@ -323,6 +323,46 @@ object OperatorQueries extends QueryPack {
         sum("bad_ulaw").cast("long").as("ulaw_violations"))
     }),
 
+    // perceptual image near-dup at corpus scale (r14): per document, a
+    // smooth grayscale pattern (pure function of doc_id) and its
+    // re-post twin (uniform brightness +3, re-encoded through the REAL
+    // PNG codec) fingerprint via Multimodal.dHash and pair through the
+    // SAME SimHash pigeonhole chunk join the text path uses — an
+    // equi-join on 16-bit chunks, never all-pairs. dHash is EXACTLY
+    // brightness-invariant, so every twin pairs at hamming 0;
+    // self-proving: missed_twins == 0 corpus-wide. cross_pairs
+    // (unrelated images inside hamming 3) reported informationally.
+    "s_mm_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = 18; val h = 16 // 2x2-px boxes per dHash cell — smallest honest grid
+          val base = Multimodal.synthSmoothGray(id, w, h)
+          val shifted = base.map { p =>
+            val v = ((p >> 16) & 0xff) + 3
+            (v << 16) | (v << 8) | v
+          }
+          Seq(
+            (id, Multimodal.imageDHash(
+              Multimodal.encodeImage(w, h, base, "png")).get),
+            (id + 1000000000L, Multimodal.imageDHash(
+              Multimodal.encodeImage(w, h, shifted, "png")).get))
+        }.toDF("img_id", "fp").localCheckpoint() // hash once: pairs + count
+      val pairs = SimHashDedup.pairsFromFingerprints(
+        hashes, "img_id", "fp", maxHamming = 3)
+      val nImg = hashes.agg((count(lit(1)) / 2).cast("long").as("n_images"))
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("b_id") - col("a_id") === 1000000000L &&
+            col("hamming") === 0, 1).otherwise(0)).cast("long").as("twin_pairs"),
+          sum(when(col("b_id") - col("a_id") =!= 1000000000L, 1).otherwise(0))
+            .cast("long").as("cross_pairs"))
+        .crossJoin(broadcast(nImg))
+        .select(col("n_images"), col("n_pairs"), col("twin_pairs"),
+          col("cross_pairs"),
+          (col("n_images") - col("twin_pairs")).as("missed_twins"))
+    }),
+
     // cross-modal alignment (r14): ridge-fit the affine map from a
     // partial-observation modality (the embedding's first 16 coords —
     // "modality A features") into the full 64-dim embedding space, then

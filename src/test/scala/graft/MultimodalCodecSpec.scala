@@ -141,6 +141,60 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.gifMotionEnergy("not a gif".getBytes).isEmpty)
   }
 
+  // ---- perceptual image hashing (dHash) over the real codecs ----
+
+  test("dHash: exactly brightness-invariant; PNG round-trip exact; JPEG within the pigeonhole radius; distinct images far apart") {
+    val w = 36; val h = 24
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (id <- Seq(0L, 7L, 123L, 4096L)) {
+      val base = Multimodal.synthSmoothGray(id, w, h)
+      val hBase = Multimodal.dHash(w, h, base)
+      // uniform brightness shift: differences cancel, hash EXACT
+      val shifted = base.map { p =>
+        val v = ((p >> 16) & 0xff) + 17; (v << 16) | (v << 8) | v
+      }
+      assert(Multimodal.dHash(w, h, shifted) == hBase, s"brightness moved dHash for id=$id")
+      // lossless codec round-trip: exact
+      assert(Multimodal.imageDHash(
+        Multimodal.encodeImage(w, h, base, "png")).get == hBase)
+      // real JPEG: quantization may flip borderline bits, but smooth
+      // content stays inside the hamming-3 pigeonhole radius
+      val hJpeg = Multimodal.imageDHash(
+        Multimodal.encodeImage(w, h, base, "jpeg")).get
+      assert(hamming(hBase, hJpeg) <= 3,
+        s"JPEG moved dHash by ${hamming(hBase, hJpeg)} for id=$id")
+    }
+    // unrelated patterns land far outside the radius
+    val pairsChecked = for (a <- 0L to 4L; b <- (a + 1) to 5L) yield {
+      val d = hamming(
+        Multimodal.dHash(w, h, Multimodal.synthSmoothGray(a, w, h)),
+        Multimodal.dHash(w, h, Multimodal.synthSmoothGray(b, w, h)))
+      assert(d > 3, s"ids $a/$b too close: hamming $d")
+      d
+    }
+    assert(pairsChecked.nonEmpty)
+  }
+
+  test("pairsFromFingerprints: the pigeonhole join finds planted image twins, never all-pairs artifacts") {
+    import spark.implicits._
+    val w = 36; val h = 24
+    val rows = (0L until 20L).flatMap { id =>
+      val base = Multimodal.synthSmoothGray(id, w, h)
+      val shifted = base.map { p =>
+        val v = ((p >> 16) & 0xff) + 3; (v << 16) | (v << 8) | v
+      }
+      Seq((id, Multimodal.dHash(w, h, base)),
+        (id + 1000L, Multimodal.dHash(w, h, shifted)))
+    }.toDF("img_id", "fp")
+    val pairs = graft.operators.SimHashDedup
+      .pairsFromFingerprints(rows, "img_id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twins = pairs.filter { case (a, b, _) => b - a == 1000L }
+    assert(twins.length == 20, s"all 20 planted twins must pair, got ${twins.length}")
+    assert(twins.forall(_._3 == 0L), "brightness twins sit at hamming 0")
+    assert(pairs.forall { case (a, b, hd) => a < b && hd <= 3 })
+  }
+
   // ---- audio: AIFF/AU containers + µ-law codec via javax.sound ----
 
   private def toneWav(freq: Double = 440, sr: Int = 8000, n: Int = 1600) =
