@@ -58,6 +58,37 @@ object PqTune {
       ("r14 AUTO (AnnPq.autoConfig)", {
         val (nl, np, rr) = graft.operators.AnnPq.autoConfig(n)
         (nl, np, 1, 10, rr)
+      }),
+      // r15 grid (VERDICT r14 #6): hold recall@5 >= 0.9 at <= 25% scan.
+      // Coarse recall binds on this corpus (r10/r13/r14), so the lever
+      // tested is FINER CELLS at the lower scan fraction (the r14
+      // finding — coefficient 4.0 beat 2.86 at equal scan), with rerank
+      // still tracking candidate volume; an rr-heavy control separates
+      // rerank-cut effects from coarse dilution.
+      ("r15 25% c4:  4√n np=nl/4 rr.6c", {
+        val nl = math.max(16, (4.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      ("r15 25% c4 rr-heavy: rr1.0c", {
+        val nl = math.max(16, (4.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(1.0 * n * np / nl).toInt))
+      }),
+      ("r15 25% c6:  6√n np=nl/4 rr.6c", {
+        val nl = math.max(16, (6.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      ("r15 25% c8:  8√n np=nl/4 rr.6c", {
+        val nl = math.max(16, (8.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      ("r15 18.75% c8: 8√n np=3nl/16", {
+        val nl = math.max(16, (8.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl * 3 / 16)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
       }))
     for ((name, (nl, np, sp, it, rr)) <- grid) {
       val r = recall(nl, np, sp, it, rr)

@@ -212,30 +212,73 @@ object Multimodal {
     true
   }
 
-  /** REAL compressed-image decode via the JDK's codecs: JPEG, PNG, GIF,
-    * BMP (format sniffed from the bytes — ImageIO picks the reader).
-    * Returns (width, height, row-major packed 0xRRGGBB pixels); None on
-    * malformed/unsupported blobs, so callers degrade to the stub — the
-    * same contract as [[decodePpm]]. Alpha is dropped (media-curation
-    * features are RGB statistics; a transparent-aware pipeline would
-    * composite first).
+  /** Decode pixel budget: a compressed image declaring more than this
+    * many pixels is refused BEFORE any raster allocation. A
+    * decompression-bomb PNG/GIF is a few KB declaring e.g. 60000×60000 —
+    * a full `ImageIO.read` would allocate w·h ints (14 GB there) and the
+    * resulting OutOfMemoryError is NOT covered by a NonFatal catch, so
+    * one hostile blob in a media corpus would kill the executor task.
+    * 64M px (a 8192×8192 raster ≈ 256 MB packed) comfortably covers real
+    * curation media while keeping the worst-case allocation bounded.
     */
-  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Reader-scoped bracket: sniffs a reader for `bytes`, hands it to `f`
+    * with its input attached, and ALWAYS disposes reader + stream —
+    * acquisition happens inside the try, so a throw during
+    * `createImageInputStream`/`getImageReaders` can never leak a reader
+    * (the r14 `decodeGifFrames` acquired both before entering its
+    * try/finally). Any NonFatal from `f` degrades to None — the shared
+    * malformed-blob contract of every decode path.
+    */
+  private def withImageReader[T](bytes: Array[Byte])
+                                (f: javax.imageio.ImageReader => Option[T]): Option[T] = {
     val _ = imageIoReady
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var r: javax.imageio.ImageReader = null
     try {
-      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (im == null) None // no registered reader recognized the bytes
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None // no registered reader recognized the bytes
       else {
-        val w = im.getWidth; val h = im.getHeight
-        // bulk ARGB grab, then mask alpha off: one pass, no per-pixel
-        // ColorModel dance, identical packing to pixelStats's contract
-        val px = im.getRGB(0, 0, w, h, null, 0, w)
-        var i = 0
-        while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
-        Some((w, h, px))
+        r = readers.next()
+        r.setInput(iis)
+        f(r)
       }
     } catch { case scala.util.control.NonFatal(_) => None } // truncated/hostile blob
+    finally {
+      if (r != null) r.dispose()
+      if (iis != null) iis.close()
+    }
   }
+
+  /** Bulk ARGB grab with alpha masked off: one pass, no per-pixel
+    * ColorModel dance, identical packing to pixelStats's contract. */
+  private def packedRgb(im: java.awt.image.BufferedImage): Array[Int] = {
+    val px = im.getRGB(0, 0, im.getWidth, im.getHeight, null, 0, im.getWidth)
+    var i = 0
+    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+    px
+  }
+
+  /** REAL compressed-image decode via the JDK's codecs: JPEG, PNG, GIF,
+    * BMP, TIFF (format sniffed from the bytes — ImageIO picks the
+    * reader). Returns (width, height, row-major packed 0xRRGGBB pixels);
+    * None on malformed/unsupported blobs, so callers degrade to the stub
+    * — the same contract as [[decodePpm]]. Alpha is dropped
+    * (media-curation features are RGB statistics; a transparent-aware
+    * pipeline would composite first). Dimensions are read from the
+    * HEADER (`ImageReader.getWidth`/`getHeight`, no raster decode) and
+    * checked against [[MaxDecodePixels]] before the full decode, so a
+    * decompression bomb refuses cheaply instead of OOMing the task.
+    */
+  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    withImageReader(bytes) { r =>
+      val w = r.getWidth(0); val h = r.getHeight(0) // header only — no raster
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+      else Some((w, h, packedRgb(r.read(0))))
+    }
 
   /** Compressed image → the same 16-float feature layout as
     * [[decodePpm]], through the SHARED [[pixelStats]] kernel — so a
@@ -249,7 +292,8 @@ object Multimodal {
     }
 
   /** REAL image encode via the JDK's writers — `format` ∈ {"png",
-    * "jpeg"} (the JDK's writer set). Deterministic for a fixed JDK
+    * "jpeg", "gif", "bmp", "tiff"} (the JDK's writer set).
+    * Deterministic for a fixed JDK
     * (MultimodalCodecSpec pins it), which is what lets registry
     * queries synthesize compressed fixtures per doc_id.
     */
@@ -262,7 +306,8 @@ object Multimodal {
     im.setRGB(0, 0, w, h, rgb, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(im, format, bos),
-      s"no JDK writer for image format '$format' (JDK writers: png, jpeg)")
+      s"no JDK writer for image format '$format' " +
+        "(JDK writers: png, jpeg, gif, bmp, tiff)")
     bos.toByteArray
   }
 
@@ -310,55 +355,172 @@ object Multimodal {
       }
   }
 
-  /** REAL multi-frame container decode: animated GIF through the JDK's
-    * GIF reader (`getNumImages` + per-frame `read`) — the first
-    * real-world VIDEO-shaped container the engine decodes with an
-    * actual codec (the PPMV chain is real parsing of a codec-free
-    * concatenation). Returns each frame's (width, height, packed
-    * 0xRRGGBB pixels), in order; None on malformed input or an empty
-    * sequence. Frames come back AS STORED: full-frame GIFs (what
-    * [[encodeGif]] writes, and the common screen-capture case) carry
-    * whole rasters; a delta-coded GIF (per-frame offsets + disposal)
-    * would need metadata compositing — documented debt, same honesty
-    * rule as the mp3/mp4 stubs.
+  /** One stored GIF frame's placement metadata: raster offset within the
+    * logical screen plus its disposal method — what delta-coded GIFs use
+    * to store only the changed rectangle per frame.
     */
-  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
-    val _ = imageIoReady
-    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
-    if (!readers.hasNext) return None
-    val r = readers.next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      r.setInput(iis)
-      val n = r.getNumImages(true)
-      if (n < 1) return None
-      val out = Seq.newBuilder[(Int, Int, Array[Int])]
-      var i = 0
-      while (i < n) {
-        val im = r.read(i)
-        val w = im.getWidth; val h = im.getHeight
-        val px = im.getRGB(0, 0, w, h, null, 0, w)
-        var j = 0
-        while (j < px.length) { px(j) = px(j) & 0xffffff; j += 1 }
-        out += ((w, h, px))
-        i += 1
+  private case class GifFrameMeta(left: Int, top: Int, disposal: String)
+
+  /** Walks a frame's `javax_imageio_gif_image_1.0` metadata tree for the
+    * ImageDescriptor offsets and the GraphicControlExtension disposal
+    * method (defaults: origin placement, "none" disposal — the values a
+    * full-frame GIF effectively carries).
+    */
+  private def gifFrameMeta(md: javax.imageio.metadata.IIOMetadata): GifFrameMeta = {
+    val root = md.getAsTree("javax_imageio_gif_image_1.0")
+    var left = 0; var top = 0; var disposal = "none"
+    val kids = root.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val n = kids.item(i)
+      val at = n.getAttributes
+      def attr(name: String): Option[String] =
+        Option(at.getNamedItem(name)).map(_.getNodeValue)
+      n.getNodeName match {
+        case "ImageDescriptor" =>
+          left = attr("imageLeftPosition").flatMap(_.toIntOption).getOrElse(0)
+          top = attr("imageTopPosition").flatMap(_.toIntOption).getOrElse(0)
+        case "GraphicControlExtension" =>
+          disposal = attr("disposalMethod").getOrElse("none")
+        case _ =>
       }
-      Some(out.result())
-    } catch { case scala.util.control.NonFatal(_) => None }
-    finally { r.dispose(); iis.close() }
+      i += 1
+    }
+    GifFrameMeta(left, top, disposal)
   }
+
+  /** REAL multi-frame container decode: animated GIF through the JDK's
+    * GIF reader (`getNumImages` + per-frame `read`), COMPOSITED — each
+    * emitted frame is the full logical-screen raster as a viewer would
+    * display it. Delta-coded GIFs (per-frame offsets, transparency,
+    * disposal modes — the r14 documented debt) composite through the
+    * reader's own per-frame metadata: a frame draws its non-transparent
+    * pixels at its declared offset over the current canvas, and after
+    * emission its disposal applies ("none"/"doNotDispose" keep,
+    * "restoreToBackgroundColor" clears the frame rect, "restoreToPrevious"
+    * reverts the draw). A full-frame GIF (what [[encodeGif]] writes with
+    * no placements) composites to exactly its stored rasters, so the
+    * pre-compositing contract is unchanged there — and a delta-coded
+    * re-encode of the same animation decodes BIT-EQUAL to its full-frame
+    * twin (MultimodalCodecSpec + the s_mm_gif_motion delta fixture).
+    *
+    * Canvas size is the max frame extent (offset + raster), which equals
+    * the logical screen for any GIF whose first frame covers it — robust
+    * against a corrupt/hostile logical-screen descriptor. Uncovered
+    * pixels render black (features are RGB stats; background-color
+    * nuance is palette cosmetics). None on malformed input, an empty
+    * sequence, non-GIF bytes, or any frame/canvas past
+    * [[MaxDecodePixels]] (the same decompression-bomb budget as
+    * [[decodeImagePixels]], applied per frame AND to the canvas).
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
+    withImageReader(bytes) { r =>
+      if (!r.getFormatName.equalsIgnoreCase("gif")) None
+      else {
+        val n = r.getNumImages(true)
+        if (n < 1) None
+        else {
+          // pass 1 — headers only: placements, disposal, canvas extent
+          val metas = new Array[GifFrameMeta](n)
+          val dims = new Array[(Int, Int)](n)
+          var cw = 0; var ch = 0
+          var ok = true
+          var i = 0
+          while (i < n && ok) {
+            val w = r.getWidth(i); val h = r.getHeight(i)
+            val m = gifFrameMeta(r.getImageMetadata(i))
+            if (w <= 0 || h <= 0 || m.left < 0 || m.top < 0 ||
+              w.toLong * h > MaxDecodePixels) ok = false
+            else {
+              metas(i) = m; dims(i) = (w, h)
+              cw = math.max(cw, m.left + w); ch = math.max(ch, m.top + h)
+            }
+            i += 1
+          }
+          if (!ok || cw.toLong * ch > MaxDecodePixels) None
+          else {
+            // pass 2 — rasters, composited over a persistent canvas
+            val canvas = new Array[Int](cw * ch) // uncovered = black
+            val out = Seq.newBuilder[(Int, Int, Array[Int])]
+            i = 0
+            while (i < n) {
+              val (w, h) = dims(i)
+              val m = metas(i)
+              val im = r.read(i)
+              // keep alpha: a delta frame's transparent pixels mean
+              // "previous canvas shows through"
+              val px = im.getRGB(0, 0, w, h, null, 0, w)
+              val saved =
+                if (m.disposal == "restoreToPrevious") canvas.clone() else null
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = px(y * w + x)
+                  if ((p >>> 24) != 0)
+                    canvas((m.top + y) * cw + (m.left + x)) = p & 0xffffff
+                  x += 1
+                }
+                y += 1
+              }
+              out += ((cw, ch, canvas.clone()))
+              m.disposal match {
+                case "restoreToPrevious" =>
+                  System.arraycopy(saved, 0, canvas, 0, canvas.length)
+                case "restoreToBackgroundColor" =>
+                  var yy = 0
+                  while (yy < h) {
+                    java.util.Arrays.fill(canvas, (m.top + yy) * cw + m.left,
+                      (m.top + yy) * cw + m.left + w, 0)
+                    yy += 1
+                  }
+                case _ => // none / doNotDispose: canvas persists
+              }
+              i += 1
+            }
+            Some(out.result())
+          }
+        }
+      }
+    }
+
+  /** One frame to write into a delta-coded GIF: a (possibly partial)
+    * raster placed at (left, top) on the logical screen, with its
+    * disposal method ("none", "restoreToBackgroundColor",
+    * "restoreToPrevious").
+    */
+  case class GifDeltaFrame(left: Int, top: Int, w: Int, h: Int,
+                           px: Array[Int], disposal: String = "none")
 
   /** Animated-GIF encode via the JDK writer's sequence API — the
     * deterministic multi-frame fixture writer (MultimodalCodecSpec pins
-    * byte determinism). All frames share (w, h); palettization is the
-    * writer's — callers keep fixtures within 256 colors for exactness.
+    * byte determinism). All frames share (w, h) at origin placement;
+    * palettization is the writer's — callers keep fixtures within 256
+    * colors for exactness.
     */
   def encodeGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
-    val _ = imageIoReady
     require(frames.nonEmpty, "an animated GIF needs at least one frame")
     require(frames.forall(_.length == w * h),
       s"every frame must be ${w}x$h (${w * h} pixels)")
+    encodeGifDelta(frames.map(f => GifDeltaFrame(0, 0, w, h, f)))
+  }
+
+  /** DELTA-CODED animated-GIF encode: each frame stores only its own
+    * rectangle at its declared (left, top) placement, with per-frame
+    * disposal — real ImageDescriptor/GraphicControlExtension metadata
+    * through the JDK writer's sequence API, which is what makes
+    * [[decodeGifFrames]]'s compositing provable against a bit-equal
+    * full-frame twin instead of merely plausible. The first frame should
+    * cover the logical screen (standard practice; also what pins the
+    * canvas extent).
+    */
+  def encodeGifDelta(frames: Seq[GifDeltaFrame]): Array[Byte] = {
+    val _ = imageIoReady
+    require(frames.nonEmpty, "an animated GIF needs at least one frame")
+    frames.foreach { f =>
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.px.length == f.w * f.h, s"bad frame geometry ${f.w}x${f.h}@${f.left},${f.top}")
+    }
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -367,9 +529,28 @@ object Multimodal {
       wr.prepareWriteSequence(null)
       frames.foreach { f =>
         val im = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        im.setRGB(0, 0, w, h, f, 0, w)
-        wr.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+          f.w, f.h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        im.setRGB(0, 0, f.w, f.h, f.px, 0, f.w)
+        val md = wr.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(im), null)
+        val fmtName = "javax_imageio_gif_image_1.0"
+        val root = new javax.imageio.metadata.IIOMetadataNode(fmtName)
+        val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", f.left.toString)
+        desc.setAttribute("imageTopPosition", f.top.toString)
+        desc.setAttribute("imageWidth", f.w.toString)
+        desc.setAttribute("imageHeight", f.h.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", f.disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(desc)
+        root.appendChild(gce)
+        md.mergeTree(fmtName, root)
+        wr.writeToSequence(new javax.imageio.IIOImage(im, null, md), null)
       }
       wr.endWriteSequence()
     } finally { ios.close(); wr.dispose() }
@@ -457,9 +638,16 @@ object Multimodal {
     bits
   }
 
-  /** dHash of any decodable compressed image; None on malformed. */
+  /** dHash of any decodable compressed image; None on malformed — AND on
+    * a valid image smaller than the 9×8 grid, which [[dHash]] itself
+    * refuses: an undersized thumbnail must degrade like a corrupt blob,
+    * never throw inside an executor task (the degrade-never-fail
+    * contract every decode path carries).
+    */
   def imageDHash(bytes: Array[Byte]): Option[Long] =
-    decodeImagePixels(bytes).map { case (w, h, px) => dHash(w, h, px) }
+    decodeImagePixels(bytes)
+      .filter { case (w, h, _) => w >= 9 && h >= 8 }
+      .map { case (w, h, px) => dHash(w, h, px) }
 
   /** Deterministic smooth grayscale test pattern — a 2-D sinusoid whose
     * frequencies and phases are pure functions of `id`: smooth enough
@@ -619,24 +807,84 @@ object Multimodal {
   // the µ-law/A-law telephony codecs, and converts between encodings —
   // real codecs, no external jars (probed in this container's JDK 17).
 
+  /** Per-JVM cached audio SPI registries — the audio analog of
+    * `imageIoReady`'s disk-cache fix. Every `AudioSystem.
+    * getAudioInputStream` / conversion / `write` call re-walks the
+    * provider registry via a ServiceLoader scan (JDK 9+ dropped
+    * JDK13Services' caching period), and that scan synchronizes — so
+    * per-row codec work over a corpus (32 tasks × thousands of blobs ×
+    * several calls each) multiplies into contended registry walks that a
+    * loaded host amplifies far past the codec work itself (the r14
+    * driver bench read s_mm_audio_codec at 4.4× its committed stamp
+    * while every other query sat at the ~1.2× host factor). The
+    * providers are immutable JDK-module services: resolve each list ONCE
+    * per JVM (lazy vals — also the per-JVM pre-touch, forcing provider
+    * class-init before parallel tasks), then dispatch directly. Public
+    * API only: `javax.sound.sampled.spi.*` + `ServiceLoader`.
+    */
+  private object AudioSpi {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, UnsupportedAudioFileException}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter, FormatConversionProvider}
+    import scala.jdk.CollectionConverters._
+
+    lazy val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+    lazy val writers: List[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toList
+    lazy val converters: List[FormatConversionProvider] =
+      java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
+
+    /** Container sniff over cached readers — AudioSystem's probe loop
+      * without its per-call registry scan. Throws
+      * UnsupportedAudioFileException when nothing recognizes the bytes
+      * (callers' NonFatal catch degrades it to None).
+      */
+    def audioInputStream(bytes: Array[Byte]): AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch { case _: UnsupportedAudioFileException => in.reset() }
+      }
+      throw new UnsupportedAudioFileException("no cached reader recognized the bytes")
+    }
+
+    /** Format conversion through the cached codec providers. */
+    def convert(target: AudioFormat, src: AudioInputStream): AudioInputStream =
+      if (src.getFormat.matches(target)) src
+      else converters.iterator
+        .find(_.isConversionSupported(target, src.getFormat))
+        .map(_.getAudioInputStream(target, src))
+        .getOrElse(throw new UnsupportedAudioFileException(
+          s"no cached codec converts ${src.getFormat} -> $target"))
+
+    /** Container write through the cached writers. */
+    def write(src: AudioInputStream, typ: AudioFileFormat.Type,
+              out: java.io.OutputStream): Unit =
+      writers.iterator.find(_.isFileTypeSupported(typ, src)) match {
+        case Some(w) => w.write(src, typ, out)
+        case None => throw new IllegalArgumentException(
+          s"no cached writer for audio container $typ")
+      }
+  }
+
   /** REAL audio decode for any JDK-supported container/codec — AIFF,
     * AU, WAVE, including µ-law/A-law payloads: the stream converts to
     * PCM16 and channel-averages to the same [-1, 1] sample contract as
     * [[decodeWavPcm]]. Returns (sampleRate, samples); None on
     * unrecognized/malformed bytes (degrade, never fail the stage).
+    * Dispatches through [[AudioSpi]]'s cached providers — identical
+    * codecs, no per-call registry scan.
     */
   def decodeAudioPcm(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     try {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = AudioSpi.audioInputStream(bytes)
       try {
         val sf = in.getFormat
         val target = new AudioFormat(sf.getSampleRate, 16, sf.getChannels,
           true, false) // PCM16 signed little-endian, channels kept
-        val conv =
-          if (sf.matches(target)) in
-          else AudioSystem.getAudioInputStream(target, in)
+        val conv = AudioSpi.convert(target, in)
         val raw = conv.readAllBytes()
         val ch = sf.getChannels
         val n = raw.length / (2 * ch)
@@ -709,11 +957,12 @@ object Multimodal {
   /** REAL audio encode via the JDK — PCM16 samples into an AIFF/AU/WAVE
     * container, optionally through the µ-law telephony codec (8-bit,
     * the real lossy conversion). The fixture/transcode writer side of
-    * [[decodeAudioPcm]]; deterministic for a fixed JDK.
+    * [[decodeAudioPcm]]; deterministic for a fixed JDK. Conversion and
+    * write dispatch through [[AudioSpi]]'s cached providers.
     */
   def encodeAudio(pcm: Array[Float], sampleRate: Int, container: String,
                   ulaw: Boolean = false): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     require(pcm.nonEmpty, "no samples")
     val raw = new Array[Byte](pcm.length * 2)
     var i = 0
@@ -728,7 +977,7 @@ object Multimodal {
     var ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong)
     if (ulaw)
-      ais = AudioSystem.getAudioInputStream(
+      ais = AudioSpi.convert(
         new AudioFormat(AudioFormat.Encoding.ULAW, sampleRate.toFloat, 8, 1, 1,
           sampleRate.toFloat, false), ais)
     val typ = container match {
@@ -739,7 +988,7 @@ object Multimodal {
         s"unsupported audio container '$other' (JDK writers: wav, aiff, au)")
     }
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, typ, bos)
+    AudioSpi.write(ais, typ, bos)
     bos.toByteArray
   }
 

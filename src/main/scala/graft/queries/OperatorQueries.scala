@@ -168,21 +168,25 @@ object OperatorQueries extends QueryPack {
     // persisted-index ANN: train+save once, append new vectors against
     // the frozen centroids, serve the search from disk with the probed
     // cells partition-pruning the lists scan; search-after-reload ≡
-    // fresh build proven in AnnStoreSpec
+    // fresh build proven in AnnStoreSpec. The store (save + append)
+    // builds ONCE per JVM via Fixtures (r15, VERDICT r14 #1b — the r9
+    // "queries whose subject is a store READ path" rule: the driver
+    // bench was charging 3.9 s of save+append fixture construction to
+    // every invocation); the measured query is the cell-pruned SEARCH.
+    // The BUILD path keeps first-class coverage in AnnStoreSpec and the
+    // IngestPipeline catch-up specs.
     "s_sim_ann_store" -> ((s, dir) => {
-      import s.implicits._
       val emb = Tables.t(s, dir, "embeddings")
-      val base = java.nio.file.Files.createTempDirectory("graft_annstore").toString
-      graft.operators.AnnIndexStore.save(s, emb, base)
-      graft.operators.AnnIndexStore.append(s,
-        emb.filter(col("vec_id") < 3)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), base)
-      val rows = graft.operators.AnnIndexStore
+      val (base, _) = Fixtures.store("annstore_app", dir) { fx =>
+        graft.operators.AnnIndexStore.save(s, emb, fx)
+        graft.operators.AnnIndexStore.append(s,
+          emb.filter(col("vec_id") < 3)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), fx)
+        Map.empty
+      }
+      graft.operators.AnnIndexStore
         .searchTopK(s, base, emb.filter(col("vec_id") < 10))
-        .collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-      rmTree(base) // results are driver-side; don't leak the scratch dir
-      rows.toDF("probe_id", "neighbor_id", "sim", "rn")
+        .select("probe_id", "neighbor_id", "sim", "rn")
     }),
 
     // multimodal binary-column featurize (stubbed decode, real plumbing)
@@ -299,12 +303,18 @@ object OperatorQueries extends QueryPack {
     // output self-proves the contracts corpus-wide: lossless container
     // RMS within re-quantization noise of the analytic amp/√2, µ-law
     // within its telephony error bound. Map-only; blobs stay put.
+    // Fixture budgeted by samples×docs (r15, VERDICT r14 #1a): 400
+    // samples/tone — the RMS contracts are per-sample properties over
+    // whole cycles, so half the samples prove the same thing at half
+    // the codec work; the conversion chain itself now runs on cached
+    // SPI providers (Multimodal.AudioSpi) instead of re-scanning the
+    // registry per call.
     "s_mm_audio_codec" -> ((s, dir) => {
       import s.implicits._
       val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val freq = 200.0 + (id % 20) * 40.0 // freq·n/sr = 20+4k whole cycles
-          val wav = Multimodal.synthToneWav(freq, 8000, 800)
+          val freq = 200.0 + (id % 20) * 40.0 // freq·n/sr = 10+2k whole cycles
+          val wav = Multimodal.synthToneWav(freq, 8000, 400)
           val samples = Multimodal.decodeWavPcm(wav).get
           val rmsWav = Multimodal.audioFeatures(samples)(0).toDouble
           val aiff = Multimodal.encodeAudio(samples, 8000, "aiff")
@@ -323,6 +333,55 @@ object OperatorQueries extends QueryPack {
         sum("bad_ulaw").cast("long").as("ulaw_violations"))
     }),
 
+    // container-METADATA parsing for the codec-less formats (r15,
+    // VERDICT r14 #4 — the feasible half of "missing #1"): per document,
+    // spec-conformant mp4 / still-webp / animated-webp / mp3 fixtures
+    // (every parameter a pure function of doc_id, payload bytes dummy —
+    // the payload codec is exactly what the environment lacks) are
+    // synthesized and parsed back through the REAL box/chunk/frame-header
+    // walks in operators.MediaContainers. Self-proving corpus-wide: every
+    // parsed field must equal the generator's parameter (duration,
+    // dimensions, sample rate, frame and track counts), violations == 0.
+    // decodeStub is retired for these formats' METADATA; map-only.
+    "s_mm_container_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.MediaContainers._
+      val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val durMs = 1000L + (id % 10) * 500
+          val w = 320 + (id % 4).toInt * 160
+          val h = 240 + (id % 4).toInt * 120
+          val aRate = 8000 * (1 + (id % 3).toInt)
+          val vFrames = 24 + (id % 30).toInt
+          val mp4 = parseMp4(synthMp4(durMs, 1000, w, h, aRate, vFrames))
+          val mp4Ok = mp4.contains(ContainerMeta("mp4", durMs, w, h, aRate,
+            vFrames, 2))
+          val sw = 64 + (id % 50).toInt; val sh = 48 + (id % 40).toInt
+          val webp = parseWebp(synthWebp(sw, sh))
+          val webpOk = webp.contains(ContainerMeta("webp", -1L, sw, sh, -1, 1, 1))
+          val nf = 2 + (id % 6).toInt; val fms = 40 + (id % 5).toInt * 10
+          val anim = parseWebp(synthWebpAnim(sw, sh, nf, fms))
+          val animOk = anim.contains(ContainerMeta("webp", nf.toLong * fms,
+            sw, sh, -1, nf, 1))
+          val srIdx = (id % 3).toInt; val brIdx = 1 + (id % 14).toInt
+          val mFrames = 3 + (id % 8).toInt
+          val id3 = if (id % 2 == 1) 17 else 0
+          val sr = Seq(44100, 48000, 32000)(srIdx)
+          val mp3 = parseMp3(synthMp3(srIdx, brIdx, mFrames, id3))
+          val mp3Ok = mp3.contains(ContainerMeta("mp3",
+            mFrames.toLong * 1152 * 1000 / sr, -1, -1, sr, mFrames, 1))
+          (id, if (mp4Ok) 1L else 0L, if (webpOk) 1L else 0L,
+            if (animOk) 1L else 0L, if (mp3Ok) 1L else 0L,
+            if (mp4Ok && webpOk && animOk && mp3Ok) 0L else 1L)
+        }.toDF("doc_id", "mp4_ok", "webp_ok", "webp_anim_ok", "mp3_ok", "bad")
+      rows.agg(count(lit(1)).as("n_docs"),
+        sum("mp4_ok").as("mp4_ok"),
+        sum("webp_ok").as("webp_ok"),
+        sum("webp_anim_ok").as("webp_anim_ok"),
+        sum("mp3_ok").as("mp3_ok"),
+        sum("bad").as("violations"))
+    }),
+
     // perceptual image near-dup at corpus scale (r14): per document, a
     // smooth grayscale pattern (pure function of doc_id) and its
     // re-post twin (uniform brightness +3, re-encoded through the REAL
@@ -332,6 +391,12 @@ object OperatorQueries extends QueryPack {
     // brightness-invariant, so every twin pairs at hamming 0;
     // self-proving: missed_twins == 0 corpus-wide. cross_pairs
     // (unrelated images inside hamming 3) reported informationally.
+    // Twin ids encode DISJOINTLY by parity (base = 2·id, twin = 2·id+1;
+    // ADVICE r14): "is a twin pair" is a parity + adjacency test that
+    // cannot collide or alias at ANY doc_id magnitude, unlike the old
+    // +1e9 shift (a doc_id >= 1e9 collided; two doc_ids exactly 1e9
+    // apart miscounted a cross pair as a twin — and missed_twins would
+    // then MIS-REPORT rather than fail loudly).
     "s_mm_image_dedup" -> ((s, dir) => {
       import s.implicits._
       val hashes = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -343,19 +408,22 @@ object OperatorQueries extends QueryPack {
             (v << 16) | (v << 8) | v
           }
           Seq(
-            (id, Multimodal.imageDHash(
+            (2L * id, Multimodal.imageDHash(
               Multimodal.encodeImage(w, h, base, "png")).get),
-            (id + 1000000000L, Multimodal.imageDHash(
+            (2L * id + 1L, Multimodal.imageDHash(
               Multimodal.encodeImage(w, h, shifted, "png")).get))
         }.toDF("img_id", "fp").localCheckpoint() // hash once: pairs + count
       val pairs = SimHashDedup.pairsFromFingerprints(
         hashes, "img_id", "fp", maxHamming = 3)
       val nImg = hashes.agg((count(lit(1)) / 2).cast("long").as("n_images"))
+      // twin ⇔ (even a_id, b_id = a_id + 1): pairsFromFingerprints emits
+      // a_id < b_id, so the parity test is total and unambiguous
+      val isTwin = col("b_id") - col("a_id") === 1L && col("a_id") % 2 === 0
       pairs.agg(
           count(lit(1)).as("n_pairs"),
-          sum(when(col("b_id") - col("a_id") === 1000000000L &&
-            col("hamming") === 0, 1).otherwise(0)).cast("long").as("twin_pairs"),
-          sum(when(col("b_id") - col("a_id") =!= 1000000000L, 1).otherwise(0))
+          sum(when(isTwin && col("hamming") === 0, 1).otherwise(0))
+            .cast("long").as("twin_pairs"),
+          sum(when(!isTwin, 1).otherwise(0))
             .cast("long").as("cross_pairs"))
         .crossJoin(broadcast(nImg))
         .select(col("n_images"), col("n_pairs"), col("twin_pairs"),
@@ -371,6 +439,18 @@ object OperatorQueries extends QueryPack {
     // partials, driver solve, broadcast model); retrieval is the
     // broadcast-probe × corpus shape of q_sim_cosine_topk. Self-proving:
     // self_hits/n_probes is recall@1 of the learned alignment.
+    // Determinism contract (ADVICE r14): fitRidge weights are only
+    // partition-layout-stable to ~1e-8 (float reduce order), so NO
+    // output column may ride a knife-edge of an independently-computed
+    // double — the r9 never-ROUND(...,6) invariant. avg_top1_sim is
+    // therefore quantized to PERCENT BUCKETS (floor(sim·100) before the
+    // avg): a 1e-8 jitter flips a floor(·100) bucket only if a sim sits
+    // within 1e-8 of a 0.01 boundary — 1e6× more margin than
+    // ROUND(·,4)'s half-ulp tie. self_hits assumes no near-tie top-1:
+    // on this fixture the probe's own embedding wins by >> 1e-8 margin
+    // (CrossModalSpec's recall floor would red if the map degraded into
+    // tie territory), and the (sim desc, vec_id) tiebreak only matters
+    // below that margin.
     "s_xmodal_align" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
@@ -395,7 +475,7 @@ object OperatorQueries extends QueryPack {
         .agg(count(lit(1)).as("n_probes"),
           sum(when(col("probe_id") === col("vec_id"), 1).otherwise(0))
             .cast("long").as("self_hits"),
-          round(avg("sim_raw"), 4).as("avg_top1_sim"))
+          round(avg(floor(col("sim_raw") * 100)), 2).as("avg_top1_sim_pct"))
         .orderBy("label")
     }),
 
@@ -1144,35 +1224,69 @@ object OperatorQueries extends QueryPack {
     }),
 
     // the SAME motion metric over a REAL codec'd video-shaped container
-    // (r14): per document, a 5-frame animated GIF of solid-gray ramp
-    // frames (gray = base + t·step, pure function of doc_id, never
-    // clamped) round-trips through the JDK's actual GIF writer+reader;
-    // motion energy must equal the analytic step/255 to float
-    // precision. Self-proving corpus-wide like s_mm_video_motion;
-    // map-only — blobs never leave their partition.
+    // (r14; delta compositing r15): per document, a 5-frame animation
+    // on a 12×8 canvas — uniform gray-20 background, a 4×4 block at
+    // (4,2) ramping gray = 60 + t·step (step a pure function of doc_id,
+    // never clamped) — travels the JDK's actual GIF writer+reader TWICE:
+    // once full-frame, once DELTA-CODED (frame 0 full, frames 1..4 carry
+    // ONLY the 4×4 block at its ImageDescriptor offset). The composited
+    // decode of the delta twin must be BIT-EQUAL to the full-frame
+    // decode (closes the r14 "delta-coded GIF" debt with an exactness
+    // proof, not a tolerance), motion must equal the analytic
+    // step·16/(96·255), and the delta encode must actually be smaller
+    // (it really stored rectangles, not whole rasters). Self-proving
+    // corpus-wide; map-only — blobs never leave their partition.
     "s_mm_gif_motion" -> ((s, dir) => {
       import s.implicits._
       val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val cls = (id % 5).toInt
           val step = (cls + 1) * 4
-          val frames = (0 until 5).map { t =>
-            val g = 20 + t * step
-            Array.fill(8 * 8)((g << 16) | (g << 8) | g)
+          val w = 12; val h = 8
+          def gray(g: Int) = (g << 16) | (g << 8) | g
+          def fullFrame(t: Int): Array[Int] = {
+            val px = Array.fill(w * h)(gray(20))
+            val g = 60 + t * step
+            var y = 2
+            while (y < 6) {
+              var x = 4
+              while (x < 8) { px(y * w + x) = gray(g); x += 1 }
+              y += 1
+            }
+            px
           }
-          val gif = Multimodal.encodeGif(8, 8, frames)
+          val fullFrames = (0 until 5).map(fullFrame)
+          val gif = Multimodal.encodeGif(w, h, fullFrames)
+          val delta = Multimodal.encodeGifDelta(
+            Multimodal.GifDeltaFrame(0, 0, w, h, fullFrames.head) +:
+              (1 until 5).map { t =>
+                Multimodal.GifDeltaFrame(4, 2, 4, 4,
+                  Array.fill(16)(gray(60 + t * step)))
+              })
+          val a = Multimodal.decodeGifFrames(gif).get
+          val b = Multimodal.decodeGifFrames(delta).get
+          val deltaExact = a.length == b.length &&
+            a.zip(b).forall { case ((aw, ah, ap), (bw, bh, bp)) =>
+              aw == bw && ah == bh && ap.sameElements(bp)
+            }
           val motion = Multimodal.gifMotionEnergy(gif).get
-          val expected = step / 255.0
-          (cls, gif.length, motion, expected,
-            if (math.abs(motion - expected) > 1e-5) 1 else 0)
+          val motionDelta = Multimodal.gifMotionEnergy(delta).get
+          val expected = step * 16.0 / (96.0 * 255.0)
+          (cls, gif.length, delta.length, motion, expected,
+            if (math.abs(motion - expected) > 1e-5 || !deltaExact ||
+              motionDelta != motion || delta.length >= gif.length) 1 else 0,
+            if (deltaExact) 1L else 0L)
         }
-        .toDF("cls", "gif_bytes", "motion", "expected", "bad")
+        .toDF("cls", "gif_bytes", "delta_bytes", "motion", "expected",
+          "bad", "delta_exact")
       out.groupBy("cls")
         .agg(count(lit(1)).as("n_videos"),
           min("gif_bytes").as("min_gif_bytes"),
+          min("delta_bytes").as("min_delta_bytes"),
           round(avg("motion"), 6).as("motion"),
           round(avg("expected"), 6).as("expected"),
-          sum("bad").as("violations"))
+          sum("bad").as("violations"),
+          sum("delta_exact").as("delta_exact"))
         .orderBy("cls")
     }),
 

@@ -128,12 +128,25 @@ object QueueIngest {
     * forever), and malformed JSON degrades to a null id on the same
     * path. Erasure is content-convergent, so a redelivered ticket is
     * a commit-free no-op — at-least-once delivery is safe end to end.
+    *
+    * `mixedSpool = true` tails a spool SHARED with document messages
+    * (two consumer groups on one topic — QueueIngestSpec's concurrent-
+    * groups case): a ticket is by contract id-only, so any message
+    * carrying a `text` field is a document for the OTHER group and must
+    * not be misread as an erase ticket for its own id. Poison (torn
+    * JSON) still flows through — `$.text` extracts null there and the
+    * sink's absorption stays the single point of truth.
     */
   def streamEraseTickets(spark: SparkSession, dir: String,
-                         maxFilesPerTrigger: Int = 16): DataFrame =
-    stream(spark, dir, maxFilesPerTrigger)
+                         maxFilesPerTrigger: Int = 16,
+                         mixedSpool: Boolean = false): DataFrame = {
+    val lines = stream(spark, dir, maxFilesPerTrigger)
       .filter(length(trim(col("value"))) > 0)
-      .select(get_json_object(col("value"), "$.doc_id").as("doc_id"))
+    val tickets =
+      if (mixedSpool) lines.filter(get_json_object(col("value"), "$.text").isNull)
+      else lines
+    tickets.select(get_json_object(col("value"), "$.doc_id").as("doc_id"))
+  }
 
   /** Docs: spool → validated document stream, the frame
     * [[graft.streaming.IngestPipeline.start]] consumes (doc_id, text,

