@@ -89,6 +89,16 @@ object PqTune {
         val nl = math.max(16, (8.0 * math.sqrt(n.toDouble)).round.toInt)
         val np = math.max(1, nl * 3 / 16)
         (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      ("r15 25% c10: 10√n np=nl/4 rr.6c", {
+        val nl = math.max(16, (10.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      ("r15 25% c12: 12√n np=nl/4 rr.6c", {
+        val nl = math.max(16, (12.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 4)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
       }))
     for ((name, (nl, np, sp, it, rr)) <- grid) {
       val r = recall(nl, np, sp, it, rr)

@@ -32,39 +32,49 @@ import org.apache.spark.sql.functions._
   */
 object AnnPq {
 
-  /** Corpus-proportional (nlist, nprobe, rerank) at the fixed 37.5%
-    * coarse-scan fraction (VERDICT r13 #1 — a frozen nlist dilutes as
-    * the corpus grows):
+  /** Corpus-proportional (nlist, nprobe, rerank) at a fixed 25%
+    * coarse-scan fraction (r15, VERDICT r14 #6 — was 37.5% since r14;
+    * VERDICT r13 #1 introduced the √n scaling itself):
     *
-    *   - nlist ∝ √n (the standard IVF sizing: cell population √n keeps
-    *     per-cell scan and cell-ranking cost balanced), calibrated so
-    *     n = 500 reproduces the measured r13 config (64/24/256);
-    *   - nprobe = ⅜·nlist — scan fraction is corpus-INDEPENDENT;
+    *   - nlist = 10·√n (finer cells than the r14 4·√n: on this
+    *     weakly-clustered corpus, smaller cells at a FIXED scan
+    *     fraction keep buying recall — the r14 finding, pushed until
+    *     it plateaued);
+    *   - nprobe = ¼·nlist — scan fraction is corpus-INDEPENDENT and a
+    *     third lower than r14's ⅜ at BETTER recall;
     *   - rerank tracks the candidate volume n·nprobe/nlist (the r13
     *     finding: ADC mis-ranking is ~constant per candidate, so a
     *     fixed rerank cut silently degrades as candidates grow).
     *
-    * Measured (PqTune r14 grid, recall@5 at ~37.5% scan, 10 probes):
+    * Measured (PqTune r15 grid, recall@5, 10 probes):
     *
     * {{{
-    *   corpus n          frozen r13 (64/24/256)   autoConfig
-    *   sf0.001 n=500     0.92                     0.98  (89/33/256)
-    *   sf0.01  n=500     0.88                     0.92  (89/33/256)
-    *   sf0.1   n=2000    0.82                     0.98  (179/67/450)
+    *   corpus n        r14 auto (4√n, 37.5%)   r15 auto (10√n, 25%)
+    *   sf0.001 n=500   0.98  (89/33/256)       1.00  (224/56/256)
+    *   sf0.01  n=500   0.92  (89/33/256)       0.98  (224/56/256)
+    *   sf0.1  n=2000   0.98  (179/67/450)      0.98  (447/111/298)
     * }}}
     *
-    * Decomposed at n=2000: rerank-scaling alone (64/24/450) moved
-    * NOTHING (0.82 — the constraint had rotated back to coarse
-    * dilution, r10's finding); √n-scaled nlist alone (176/66/256) gave
-    * 0.92; both together 0.96–0.98. The coefficient 4.0 beat 2.86
-    * (0.98 vs 0.90 at n=2000) — smaller cells at equal scan fraction
-    * keep winning on this weakly-clustered corpus. OperatorSpec
-    * asserts the 0.9 floor at the LARGEST SF, where the frozen config
-    * had silently decayed.
+    * How the 25% cut was found (kept so nobody re-walks dead ends):
+    * at np=nl/4 the coefficient ladder read c4 0.86–0.90 / c6 0.88–0.96
+    * / c8 0.90–0.96 / c10 0.98–1.00 / c12 0.98–1.00 across SFs — c10 is
+    * the plateau knee; rerank-heavy at c4 (rr 1.0·cands) moved NOTHING,
+    * so ADC distortion never binds and an OPQ-style rotation has no
+    * recall to win here (not implemented, by measurement); 18.75% scan
+    * at c8 dipped to 0.84 at sf0.1 — 25% is the honest floor for this
+    * corpus. Deeper k-means and spill-to-2-cells both measured NO GAIN
+    * in earlier rounds (r13 scaladoc below). OperatorSpec asserts the
+    * 0.9 floor at the LARGEST SF, where frozen configs silently decay.
+    *
+    * 100 TB note: assignment cost is n·nlist·dim mul-adds; at n ~ 1e9,
+    * nlist = 10√n ≈ 316k turns the flat argmin into the bottleneck —
+    * the standard fix is a two-level coarse quantizer (√nlist super-
+    * cells over the centroids), which composes with everything here
+    * because assignment is already an isolated map-only kernel.
     */
   def autoConfig(n: Long): (Int, Int, Int) = {
-    val nlist = math.max(16, math.min(n, (4.0 * math.sqrt(n.toDouble)).round).toInt)
-    val nprobe = math.max(1, (nlist * 3 + 4) / 8)
+    val nlist = math.max(16, math.min(n, (10.0 * math.sqrt(n.toDouble)).round).toInt)
+    val nprobe = math.max(1, nlist / 4)
     val cands = n.toDouble * nprobe / nlist
     val rerank = math.max(256, math.ceil(0.6 * cands).toInt)
     (nlist, nprobe, rerank)

@@ -135,10 +135,11 @@ object OperatorQueries extends QueryPack {
 
     // IVF (k-means inverted lists) approximate top-5 cosine — the
     // data-adaptive scale path. nlist/nprobe are CORPUS-PROPORTIONAL
-    // (r14, VERDICT r13 #1): nlist ∝ √n at the fixed ~37.5% scan
-    // fraction via AnnPq.autoConfig — a frozen nlist dilutes as the
-    // corpus grows (the measured r13 IVF-PQ decay; plain IVF's recall
-    // IS its coarse recall, so it dilutes identically)
+    // (r14, VERDICT r13 #1; scan cut to 25% in r15): nlist = 10√n at
+    // the fixed 25% scan fraction via AnnPq.autoConfig — a frozen
+    // nlist dilutes as the corpus grows (the measured r13 IVF-PQ
+    // decay; plain IVF's recall IS its coarse recall, so it dilutes
+    // identically)
     "s_sim_ann_ivf" -> ((s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
       val (nl, np, _) = graft.operators.AnnPq.autoConfig(emb.count())
@@ -153,11 +154,13 @@ object OperatorQueries extends QueryPack {
     // IVF-PQ: inverted lists prune the candidates, residual-encoded PQ
     // codes shrink what the pruned scan reads — the standard
     // billion-vector composition (IVFADC). The config is
-    // CORPUS-PROPORTIONAL (r14, VERDICT r13 #1 — AnnPq.autoConfig):
-    // nlist ∝ √n at the fixed ~37.5% scan, rerank tracking the
-    // candidate volume n·nprobe/nlist. Measured recall@5 (PqTune r14):
-    // 0.98/0.92/0.98 at sf0.001/0.01/0.1 vs the frozen r13 config's
-    // 0.92/0.88/0.82 (floors in OperatorSpec, incl. at sf0.1)
+    // CORPUS-PROPORTIONAL (r14, VERDICT r13 #1 — AnnPq.autoConfig),
+    // and r15 cut the scan fraction 37.5% → 25% at BETTER recall
+    // (VERDICT r14 #6): nlist = 10√n, nprobe = nlist/4, rerank
+    // tracking candidate volume. Measured recall@5 (PqTune r15):
+    // 1.00/0.98/0.98 at sf0.001/0.01/0.1 vs the r14 37.5% config's
+    // 0.98/0.92/0.98 (floors in OperatorSpec, incl. at sf0.1; the
+    // decision ladder lives in AnnPq.autoConfig's scaladoc)
     "s_sim_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
       val (nl, np, rr) = graft.operators.AnnPq.autoConfig(emb.count())

@@ -264,12 +264,12 @@ class OperatorSpec extends SparkSpec {
     recalls.sum / recalls.size
   }
 
-  test("ann-ivfpq: corpus-proportional config holds recall@5 >= 0.85 at ~37.5% scan") {
+  test("ann-ivfpq: corpus-proportional config holds recall@5 >= 0.85 at 25% scan") {
     // r14 (VERDICT r13 #1): the registry entry runs AnnPq.autoConfig —
-    // nlist ∝ √n at fixed scan fraction, rerank ∝ candidate volume.
-    // Measured (PqTune r14): 0.98/0.92/0.98 at sf0.001/0.01/0.1 vs the
-    // frozen r13 config's 0.92/0.88/0.82. Floor 0.85 leaves seed-drift
-    // headroom below the 0.92 spec-scale minimum.
+    // nlist ∝ √n at fixed scan fraction, rerank ∝ candidate volume;
+    // r15 cut the scan 37.5% → 25% at better recall (10√n cells).
+    // Measured (PqTune r15): 1.00/0.98/0.98 at sf0.001/0.01/0.1. Floor
+    // 0.85 leaves seed-drift headroom below the spec-scale minimum.
     val mean = ivfPqRecall(sfDir)
     info(s"ivfpq mean recall@5 = $mean")
     assert(mean >= 0.85, s"mean IVF-PQ recall@5 $mean below the 0.85 floor")
@@ -278,8 +278,8 @@ class OperatorSpec extends SparkSpec {
   test("ann-ivfpq: the floor holds at the LARGEST test corpus (sf0.1) — no silent scale decay") {
     // the r13 defect was precisely a floor asserted only at spec scale
     // while the sf0.1 number sat below it (0.82) — this asserts where
-    // the decay actually showed. autoConfig measured 0.98 here; 0.9 is
-    // the VERDICT bar with seed-drift headroom.
+    // the decay actually showed. The r15 25%-scan autoConfig measured
+    // 0.98 here; 0.9 is the VERDICT bar with seed-drift headroom.
     val mean = ivfPqRecall("/root/testdata/sf0.1")
     info(s"ivfpq mean recall@5 at sf0.1 = $mean")
     assert(mean >= 0.9, s"mean IVF-PQ recall@5 $mean below the 0.9 sf0.1 floor")
