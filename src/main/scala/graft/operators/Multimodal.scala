@@ -531,25 +531,35 @@ object Multimodal {
         val im = new java.awt.image.BufferedImage(
           f.w, f.h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         im.setRGB(0, 0, f.w, f.h, f.px, 0, f.w)
-        val md = wr.getDefaultImageMetadata(
-          new javax.imageio.ImageTypeSpecifier(im), null)
-        val fmtName = "javax_imageio_gif_image_1.0"
-        val root = new javax.imageio.metadata.IIOMetadataNode(fmtName)
-        val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
-        desc.setAttribute("imageLeftPosition", f.left.toString)
-        desc.setAttribute("imageTopPosition", f.top.toString)
-        desc.setAttribute("imageWidth", f.w.toString)
-        desc.setAttribute("imageHeight", f.h.toString)
-        desc.setAttribute("interlaceFlag", "FALSE")
-        val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
-        gce.setAttribute("disposalMethod", f.disposal)
-        gce.setAttribute("userInputFlag", "FALSE")
-        gce.setAttribute("transparentColorFlag", "FALSE")
-        gce.setAttribute("delayTime", "10")
-        gce.setAttribute("transparentColorIndex", "0")
-        root.appendChild(desc)
-        root.appendChild(gce)
-        md.mergeTree(fmtName, root)
+        // fast path: a trivial frame (origin placement, "none" disposal)
+        // IS the writer's default — null metadata skips the per-frame
+        // getDefaultImageMetadata + DTD-validating mergeTree, which
+        // measured as the dominant encode cost (full-frame fixtures,
+        // i.e. every encodeGif call, pay zero metadata work)
+        val md =
+          if (f.left == 0 && f.top == 0 && f.disposal == "none") null
+          else {
+            val m = wr.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(im), null)
+            val fmtName = "javax_imageio_gif_image_1.0"
+            val root = new javax.imageio.metadata.IIOMetadataNode(fmtName)
+            val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+            desc.setAttribute("imageLeftPosition", f.left.toString)
+            desc.setAttribute("imageTopPosition", f.top.toString)
+            desc.setAttribute("imageWidth", f.w.toString)
+            desc.setAttribute("imageHeight", f.h.toString)
+            desc.setAttribute("interlaceFlag", "FALSE")
+            val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            gce.setAttribute("disposalMethod", f.disposal)
+            gce.setAttribute("userInputFlag", "FALSE")
+            gce.setAttribute("transparentColorFlag", "FALSE")
+            gce.setAttribute("delayTime", "10")
+            gce.setAttribute("transparentColorIndex", "0")
+            root.appendChild(desc)
+            root.appendChild(gce)
+            m.mergeTree(fmtName, root)
+            m
+          }
         wr.writeToSequence(new javax.imageio.IIOImage(im, null, md), null)
       }
       wr.endWriteSequence()
@@ -564,7 +574,17 @@ object Multimodal {
     * container. None on malformed input or fewer than 2 frames.
     */
   def gifMotionEnergy(bytes: Array[Byte]): Option[Double] =
-    decodeGifFrames(bytes).filter(_.length >= 2).map { frames =>
+    decodeGifFrames(bytes).flatMap(framesMotionEnergy)
+
+  /** The motion metric over ALREADY-DECODED frames — callers that also
+    * inspect the rasters (s_mm_gif_motion's delta-vs-full bit-equality)
+    * decode once and reuse, instead of paying a second full container
+    * decode inside [[gifMotionEnergy]] (measured: the redundant decode
+    * roughly doubled the fixture query).
+    */
+  def framesMotionEnergy(frames: Seq[(Int, Int, Array[Int])]): Option[Double] =
+    if (frames.length < 2) None
+    else Some {
       val lums = frames.map { case (w, h, px) =>
         pixelStats(w * h, px(_))(3).toDouble
       }
