@@ -376,15 +376,23 @@ object MediaContainers {
     "RIFF".getBytes("US-ASCII") ++ le32Bytes(body.length.toLong) ++ body
   }
 
-  /** MPEG1 Layer III frame chain at 128 kbps (bitrate index 9 varies by
-    * `brIdx`), `nFrames` frames, optional ID3v2 tag of `id3Bytes`.
+  /** MPEG Layer III frame chain: `nFrames` frames at bitrate index
+    * `brIdx` / rate index `srIdx`, optional ID3v2 tag of `id3Bytes`.
+    * `mpeg1 = false` writes MPEG2 framing (half frame size, 576
+    * samples/frame — the low-rate podcast/telephony regime).
+    * `padEvery > 0` sets the PADDING bit on every k-th frame (the
+    * mechanism real CBR streams use to hit exact byte rates when
+    * 144·bitrate/rate does not divide) — each padded frame is one byte
+    * longer, exactly as the header declares.
     */
   def synthMp3(srIdx: Int, brIdx: Int, nFrames: Int,
-               id3Bytes: Int = 0): Array[Byte] = {
+               id3Bytes: Int = 0, mpeg1: Boolean = true,
+               padEvery: Int = 0): Array[Byte] = {
     require(srIdx >= 0 && srIdx <= 2 && brIdx >= 1 && brIdx <= 14 &&
-      nFrames > 0 && id3Bytes >= 0 && id3Bytes < (1 << 21), "bad mp3 fixture params")
-    val sr = Mpeg1Rates(srIdx)
-    val bitrate = Mpeg1Layer3Bitrates(brIdx) * 1000
+      nFrames > 0 && id3Bytes >= 0 && id3Bytes < (1 << 21) && padEvery >= 0,
+      "bad mp3 fixture params")
+    val sr = (if (mpeg1) Mpeg1Rates else Mpeg2Rates)(srIdx)
+    val bitrate = (if (mpeg1) Mpeg1Layer3Bitrates else Mpeg2Layer3Bitrates)(brIdx) * 1000
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) {
       out.write("ID3".getBytes("US-ASCII"))
@@ -394,10 +402,12 @@ object MediaContainers {
         (id3Bytes & 0x7f).toByte))
       out.write(new Array[Byte](id3Bytes))
     }
-    val frameLen = 144 * bitrate / sr // padding bit 0
     (0 until nFrames).foreach { f =>
-      out.write(0xff); out.write(0xfb) // MPEG1 Layer III, no CRC
-      out.write((brIdx << 4) | (srIdx << 2)) // no padding, not private
+      val pad = if (padEvery > 0 && f % padEvery == 0) 1 else 0
+      val frameLen = (if (mpeg1) 144 else 72) * bitrate / sr + pad
+      out.write(0xff)
+      out.write(if (mpeg1) 0xfb else 0xf3) // version bits 3/2, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
       out.write(0xc4) // mono, no mode ext, not copyrighted, original, no emphasis
       (4 until frameLen).foreach(i => out.write((f * 7 + i * 13) & 0xff))
     }

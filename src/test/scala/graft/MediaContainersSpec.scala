@@ -71,6 +71,23 @@ class MediaContainersSpec extends SparkSpec {
     }
   }
 
+  test("mp3: padding bits and MPEG2 framing parse exactly (frame lengths follow the headers)") {
+    // padded CBR: every 3rd frame one byte longer, declared by its own
+    // header — the walk must follow the declared lengths, not a stride
+    val sr1 = 44100
+    val padded = parseMp3(synthMp3(0, 9, nFrames = 9, padEvery = 3)).get
+    assert(padded == ContainerMeta("mp3", 9L * 1152 * 1000 / sr1, -1, -1, sr1, 9, 1))
+    // MPEG2: half frame size, 576 samples/frame, the low-rate regime
+    for (srIdx <- 0 to 2) {
+      val sr = Seq(22050, 24000, 16000)(srIdx)
+      val m = parseMp3(synthMp3(srIdx, brIdx = 8, nFrames = 6, mpeg1 = false)).get
+      assert(m == ContainerMeta("mp3", 6L * 576 * 1000 / sr, -1, -1, sr, 6, 1),
+        s"MPEG2 srIdx=$srIdx -> $m")
+    }
+    // an MPEG1/MPEG2 splice is a rate jump — refuses
+    assert(parseMp3(synthMp3(0, 9, 2) ++ synthMp3(0, 8, 2, mpeg1 = false)).isEmpty)
+  }
+
   test("mp3: hostile framing refuses — torn frame, sync loss, rate jump, garbage") {
     val ok = synthMp3(0, 9, nFrames = 4)
     assert(parseMp3(ok.take(ok.length - 10)).isEmpty, "torn final frame")
