@@ -119,7 +119,13 @@ object MediaContainers {
           case "hdlr" if cur != null && body + 12 <= end =>
             cur.handler = fourcc(bytes, body + 8)
           case "stsz" if cur != null && body + 12 <= end =>
-            cur.sampleCount = be32(bytes, body + 8)
+            // sample_size == 0 ⇒ a per-sample u32 table follows; a count
+            // the box is too short to hold is a lying header (refuse —
+            // downstream per-sample readers would over-read)
+            val sampleSize = be32(bytes, body + 4)
+            val count = be32(bytes, body + 8)
+            if (sampleSize == 0 && body + 12 + count * 4 > end) return false
+            cur.sampleCount = count
           case _ => // ftyp, mdat, free, stts, stsd, ... — skip
         }
         pos = end
@@ -318,8 +324,10 @@ object MediaContainers {
       beBytes32(durationMs * ts / 1000) ++ Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0))
     def hdlr(kind: String) = box("hdlr", Array[Byte](0, 0, 0, 0) ++
       beBytes32(0) ++ kind.getBytes("US-ASCII") ++ new Array[Byte](13))
+    // sample_size = 0 ⇒ the conformant per-sample u32 size table follows
     def stsz(n: Int) = box("stsz", Array[Byte](0, 0, 0, 0) ++
-      beBytes32(0) ++ beBytes32(n))
+      beBytes32(0) ++ beBytes32(n) ++
+      (0 until n).flatMap(i => beBytes32(100L + i)).toArray)
     val videoTrak = box("trak", tkhd(w, h) ++ box("mdia",
       mdhd(30000) ++ hdlr("vide") ++
         box("minf", box("stbl", stsz(videoFrames)))))

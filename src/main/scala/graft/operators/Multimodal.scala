@@ -855,16 +855,20 @@ object Multimodal {
       java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
 
     /** Container sniff over cached readers — AudioSystem's probe loop
-      * without its per-call registry scan. Throws
-      * UnsupportedAudioFileException when nothing recognizes the bytes
-      * (callers' NonFatal catch degrades it to None).
+      * without its per-call registry scan. Each probe gets a FRESH
+      * in-memory stream: a failed reader is required to restore the
+      * position but may leave its own mark behind, so sharing one
+      * stream + reset() could hand the next reader a corrupted offset;
+      * a new ByteArrayInputStream per probe is free and trivially
+      * correct. Throws UnsupportedAudioFileException when nothing
+      * recognizes the bytes (callers' NonFatal catch degrades to None).
       */
     def audioInputStream(bytes: Array[Byte]): AudioInputStream = {
-      val in = new java.io.ByteArrayInputStream(bytes)
       val it = readers.iterator
       while (it.hasNext) {
-        try return it.next().getAudioInputStream(in)
-        catch { case _: UnsupportedAudioFileException => in.reset() }
+        try return it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: UnsupportedAudioFileException => }
       }
       throw new UnsupportedAudioFileException("no cached reader recognized the bytes")
     }

@@ -34,6 +34,18 @@ class MediaContainersSpec extends SparkSpec {
     assert(parseMp4(Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++
       Array[Byte](0, 0, 0, 3) ++ "moov".getBytes).isEmpty)
     assert(parseMp4(Array.empty[Byte]).isEmpty)
+    // an stsz declaring more per-sample entries than its box holds is a
+    // lying header — refuse, never let a downstream table reader over-read
+    val lyingCount = ok.clone()
+    val stszAt = {
+      var i = -1
+      for (p <- 0 until lyingCount.length - 4 if i < 0)
+        if (new String(lyingCount, p, 4, "US-ASCII") == "stsz") i = p
+      i
+    }
+    assert(stszAt > 0, "fixture sanity: stsz present")
+    lyingCount(stszAt + 12) = 0x7f // sample_count high byte: count >> box
+    assert(parseMp4(lyingCount).isEmpty)
   }
 
   test("webp: still and animated fixtures round-trip; VP8 lossy header parses") {
