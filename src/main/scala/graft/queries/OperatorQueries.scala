@@ -497,14 +497,18 @@ object OperatorQueries extends QueryPack {
         "o_custkey", "o_totalprice", "o_orderkey", 3)
         .orderBy("o_custkey", "o_orderkey")),
 
-    // df-cutoff n-gram Jaccard — the 100 TB guard against viral shingles
-    // making the candidate join quadratic; identical to the exact twin
-    // whenever every shared shingle's df <= cutoff (ScalaTest-proven)
-    // (no output sort: s_* checks are order-insensitive, and the global
-    // sort's range-sampling pass would re-evaluate the whole pair plan)
+    // df-cutoff n-gram Jaccard with the valve ENGAGED (r15): cutoff 4
+    // sits below the corpus' max shared-shingle df (7 at sf0.01), so
+    // this demonstrates the 100 TB viral-shingle guard actually biting —
+    // a subset of pairs with LOWER-BOUND Jaccards (at sf0.01 the pair
+    // set survives intact but 22 of 25 pairs carry strictly lower
+    // values; measured) — unlike the graded q_dedup_ngram_jaccard,
+    // whose cutoff 64 is provably non-binding (it would otherwise
+    // duplicate this row, post-r15). DuckDB-oracled: the shared CTE
+    // chain mirrors the cutoff, so the engaged-valve semantics are
+    // hash-exact, not just rows>0.
     "s_dedup_ngram_dfcut" -> ((s, dir) =>
-      NgramJaccard.pairs(Tables.t(s, dir, "documents"), dfCutoff = Some(64L),
-        sorted = false)),
+      NgramJaccard.pairs(Tables.t(s, dir, "documents"), dfCutoff = Some(4L))),
 
     // exact scalable ntile twin: range-repartition global rank instead of
     // a single-reducer global window; identical output to q_win_ntile_pct
@@ -1563,6 +1567,28 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // ANALYTIC-TRUTH oracle (r15): every fixture parameter is a pure
+    // function of doc_id and the parser must recover all of them, so
+    // the exact expected output is "every doc ok on every format, zero
+    // violations" — DuckDB states that truth independently, and ANY
+    // parser/fixture regression (one failed parse, one drifted field)
+    // breaks the hash instead of passing a rows-only check.
+    "s_mm_container_meta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS mp4_ok,
+        |  CAST(count(*) AS BIGINT) AS webp_ok,
+        |  CAST(count(*) AS BIGINT) AS webp_anim_ok,
+        |  CAST(count(*) AS BIGINT) AS mp3_ok,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM documents""".stripMargin,
+
+    // the ENGAGED df-cutoff valve, hash-exact: the shared CTE chain
+    // (PipelineQueries.ngramPairsCtesFor) mirrors cutoff=4, so DuckDB
+    // independently derives the pruned pair set + lower-bound Jaccards
+    "s_dedup_ngram_dfcut" ->
+      s"""WITH ${PipelineQueries.ngramPairsCtesFor("documents", Some(4L))}
+        |SELECT a_id, b_id, jaccard FROM pairs
+        |ORDER BY a_id, b_id""".stripMargin,
     // hash-grade proof of dedup-at-ingest (r12): the store accepted the
     // corpus then its full recrawl under ids+10000 — DuckDB dedups the
     // SAME delivered stream from scratch (min doc_id per md5, exactly

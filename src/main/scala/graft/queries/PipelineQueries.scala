@@ -50,7 +50,7 @@ object PipelineQueries extends QueryPack {
     * q_dedup_components walks it as a graph, q_curate_fuzzy composes it
     * behind a quality filter.
     */
-  private def ngramPairsCtesFor(src: String, dfCutoff: Option[Long]): String = {
+  private[queries] def ngramPairsCtesFor(src: String, dfCutoff: Option[Long]): String = {
     val filt = dfCutoff match {
       case Some(cut) =>
         s"""keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= $cut),
