@@ -33,6 +33,12 @@ object MediaContainers {
     */
   val MaxWalkSteps = 1 << 20
 
+  /** Cap on container-box NESTING (recursion depth) — MaxWalkSteps
+    * bounds total boxes walked, not stack depth; real mp4 trees are
+    * < 10 levels deep.
+    */
+  val MaxBoxDepth = 16
+
   // ------------------------------------------------------------------
   // mp4 / ISO base media file format (ISO 14496-12): size+fourcc boxes
   // ------------------------------------------------------------------
@@ -69,8 +75,13 @@ object MediaContainers {
     var movieDuration = -1L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackState]
 
-    // walks children of [from, to); `cur` is the trak being populated
-    def walk(from: Int, to: Int, cur: TrackState): Boolean = {
+    // walks children of [from, to); `cur` is the trak being populated.
+    // `depth` caps recursion: MaxWalkSteps bounds total boxes but not
+    // stack depth, and a hostile blob of ~100k nested 8-byte containers
+    // would StackOverflowError (a fatal Error no NonFatal catch saves).
+    // Real mp4 nesting is < 10 levels (moov/trak/mdia/minf/stbl).
+    def walk(from: Int, to: Int, cur: TrackState, depth: Int): Boolean = {
+      if (depth > MaxBoxDepth) return false
       var pos = from
       while (pos + 8 <= to) {
         steps += 1
@@ -87,14 +98,16 @@ object MediaContainers {
         val end = (pos + size).toInt
         typ match {
           case "moov" | "mdia" | "minf" | "stbl" =>
-            if (!walk(body, end, cur)) return false
+            if (!walk(body, end, cur, depth + 1)) return false
           case "trak" =>
             val t = new TrackState
             tracks += t
-            if (!walk(body, end, t)) return false
+            if (!walk(body, end, t, depth + 1)) return false
           case "mvhd" if body + 4 <= end =>
             val v = bytes(body) & 0xff
-            if (v == 1 && body + 28 <= end) {
+            // v1 reads be64 through body+31 — guard the full read, not
+            // just its start (a 28-byte-body v1 box must NOT over-read)
+            if (v == 1 && body + 32 <= end) {
               movieTimescale = be32(bytes, body + 20)
               movieDuration = be64(bytes, body + 24)
             } else if (v == 0 && body + 20 <= end) {
@@ -133,7 +146,7 @@ object MediaContainers {
       pos == to // a trailing partial box is malformed
     }
 
-    if (!walk(0, bytes.length, null)) return None
+    if (!walk(0, bytes.length, null, 0)) return None
     if (movieTimescale <= 0) return None
     val video = tracks.find(_.handler == "vide")
     val sound = tracks.find(_.handler == "soun")
@@ -227,6 +240,7 @@ object MediaContainers {
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
   private val Mpeg1Rates = Array(44100, 48000, 32000, 0)
   private val Mpeg2Rates = Array(22050, 24000, 16000, 0)
+  private val Mpeg25Rates = Array(11025, 12000, 8000, 0) // versionBits==0
 
   /** mp3 metadata: walks the MPEG-audio Layer III frame chain (11-bit
     * sync, version/bitrate/samplerate/padding per header; frame length
@@ -254,13 +268,20 @@ object MediaContainers {
       if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None // sync lost mid-chain
       val versionBits = (b2 >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
       val layerBits = (b2 >> 1) & 0x3   // 1 = Layer III
-      if (layerBits != 1 || versionBits == 1) return None
+      if (layerBits != 1 || versionBits == 1) return None // 1 = reserved
       val mpeg1 = versionBits == 3
       val brIdx = (bytes(pos + 2) & 0xff) >> 4
       val srIdx = ((bytes(pos + 2) & 0xff) >> 2) & 0x3
       val pad = ((bytes(pos + 2) & 0xff) >> 1) & 0x1
+      // MPEG2 and MPEG2.5 share the Layer III bitrate table and the
+      // 72-coefficient framing; ONLY the sample-rate table differs —
+      // routing 2.5 through the MPEG2 rates would report 2× rate/duration
       val bitrate = (if (mpeg1) Mpeg1Layer3Bitrates else Mpeg2Layer3Bitrates)(brIdx) * 1000
-      val sr = (if (mpeg1) Mpeg1Rates else Mpeg2Rates)(srIdx)
+      val sr = versionBits match {
+        case 3 => Mpeg1Rates(srIdx)
+        case 2 => Mpeg2Rates(srIdx)
+        case _ => Mpeg25Rates(srIdx)
+      }
       if (bitrate == 0 || sr == 0) return None // free-format/reserved: refuse
       if (rate < 0) rate = sr
       else if (rate != sr) return None // rate must not jump mid-stream
@@ -387,7 +408,9 @@ object MediaContainers {
   /** MPEG Layer III frame chain: `nFrames` frames at bitrate index
     * `brIdx` / rate index `srIdx`, optional ID3v2 tag of `id3Bytes`.
     * `mpeg1 = false` writes MPEG2 framing (half frame size, 576
-    * samples/frame — the low-rate podcast/telephony regime).
+    * samples/frame — the low-rate podcast/telephony regime);
+    * `mpeg25 = true` (with mpeg1 = false) writes MPEG2.5 (version bits
+    * 0, the 11025/12000/8000 rate table, otherwise MPEG2 framing).
     * `padEvery > 0` sets the PADDING bit on every k-th frame (the
     * mechanism real CBR streams use to hit exact byte rates when
     * 144·bitrate/rate does not divide) — each padded frame is one byte
@@ -395,11 +418,12 @@ object MediaContainers {
     */
   def synthMp3(srIdx: Int, brIdx: Int, nFrames: Int,
                id3Bytes: Int = 0, mpeg1: Boolean = true,
-               padEvery: Int = 0): Array[Byte] = {
+               padEvery: Int = 0, mpeg25: Boolean = false): Array[Byte] = {
     require(srIdx >= 0 && srIdx <= 2 && brIdx >= 1 && brIdx <= 14 &&
-      nFrames > 0 && id3Bytes >= 0 && id3Bytes < (1 << 21) && padEvery >= 0,
-      "bad mp3 fixture params")
-    val sr = (if (mpeg1) Mpeg1Rates else Mpeg2Rates)(srIdx)
+      nFrames > 0 && id3Bytes >= 0 && id3Bytes < (1 << 21) && padEvery >= 0 &&
+      !(mpeg1 && mpeg25), "bad mp3 fixture params")
+    val sr = if (mpeg25) Mpeg25Rates(srIdx)
+             else (if (mpeg1) Mpeg1Rates else Mpeg2Rates)(srIdx)
     val bitrate = (if (mpeg1) Mpeg1Layer3Bitrates else Mpeg2Layer3Bitrates)(brIdx) * 1000
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) {
@@ -414,7 +438,8 @@ object MediaContainers {
       val pad = if (padEvery > 0 && f % padEvery == 0) 1 else 0
       val frameLen = (if (mpeg1) 144 else 72) * bitrate / sr + pad
       out.write(0xff)
-      out.write(if (mpeg1) 0xfb else 0xf3) // version bits 3/2, Layer III, no CRC
+      // version bits 3/2/0 (MPEG1/2/2.5), Layer III, no CRC
+      out.write(if (mpeg1) 0xfb else if (mpeg25) 0xe3 else 0xf3)
       out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
       out.write(0xc4) // mono, no mode ext, not copyrighted, original, no emphasis
       (4 until frameLen).foreach(i => out.write((f * 7 + i * 13) & 0xff))

@@ -48,6 +48,51 @@ class MediaContainersSpec extends SparkSpec {
     assert(parseMp4(lyingCount).isEmpty)
   }
 
+  test("mp4: version-1 mvhd parses exactly; a 28-byte-body v1 mvhd refuses (r15 ADVICE bound)") {
+    def be32b(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64b(v: Long) = be32b(v >> 32) ++ be32b(v & 0xffffffffL)
+    def mkBox(typ: String, body: Array[Byte]) =
+      be32b(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = mkBox("ftyp", "isom".getBytes ++ be32b(512) ++ "isomiso2".getBytes)
+    // well-formed v1: 4B ver/flags + 8B ctime + 8B mtime + 4B timescale + 8B duration
+    val v1ok = mkBox("mvhd", Array[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++
+      be32b(600) ++ be64b(1800))
+    assert(parseMp4(ftyp ++ mkBox("moov", v1ok))
+      .contains(ContainerMeta("mp4", 3000, -1, -1, -1, -1, 0)))
+    // exactly 28 body bytes: the be64 duration read would run 4 bytes past
+    // the box — must refuse via the guard, never over-read or throw
+    val v1torn = mkBox("mvhd", Array[Byte](1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++
+      be32b(600))
+    assert(parseMp4(ftyp ++ mkBox("moov", v1torn)).isEmpty)
+    // same torn box at the very end of the buffer (no trailing sibling
+    // bytes to silently absorb the over-read) — still None, no throw
+    assert(parseMp4(ftyp ++ mkBox("moov", v1torn ++ mkBox("free", Array.empty))).isEmpty)
+  }
+
+  test("mp4: pathological box nesting refuses at the depth cap instead of overflowing the stack") {
+    // 60k nested 8-byte mdia containers sit far under MaxWalkSteps but
+    // would recurse 60k frames deep — the depth cap must refuse early
+    val n = 60000
+    val ftyp = Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0)
+    val nested = new Array[Byte](8 * n + 8)
+    for (i <- 0 until n) {
+      val size = 8L * (n - i) + 8
+      val o = 8 * i
+      nested(o) = ((size >> 24) & 0xff).toByte
+      nested(o + 1) = ((size >> 16) & 0xff).toByte
+      nested(o + 2) = ((size >> 8) & 0xff).toByte
+      nested(o + 3) = (size & 0xff).toByte
+      "mdia".getBytes("US-ASCII").copyToArray(nested, o + 4)
+    }
+    val o = 8 * n
+    nested(o + 3) = 8; "free".getBytes("US-ASCII").copyToArray(nested, o + 4)
+    assert(parseMp4(ftyp ++ nested).isEmpty) // refused, not StackOverflowError
+    // sanity: real nesting (synthMp4 is 5 deep) stays under the cap
+    assert(parseMp4(synthMp4(1000, 1000, 320, 240, 8000, 24)).isDefined)
+  }
+
   test("webp: still and animated fixtures round-trip; VP8 lossy header parses") {
     assert(parseWebp(synthWebp(113, 89)).contains(
       ContainerMeta("webp", -1, 113, 89, -1, 1, 1)))
@@ -98,6 +143,21 @@ class MediaContainersSpec extends SparkSpec {
     }
     // an MPEG1/MPEG2 splice is a rate jump — refuses
     assert(parseMp3(synthMp3(0, 9, 2) ++ synthMp3(0, 8, 2, mpeg1 = false)).isEmpty)
+  }
+
+  test("mp3: MPEG2.5 (version bits 0) parses with its OWN rate table (r15 ADVICE)") {
+    // routing 2.5 through the MPEG2 table would report a 2x-wrong
+    // rate/duration — the parser must use 11025/12000/8000
+    for (srIdx <- 0 to 2) {
+      val sr = Seq(11025, 12000, 8000)(srIdx)
+      val m = parseMp3(synthMp3(srIdx, brIdx = 8, nFrames = 6,
+        mpeg1 = false, mpeg25 = true)).get
+      assert(m == ContainerMeta("mp3", 6L * 576 * 1000 / sr, -1, -1, sr, 6, 1),
+        s"MPEG2.5 srIdx=$srIdx -> $m")
+    }
+    // a 2.5/2 splice is a rate jump — refuses like any mid-stream change
+    assert(parseMp3(synthMp3(0, 8, 2, mpeg1 = false, mpeg25 = true) ++
+      synthMp3(0, 8, 2, mpeg1 = false)).isEmpty)
   }
 
   test("mp3: hostile framing refuses — torn frame, sync loss, rate jump, garbage") {
