@@ -218,6 +218,176 @@ object BpeTrainer {
     syms
   }
 
+  // ------------------------------------------------------------------
+  // DuckDB oracle twins (r16 — VERDICT r15 #2: the BPE family promoted
+  // from rows-only to hash-grade). ONE shared textual CTE chain,
+  // interpolated by every caller, never copied (the r10 discipline).
+  //
+  // Design (the r11 LIST-typed-state recursion family):
+  //  - Training state = one row per merge iteration; the word-type table
+  //    rides as LIST<STRUCT(ws VARCHAR, cnt BIGINT)> where `ws` is the
+  //    WRAPPED-STRING form: every symbol wrapped in \x01 ("\x01l\x01
+  //    \x01o\x01\x01w\x01\x01</w>\x01"). Merge application is then ONE
+  //    string replace("\x01l\x01\x01r\x01" -> "\x01lr\x01") — SQL
+  //    replace scans left-to-right and resumes AFTER each replacement,
+  //    which IS encodeWord/trainOnHistogram's non-overlapping
+  //    left-to-right pass (the per-symbol double-wrap keeps neighbours'
+  //    delimiters intact across a replacement). \x01 can never occur in
+  //    a symbol (symbols are corpus characters + "</w>" concatenations).
+  //  - Pair COUNTING must NOT use replace-counting: it misses overlapped
+  //    self-pairs ("aaa" has (a,a) twice; replace removes once). Counts
+  //    are positional sums over the split-back symbol lists instead.
+  //  - Argmax = list_sort of {negc, l, r} structs, element [1] — field-
+  //    order struct sort gives (count DESC, left ASC, right ASC), exactly
+  //    trainOnHistogram's minBy((-n, a, b)) tie-break. byte-wise UTF-8
+  //    vs UTF-16 order only diverges past the BMP; the corpus alphabet
+  //    is ASCII (TestdataContractSpec pins it).
+  //  - NO struct-accumulator list_reduce anywhere: DuckDB 1.0.0
+  //    mis-evaluates best-tracking folds over COMPUTED struct lists
+  //    (measured r16: a 139-element sorted occurrence list returned the
+  //    lex-last run, the same fold correct on literal lists and the
+  //    python replay) — a negative worth keeping recorded.
+  //  - Pairs dedup as "l \x01 r" STRINGS (list_distinct over STRUCT is
+  //    unimplemented in DuckDB 1.0).
+  //  - The encode recursion carries the merge list as a constant state
+  //    column so the step term never references a non-recursive CTE
+  //    (the r6 re-inlining tax); per-word iterations are bounded by
+  //    construction — every merge removes >= 1 symbol.
+  // Verified against an independent python replica of train/encodeWord
+  // at sf0.01 (exact match, all 64 merges / 500 docs) before wiring.
+  // ------------------------------------------------------------------
+
+  /** CTE chain ending in `mfinal(ml)` = the rank-ordered merge list for
+    * `train(docs, numMerges, minCount)` with default histMinCount=1.
+    * Interpolate after `WITH RECURSIVE `.
+    */
+  def oracleTrainCtes(docsTable: String, numMerges: Int = 64,
+                      minCount: Long = 2): String =
+    s"""hist AS (
+       |  SELECT w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsTable)
+       |  WHERE length(w) > 0
+       |  GROUP BY w
+       |),
+       |words0 AS (
+       |  SELECT list({'ws': list_aggregate(
+       |             list_transform(list_append(string_split_regex(w, ''), '</w>'),
+       |                            s -> chr(1) || s || chr(1)), 'string_agg', ''),
+       |           'cnt': cnt} ORDER BY w) AS wt
+       |  FROM hist
+       |),
+       |bpe(iter, wt, merges) AS (
+       |  SELECT 0, wt, CAST([] AS STRUCT(rank BIGINT, l VARCHAR, r VARCHAR, c BIGINT)[]) FROM words0
+       |  UNION ALL
+       |  SELECT iter + 1,
+       |    list_transform(wt, w -> {
+       |      'ws': replace(w.ws, chr(1) || best.l || chr(1) || chr(1) || best.r || chr(1),
+       |                          chr(1) || best.l || best.r || chr(1)),
+       |      'cnt': w.cnt}),
+       |    list_append(merges, {'rank': CAST(iter + 1 AS BIGINT), 'l': best.l, 'r': best.r,
+       |                         'c': CAST(-best.negc AS BIGINT)})
+       |  FROM (
+       |    SELECT iter, wt, merges,
+       |      list_sort(list_transform(
+       |        list_distinct(flatten(list_transform(sl, w ->
+       |          list_transform(range(2, len(w.syms) + 1), i ->
+       |            w.syms[i-1] || chr(1) || w.syms[i])))),
+       |        p -> {'negc': -list_sum(list_transform(sl, w ->
+       |                 w.cnt * list_sum(list_transform(range(2, len(w.syms) + 1), i ->
+       |                   CASE WHEN w.syms[i-1] = string_split(p, chr(1))[1]
+       |                         AND w.syms[i] = string_split(p, chr(1))[2]
+       |                        THEN 1 ELSE 0 END)))),
+       |              'l': string_split(p, chr(1))[1],
+       |              'r': string_split(p, chr(1))[2]}))[1] AS best
+       |    FROM (
+       |      SELECT iter, wt, merges,
+       |        list_transform(wt, w -> {
+       |          'syms': list_transform(string_split(w.ws, chr(1) || chr(1)),
+       |                                 x -> trim(x, chr(1))),
+       |          'cnt': w.cnt}) AS sl
+       |      FROM bpe
+       |      WHERE iter < $numMerges
+       |    )
+       |  )
+       |  WHERE best IS NOT NULL AND -best.negc >= $minCount
+       |),
+       |mfinal AS (SELECT merges AS ml FROM bpe WHERE iter = (SELECT max(iter) FROM bpe))""".stripMargin
+
+  /** [[oracleTrainCtes]] + the encodeWord recursion + per-doc assembly,
+    * ending in `doc_tok(doc_id, tokens_csv, n_tokens)` (docs with no
+    * words are absent — LEFT JOIN `$docsTable` to restore them, exactly
+    * what the final SELECTs below do).
+    */
+  def oracleEncodeCtes(docsTable: String, numMerges: Int = 64,
+                       minCount: Long = 2): String =
+    s"""${oracleTrainCtes(docsTable, numMerges, minCount)},
+       |wtypes AS (
+       |  SELECT DISTINCT w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsTable)
+       |  WHERE length(w) > 0
+       |),
+       |enc(w, ws, ml, it) AS (
+       |  SELECT w,
+       |    list_aggregate(list_transform(list_append(string_split_regex(w, ''), '</w>'),
+       |                                  s -> chr(1) || s || chr(1)), 'string_agg', ''),
+       |    (SELECT ml FROM mfinal),
+       |    0
+       |  FROM wtypes
+       |  UNION ALL
+       |  SELECT w,
+       |    replace(ws, chr(1) || ml[minr].l || chr(1) || chr(1) || ml[minr].r || chr(1),
+       |                chr(1) || ml[minr].l || ml[minr].r || chr(1)),
+       |    ml, it + 1
+       |  FROM (
+       |    SELECT w, ws, ml, it,
+       |      list_min(list_transform(range(2, len(syms) + 1), i ->
+       |        coalesce(list_filter(ml, m -> m.l = syms[i-1] AND m.r = syms[i])[1].rank,
+       |                 2147483647))) AS minr
+       |    FROM (SELECT w, ws, ml, it,
+       |            list_transform(string_split(ws, chr(1) || chr(1)),
+       |                           x -> trim(x, chr(1))) AS syms
+       |          FROM enc)
+       |  )
+       |  WHERE minr IS NOT NULL AND minr < 2147483647
+       |),
+       |word_final AS (
+       |  SELECT w, list_transform(string_split(max_by(ws, it), chr(1) || chr(1)),
+       |                           x -> trim(x, chr(1))) AS syms
+       |  FROM enc GROUP BY w
+       |),
+       |alph AS (
+       |  SELECT list_sort(list_append(list(DISTINCT c), '</w>')) AS a
+       |  FROM (SELECT unnest(string_split_regex(replace(text, ' ', ''), '')) AS c
+       |        FROM $docsTable)
+       |  WHERE length(c) > 0
+       |),
+       |vocab AS (
+       |  SELECT list_concat(a, flatten(list_transform(range(1, len(mo) + 1), j ->
+       |    CASE WHEN NOT list_contains(a, mo[j]) AND list_position(mo, mo[j]) = j
+       |         THEN [mo[j]] ELSE CAST([] AS VARCHAR[]) END))) AS v
+       |  FROM alph, (SELECT list_transform(ml, m -> m.l || m.r) AS mo FROM mfinal)
+       |),
+       |word_ids AS (
+       |  SELECT w,
+       |    list_aggregate(list_transform(syms,
+       |      s -> CAST(list_position(v, s) - 1 AS VARCHAR)), 'string_agg', ',') AS ids_csv,
+       |    CAST(len(syms) AS BIGINT) AS n_syms
+       |  FROM word_final, vocab
+       |),
+       |doc_words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM $docsTable
+       |),
+       |doc_tok AS (
+       |  SELECT dw.doc_id AS doc_id,
+       |         string_agg(wi.ids_csv, ',' ORDER BY dw.pos) AS tokens_csv,
+       |         CAST(SUM(wi.n_syms) AS BIGINT) AS n_tokens
+       |  FROM doc_words dw JOIN word_ids wi ON dw.w = wi.w
+       |  WHERE length(dw.w) > 0
+       |  GROUP BY dw.doc_id
+       |)""".stripMargin
+
   /** Driver-side merge loop over a word histogram: greedy
     * most-frequent-adjacent-pair, weighted by word count.
     */

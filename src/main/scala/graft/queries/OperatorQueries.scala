@@ -178,17 +178,25 @@ object OperatorQueries extends QueryPack {
     // every invocation); the measured query is the cell-pruned SEARCH.
     // The BUILD path keeps first-class coverage in AnnStoreSpec and the
     // IngestPipeline catch-up specs.
+    // r16 (VERDICT r15 #5): the store builds at AUTOCONFIG sizing
+    // (nlist = 0 → 10√n cells) like the in-memory graded queries — at
+    // sf0.1 that is 447 cells, past RoutedAssignThreshold, so the
+    // routed ASSIGNMENT (save/append via AnnIvf.assign) and the routed
+    // PROBE-CELL ranking (searchTopK) are both exercised by the graded
+    // bench; nprobe = 0 → nlist/4 (the 25%-scan knee). Recall floors:
+    // AnnStoreSpec (routed autoConfig store ≥ 0.9 on a 700-vector
+    // synthetic) + the PqTune persisted-path row.
     "s_sim_ann_store" -> ((s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
       val (base, _) = Fixtures.store("annstore_app", dir) { fx =>
-        graft.operators.AnnIndexStore.save(s, emb, fx)
+        graft.operators.AnnIndexStore.save(s, emb, fx, nlist = 0)
         graft.operators.AnnIndexStore.append(s,
           emb.filter(col("vec_id") < 3)
             .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), fx)
         Map.empty
       }
       graft.operators.AnnIndexStore
-        .searchTopK(s, base, emb.filter(col("vec_id") < 10))
+        .searchTopK(s, base, emb.filter(col("vec_id") < 10), nprobe = 0)
         .select("probe_id", "neighbor_id", "sim", "rn")
     }),
 
@@ -216,11 +224,20 @@ object OperatorQueries extends QueryPack {
           }
           Multimodal.MediaRow(id, head ++ px, "ppm", w, h)
         }
+      // r16 oracle promotion: lum stats aggregate in exact µ-units —
+      // per-doc floats are bit-deterministic (fixed pixel-order fold,
+      // float cast absorbs nothing here to chance), floor(f·1e6+0.5)
+      // is an exact long, and the SUM is integer — so DuckDB can state
+      // the expected totals independently by replicating the integer
+      // pixel math + ordered double fold (never ROUND(avg(double),6)
+      // across engines — the q_evt_interpolate lesson)
       Multimodal.featurize(media)
         .groupBy("format")
         .agg(count(lit(1)).as("n_media"),
-          round(avg(element_at(col("features"), 4)), 6).as("avg_lum"),
-          round(avg(element_at(col("features"), 5)), 6).as("avg_lum_sd"))
+          sum(floor(element_at(col("features"), 4).cast("double") * 1e6 + lit(0.5)))
+            .cast("long").as("lum_micro_total"),
+          sum(floor(element_at(col("features"), 5).cast("double") * 1e6 + lit(0.5)))
+            .cast("long").as("lum_sd_micro_total"))
     }),
 
     // REAL image resize in-pipeline: 32×32 gradient PPMs (content a pure
@@ -250,10 +267,14 @@ object OperatorQueries extends QueryPack {
           (id, blob.length, small.length,
             math.abs(lumBig - lumSmall).toDouble)
         }.toDF("doc_id", "orig_bytes", "resized_bytes", "lum_drift")
+      // r16 oracle promotion: drift in exact µ-units (floor(d·1e6+0.5)
+      // per doc, integer max) — DuckDB replicates the box-average integer
+      // rounding + ordered luminance folds + float casts bit-for-bit
       pairs.agg(count(lit(1)).as("n_images"),
         min("orig_bytes").as("orig_bytes"),
         min("resized_bytes").as("resized_bytes"),
-        round(max("lum_drift"), 6).as("max_lum_drift"),
+        max(floor(col("lum_drift") * 1e6 + lit(0.5))).cast("long")
+          .as("max_drift_micro"),
         sum(when(col("lum_drift") > 0.01, 1).otherwise(0)).cast("long")
           .as("n_drift_violations"))
     }),
@@ -630,7 +651,10 @@ object OperatorQueries extends QueryPack {
     // BpeTrainer scaladoc); merge sequence proven against the classic
     // hand-computed example in OperatorSpec
     "s_text_bpe" -> ((s, dir) =>
-      BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)),
+      // rank is the unique total order (the r16 oracle promotion made
+      // row order graded, not just rows>0)
+      BpeTrainer.train(Tables.t(s, dir, "documents"), numMerges = 64)
+        .orderBy("rank")),
 
     // tokenizer APPLY — the pass a pretraining pipeline runs on the full
     // corpus: merges+vocab broadcast, ONE map-only encode scan (PlanSpec
@@ -1220,13 +1244,19 @@ object OperatorQueries extends QueryPack {
             if (math.abs(motion - expected) > 1e-6) 1 else 0)
         }
         .toDF("cls", "n_frames", "n_sampled", "motion", "expected", "bad")
+      // r16 oracle promotion: the graded columns are the analytic truth
+      // (expected_micro, a pure function of the class) + the tolerance
+      // verdict the map already computed per doc (violations == 0 ⇔
+      // |motion − 2·step/255| ≤ 1e-6 corpus-wide); the raw float motion
+      // stays a Spark-side implementation detail instead of a
+      // cross-engine ROUND(avg(double),6) hazard
       out.groupBy("cls")
         .agg(count(lit(1)).as("n_videos"),
           first(col("n_frames")).as("n_frames"),
           first(col("n_sampled")).as("n_sampled"),
-          round(avg("motion"), 6).as("motion"),
-          round(avg("expected"), 6).as("expected"),
-          sum("bad").as("violations"))
+          floor(first(col("expected")) * 1e6 + lit(0.5)).cast("long")
+            .as("expected_micro"),
+          sum("bad").cast("long").as("violations"))
         .orderBy("cls")
     }),
 
@@ -1567,6 +1597,143 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // ---- BPE family (r16, VERDICT r15 #2): full training/encode/pack
+    // reproduced in DuckDB via the LIST-typed-state recursion family —
+    // the shared CTE text lives in BpeTrainer.oracleTrainCtes/
+    // oracleEncodeCtes (wrapped-string replace merges, positional pair
+    // counts, struct-sort argmax; see the scaladoc there for the
+    // measured DuckDB-1.0 negatives that shaped it). Hash-grading the
+    // merge TABLE grades the whole training trajectory: rank k's row
+    // depends on every earlier merge's application.
+    "s_text_bpe" ->
+      s"""WITH RECURSIVE ${BpeTrainer.oracleTrainCtes("documents")}
+         |SELECT m.rank AS rank, m.l AS "left", m.r AS "right", m.c AS pair_count
+         |FROM (SELECT unnest(ml) AS m FROM mfinal)
+         |ORDER BY rank""".stripMargin,
+
+    // tokenizer APPLY hash-graded end-to-end: every token id of every
+    // document (vocab = sorted alphabet ++ merge outputs in rank order,
+    // first occurrence wins; list_position-1 = -1 IS UnkId). LEFT JOIN
+    // restores wordless docs as ('', 0) exactly like Spark's flatMap.
+    "s_text_bpe_encode" ->
+      s"""WITH RECURSIVE ${BpeTrainer.oracleEncodeCtes("documents")}
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(t.tokens_csv, '') AS tokens_csv
+         |FROM documents d LEFT JOIN doc_tok t ON d.doc_id = t.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // sequence packing over the REAL tokenizer counts: the q_pack_
+    // contiguous window cumsum fed by the BPE n_tokens chain above
+    "s_pack_bpe" ->
+      s"""WITH RECURSIVE ${BpeTrainer.oracleEncodeCtes("documents")}
+         |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin
+         |FROM (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM (SELECT d.doc_id AS doc_id,
+         |              CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+         |            FROM documents d LEFT JOIN doc_tok t ON d.doc_id = t.doc_id))
+         |ORDER BY doc_id""".stripMargin,
+
+    // ---- r16 analytic-truth promotions (VERDICT r15 #4): the four
+    // deterministic multimodal rows-checks hash-graded. Each fixture is
+    // a pure function of doc_id, so DuckDB derives the expected output
+    // INDEPENDENTLY — integer pixel math replicated exactly, per-doc
+    // double folds in pixel order via numeric list_reduce (≡ Spark's
+    // 0.0-seeded loop for positive addends, the r10 BM25 doctrine),
+    // float casts mirrored (REAL arithmetic in DuckDB is true float32),
+    // cross-doc aggregation in exact µ-unit integers.
+
+    // PPM decode: the zero-crossing estimate recovers each tone class's
+    // frequency as zc = f/10 − 1 crossings over 400 samples (whole
+    // cycles, crossings counted BETWEEN samples) — the oracle states
+    // est_hz analytically from that closed form; one decoder regression
+    // anywhere shifts a class's est_hz and breaks the hash.
+    "s_mm_wav_decode" ->
+      """SELECT round(CAST((CAST((19 + 10*k.k) / 399.0 AS REAL) * CAST(4000 AS REAL)) AS DOUBLE), 1) AS est_hz,
+        |  (SELECT count(*) FROM documents d WHERE d.doc_id % 17 = k.k) AS n_media
+        |FROM range(17) k(k) ORDER BY est_hz""".stripMargin,
+
+    "s_mm_ppm_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS doc_id, t.i AS i,
+        |    (d.doc_id*31 + t.i*7) % 256 AS pr,
+        |    (d.doc_id*17 + t.i*13) % 256 AS pg,
+        |    (d.doc_id*11 + t.i*3) % 256 AS pb
+        |  FROM documents d, range(64) t(i)
+        |),
+        |lums AS (
+        |  SELECT doc_id, list(0.299*pr + 0.587*pg + 0.114*pb ORDER BY i) AS ls
+        |  FROM px GROUP BY doc_id
+        |),
+        |feat AS (
+        |  SELECT doc_id,
+        |    list_reduce(ls, (a,b) -> a+b) / 64 AS mean,
+        |    list_reduce(list_transform(ls, x -> x*x), (a,b) -> a+b) / 64 AS m2
+        |  FROM lums
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(mean/255.0 AS REAL) AS f4,
+        |    CAST(sqrt(greatest(0.0, m2 - mean*mean))/255.0 AS REAL) AS f5
+        |  FROM feat
+        |)
+        |SELECT 'ppm' AS format, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(CAST(floor(CAST(f4 AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lum_micro_total,
+        |  CAST(SUM(CAST(floor(CAST(f5 AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lum_sd_micro_total
+        |FROM f""".stripMargin,
+
+    // resize: integer box averages ((s + 8) // 16 per 4×4 block) and the
+    // float-subtracted luminance drift replicated bit-for-bit; byte
+    // sizes derived from the P6 header text, not pinned as magic numbers
+    "s_mm_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS doc_id, t.i AS i,
+        |    (d.doc_id*31 + t.i*7) % 256 AS pr,
+        |    (d.doc_id*17 + t.i*13) % 256 AS pg,
+        |    (d.doc_id*11 + t.i*3) % 256 AS pb
+        |  FROM documents d, range(1024) t(i)
+        |),
+        |bigf AS (
+        |  SELECT doc_id,
+        |    CAST((list_reduce(ls, (a,b) -> a+b) / 1024) / 255.0 AS REAL) AS f4b
+        |  FROM (SELECT doc_id, list(0.299*pr + 0.587*pg + 0.114*pb ORDER BY i) AS ls
+        |        FROM px GROUP BY doc_id)
+        |),
+        |sm AS (
+        |  SELECT doc_id, (i//32)//4 AS ty, (i%32)//4 AS tx,
+        |    (SUM(pr)+8)//16 AS spr, (SUM(pg)+8)//16 AS spg, (SUM(pb)+8)//16 AS spb
+        |  FROM px GROUP BY doc_id, (i//32)//4, (i%32)//4
+        |),
+        |smallf AS (
+        |  SELECT doc_id,
+        |    CAST((list_reduce(ls, (a,b) -> a+b) / 64) / 255.0 AS REAL) AS f4s
+        |  FROM (SELECT doc_id,
+        |          list(0.299*spr + 0.587*spg + 0.114*spb ORDER BY ty*8+tx) AS ls
+        |        FROM sm GROUP BY doc_id)
+        |),
+        |drift AS (
+        |  SELECT b.doc_id AS doc_id, CAST(abs(b.f4b - s.f4s) AS DOUBLE) AS d
+        |  FROM bigf b JOIN smallf s ON b.doc_id = s.doc_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(length('P6' || chr(10) || '32 32' || chr(10) || '255' || chr(10)) + 32*32*3 AS INT) AS orig_bytes,
+        |  CAST(length('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10)) + 8*8*3 AS INT) AS resized_bytes,
+        |  CAST(MAX(CAST(floor(d*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS max_drift_micro,
+        |  CAST(SUM(CASE WHEN d > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_violations
+        |FROM drift""".stripMargin,
+
+    // video motion: frame/sample counts and the per-class analytic
+    // motion (2·step/255 in µ-units) stated directly; violations == 0 is
+    // the tolerance verdict the Spark map computes per document
+    "s_mm_video_motion" ->
+      """SELECT CAST(c.c AS INT) AS cls,
+        |  (SELECT count(*) FROM documents d WHERE d.doc_id % 5 = c.c) AS n_videos,
+        |  CAST(12 AS INT) AS n_frames, CAST(6 AS INT) AS n_sampled,
+        |  CAST(floor(2.0*((c.c+1)*4)/255.0*1e6 + 0.5) AS BIGINT) AS expected_micro,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM range(5) c(c) ORDER BY cls""".stripMargin,
+
     // ANALYTIC-TRUTH oracle (r15): every fixture parameter is a pure
     // function of doc_id and the parser must recover all of them, so
     // the exact expected output is "every doc ok on every format, zero
