@@ -99,10 +99,38 @@ object PqTune {
         val nl = math.max(16, (12.0 * math.sqrt(n.toDouble)).round.toInt)
         val np = math.max(1, nl / 4)
         (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
+      }),
+      // r16 (VERDICT r15 #6): does c12's extra headroom buy a scan cut?
+      // 12√n cells at nprobe = nlist/5 = 20% scan vs the adopted c10/25%
+      ("r16 20% c12: 12√n np=nl/5 rr.6c", {
+        val nl = math.max(16, (12.0 * math.sqrt(n.toDouble)).round.toInt)
+        val np = math.max(1, nl / 5)
+        (nl, np, 1, 10, math.max(256, math.ceil(0.6 * n * np / nl).toInt))
       }))
     for ((name, (nl, np, sp, it, rr)) <- grid) {
       val r = recall(nl, np, sp, it, rr)
       println(f"[pqtune] $name%-36s nlist=$nl nprobe=$np rr=$rr recall@5 = $r%.3f (scan ${sp * np * 100.0 / nl}%.1f%%) n=$n")
+    }
+
+    // r16 (VERDICT r15 #5): the PERSISTED path at autoConfig sizing —
+    // save(nlist=0) + searchTopK(nprobe=0), routed probe ranking active
+    // past RoutedAssignThreshold (engages at sf0.1's n=2000 → 447 cells)
+    {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqtune_store").toString
+      graft.operators.AnnIndexStore.save(spark, emb, dir, nlist = 0)
+      val approx = graft.operators.AnnIndexStore
+        .searchTopK(spark, dir, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+          nprobe = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      Blocks.dropAll(spark)
+      val rs = exact.map { case (p, ex) =>
+        approx.get(p).map(ap => ap.intersect(ex).size.toDouble / ex.size)
+          .getOrElse(0.0)
+      }
+      val nl = spark.read.parquet(s"$dir/centroids").count()
+      println(f"[pqtune] r16 PERSISTED autoConfig store        nlist=$nl nprobe=${math.max(1, nl / 4)} recall@5 = ${rs.sum / rs.size}%.3f (scan 25.0%%, routed=${nl >= graft.operators.AnnPq.RoutedAssignThreshold}) n=$n")
+      graft.Fs.rmTree(dir)
     }
     spark.stop()
   }

@@ -29,13 +29,28 @@ object AnnIndexStore {
 
   /** Train (bounded driver-side sample) and persist the index. With
     * `m > 0` also trains and persists PQ sub-codebooks (AnnPq geometry)
-    * so an ADC scan path can read them back.
+    * so an ADC scan path can read them back. `nlist = 0` adopts
+    * [[AnnPq.autoConfig]]'s corpus-proportional sizing (10√n cells —
+    * the r15 recall-plateau knee), the same sizing the in-memory graded
+    * queries run; past [[AnnPq.RoutedAssignThreshold]] cells both the
+    * build's list writes and every later append assign through the
+    * two-level router (via AnnIvf.assign), and [[searchTopK]] ranks its
+    * probe cells the same way.
     */
   def save(spark: SparkSession, embeddings: DataFrame, dir: String,
            nlist: Int = 16, m: Int = 0, codes: Int = 16,
            seed: Long = 42, maxTrain: Int = 65536): Unit = {
     train(spark, embeddings, dir, nlist, m, codes, seed, maxTrain)
     writeLists(embeddings, loadCentroids(spark, dir), dir, overwrite = true)
+  }
+
+  /** Resolve an `nlist` argument: 0 → [[AnnPq.autoConfig]] sizing from
+    * the corpus count (one column-pruned count job).
+    */
+  private def resolveNlist(embeddings: DataFrame, nlist: Int): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = autoConfig), got $nlist")
+    if (nlist > 0) nlist
+    else AnnPq.autoConfig(embeddings.select("vec_id").count())._1
   }
 
   /** Train and persist the GEOMETRY only (centroids + optional PQ
@@ -54,7 +69,7 @@ object AnnIndexStore {
     graft.functions.VectorFunctions.register(spark)
     val sample = AnnIvf.collectTrain(embeddings, maxTrain)
     require(sample.nonEmpty, "cannot build an index over an empty corpus")
-    val k = math.min(nlist, sample.length)
+    val k = math.min(resolveNlist(embeddings, nlist), sample.length)
     val centroids = AnnIvf.localKMeans(sample, k, iters = 10, seed = seed)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
@@ -503,21 +518,57 @@ object AnnIndexStore {
     * rank within them. Result shape and tie-breaks match
     * AnnIvf.approxTopK exactly (search-after-reload ≡ fresh build —
     * AnnStoreSpec).
+    *
+    * `nprobe = 0` adopts the autoConfig ratio (nlist/4 — the 25%-scan
+    * plateau knee, r15). Past [[AnnPq.RoutedAssignThreshold]] cells the
+    * probe→cell ranking runs through [[AnnPq.probeCellsRouted]]
+    * (√nlist-super ranking + child exact-rank with one-super near-tie
+    * slack) instead of the flat probes×nlist cross join — the
+    * search-side half of the billion-vector assignment fix; below the
+    * threshold the flat SQL ranking is unchanged (both orderings break
+    * ties by (d², list_id)). Recall at autoConfig sizing is gated by
+    * AnnStoreSpec's floor and the PqTune persisted-path row, never by
+    * internal flat-vs-routed agreement (the r15 doctrine).
     */
   def searchTopK(spark: SparkSession, dir: String, probes: DataFrame,
                  k: Int = 5, nprobe: Int = 6): DataFrame = {
+    import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val centroidsDf = spark.read.parquet(s"$dir/centroids")
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
-    val wLists = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
-    val probeLists = p.crossJoin(broadcast(centroidsDf))
-      .withColumn("dist2",
-        col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
-          when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
-      .withColumn("lr", row_number().over(wLists))
-      .filter(col("lr") <= nprobe)
-      .select("probe_id", "pv", "pn", "list_id")
+    val nlist = centroidsDf.count().toInt
+    val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
+    val probeLists =
+      if (nlist >= AnnPq.RoutedAssignThreshold) {
+        val router = AnnPq.buildRouter(loadCentroids(spark, dir))
+        val bR = spark.sparkContext.broadcast(router)
+        val pairs = probes
+          .select(col("vec_id").cast("long").as("probe_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val rt = bR.value
+            it.flatMap { case (id, vf) =>
+              val raw = vf.map(_.toDouble)
+              var s = 0.0
+              var d = 0
+              while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
+              val n = math.sqrt(s)
+              val u = if (n > 0) raw.map(_ / n) else raw
+              AnnPq.probeCellsRouted(u, rt, np).map(lid => (id, lid))
+            }
+          }.toDF("probe_id", "list_id")
+        p.join(pairs, "probe_id").select("probe_id", "pv", "pn", "list_id")
+      } else {
+        val wLists = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
+        p.crossJoin(broadcast(centroidsDf))
+          .withColumn("dist2",
+            col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
+              when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
+          .withColumn("lr", row_number().over(wLists))
+          .filter(col("lr") <= np)
+          .select("probe_id", "pv", "pn", "list_id")
+      }
     // static cell pruning: the probed cell ids collect to a tiny set and
     // push into the scan as PartitionFilters — only those directories
     // are read (the searched fraction IS the I/O fraction)

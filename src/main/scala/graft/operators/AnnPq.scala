@@ -334,6 +334,47 @@ object AnnPq {
     */
   val RoutedAssignThreshold = 256
 
+  /** Routed top-`nprobe` cells for a PROBE (r16 — the search-side twin
+    * of [[nearestCellRouted]], adopted by AnnIndexStore.searchTopK at
+    * autoConfig sizing): visit super-cells in distance-rank order,
+    * collecting their children, until ≥ nprobe candidates are in hand,
+    * then one EXTRA super-cell as near-tie slack (the same boundary
+    * re-cover that keeps routed assignment's recall flat — r15), and
+    * exact-rank the collected children by (d², cellId). Cost per probe:
+    * g·dim + |visited children|·dim ≈ (√nlist + nprobe + √nlist)·dim vs
+    * the flat nlist·dim — the win grows with nlist/nprobe. Approximate
+    * like all routing: a true top-nprobe cell can hide outside the
+    * visited supers; the contract is the recall floor (AnnStoreSpec /
+    * PqTune persisted rows), never internal agreement.
+    */
+  def probeCellsRouted(u: Array[Double], r: CellRouter, nprobe: Int): Array[Int] = {
+    val superRank = r.superCents.indices.map { i =>
+      var d2 = 0.0
+      var d = 0
+      while (d < u.length) { val t = u(d) - r.superCents(i)(d); d2 += t * t; d += 1 }
+      (d2, i)
+    }.sorted
+    val picked = Array.newBuilder[Int]
+    var count = 0
+    var s = 0
+    var slackLeft = 1
+    while (s < superRank.length && (count < nprobe || slackLeft >= 0)) {
+      if (count >= nprobe) slackLeft -= 1
+      if (slackLeft >= 0) {
+        val kids = r.children(superRank(s)._2)
+        picked ++= kids
+        count += kids.length
+      }
+      s += 1
+    }
+    picked.result().map { c =>
+      var d2 = 0.0
+      var d = 0
+      while (d < u.length) { val t = u(d) - r.cents(c)(d); d2 += t * t; d += 1 }
+      (d2, c)
+    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+  }
+
   private def encodeResidual(r: Array[Double],
                              books: Array[Array[Array[Double]]]): Array[Int] = {
     val cs = new Array[Int](books.length)

@@ -53,6 +53,50 @@ class AnnStoreSpec extends SparkSpec {
     assert(overlap >= 12, s"ANN top-20 overlap with exact cosine too low: $overlap/20")
   }
 
+  test("autoConfig store (nlist=0) routes probe ranking past the threshold; recall floor holds") {
+    // r16 (VERDICT r15 #5): a 700-vector synthetic corpus puts
+    // autoConfig past RoutedAssignThreshold (10·√700 ≈ 265 ≥ 256), so
+    // save assigns through the router AND searchTopK ranks probe cells
+    // through AnnPq.probeCellsRouted. The contract is the recall floor
+    // vs brute-force cosine — never flat-vs-routed internal agreement
+    // (the r15 near-tie doctrine).
+    import spark.implicits._
+    val dim = 16
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(i * 31.0 + d * 7.0).toFloat)
+    val n = 700
+    val synth = (0L until n).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_auto").toString
+    try {
+      AnnIndexStore.save(spark, synth, dir, nlist = 0)
+      val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+      assert(nlist >= AnnPq.RoutedAssignThreshold,
+        s"autoConfig picked $nlist cells — the routed path is not engaged")
+      // brute-force cosine top-5 per probe (self excluded)
+      val all = synth.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+        while (d < dim) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+        dot / math.sqrt(na * nb)
+      }
+      val exact = all.filter(_._1 < 10).map { case (p, pv) =>
+        p -> all.filter(_._1 != p)
+          .map { case (q, qv) => (q, cos(pv, qv)) }
+          .sortBy { case (q, s) => (-s, q) }.take(5).map(_._1).toSet
+      }.toMap
+      val got = AnnIndexStore
+        .searchTopK(spark, dir, synth.filter(col("vec_id") < 10), nprobe = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exact.map { case (p, ex) =>
+        got.get(p).map(g => g.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+      }
+      val recall = recalls.sum / recalls.size
+      assert(recall >= 0.9, s"routed autoConfig store recall@5 $recall < 0.9")
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("search after save+reload equals the fresh in-memory build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
     try {
