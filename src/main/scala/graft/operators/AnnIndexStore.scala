@@ -520,55 +520,38 @@ object AnnIndexStore {
     * AnnStoreSpec).
     *
     * `nprobe = 0` adopts the autoConfig ratio (nlist/4 — the 25%-scan
-    * plateau knee, r15). Past [[AnnPq.RoutedAssignThreshold]] cells the
-    * probe→cell ranking runs through [[AnnPq.probeCellsRouted]]
-    * (√nlist-super ranking + child exact-rank with one-super near-tie
-    * slack) instead of the flat probes×nlist cross join — the
-    * search-side half of the billion-vector assignment fix; below the
-    * threshold the flat SQL ranking is unchanged (both orderings break
-    * ties by (d², list_id)). Recall at autoConfig sizing is gated by
-    * AnnStoreSpec's floor and the PqTune persisted-path row, never by
-    * internal flat-vs-routed agreement (the r15 doctrine).
+    * plateau knee, r15). Probe→cell ranking stays EXHAUSTIVE at every
+    * nlist — a MEASURED NEGATIVE (r16): routing the probe's top-nprobe
+    * cell selection through the two-level router (visit super-cells in
+    * rank order until ≥ nprobe children + near-tie slack) read
+    * recall@5 0.66 vs flat 0.98 at autoConfig sizing on sf0.1
+    * (PqTune). At autoConfig ratios nprobe/nlist = 1/4, so the
+    * truncation skips most super-cells, and on this near-uniform
+    * corpus the super ranking is uninformative — the true top cells
+    * spread across ALL supers. Assignment-side routing keeps its win
+    * (AnnIvf.assign): an argmin miss lands in a near-tied cell the
+    * probe fan-out re-covers, but probe-side top-nprobe selection IS
+    * the fan-out — nothing downstream recovers its misses. Flat
+    * ranking costs probes×nlist·dim: per-QUERY serving work (~40M
+    * mul-adds per probe at 316k cells), not the per-corpus-vector term
+    * the router exists to cut.
     */
   def searchTopK(spark: SparkSession, dir: String, probes: DataFrame,
                  k: Int = 5, nprobe: Int = 6): DataFrame = {
-    import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val centroidsDf = spark.read.parquet(s"$dir/centroids")
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
-    val nlist = centroidsDf.count().toInt
-    val np = if (nprobe > 0) nprobe else math.max(1, nlist / 4)
-    val probeLists =
-      if (nlist >= AnnPq.RoutedAssignThreshold) {
-        val router = AnnPq.buildRouter(loadCentroids(spark, dir))
-        val bR = spark.sparkContext.broadcast(router)
-        val pairs = probes
-          .select(col("vec_id").cast("long").as("probe_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-          .mapPartitions { it =>
-            val rt = bR.value
-            it.flatMap { case (id, vf) =>
-              val raw = vf.map(_.toDouble)
-              var s = 0.0
-              var d = 0
-              while (d < raw.length) { s += raw(d) * raw(d); d += 1 }
-              val n = math.sqrt(s)
-              val u = if (n > 0) raw.map(_ / n) else raw
-              AnnPq.probeCellsRouted(u, rt, np).map(lid => (id, lid))
-            }
-          }.toDF("probe_id", "list_id")
-        p.join(pairs, "probe_id").select("probe_id", "pv", "pn", "list_id")
-      } else {
-        val wLists = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
-        p.crossJoin(broadcast(centroidsDf))
-          .withColumn("dist2",
-            col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
-              when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
-          .withColumn("lr", row_number().over(wLists))
-          .filter(col("lr") <= np)
-          .select("probe_id", "pv", "pn", "list_id")
-      }
+    val np = if (nprobe > 0) nprobe
+      else math.max(1, centroidsDf.count().toInt / 4)
+    val wLists = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
+    val probeLists = p.crossJoin(broadcast(centroidsDf))
+      .withColumn("dist2",
+        col("c_normsq") - expr("graft_dot(pv, c)") * 2.0 /
+          when(col("pn") > 0, col("pn")).otherwise(lit(1.0)))
+      .withColumn("lr", row_number().over(wLists))
+      .filter(col("lr") <= np)
+      .select("probe_id", "pv", "pn", "list_id")
     // static cell pruning: the probed cell ids collect to a tiny set and
     // push into the scan as PartitionFilters — only those directories
     // are read (the searched fraction IS the I/O fraction)

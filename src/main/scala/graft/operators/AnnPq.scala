@@ -66,6 +66,16 @@ object AnnPq {
     * in earlier rounds (r13 scaladoc below). OperatorSpec asserts the
     * 0.9 floor at the LARGEST SF, where frozen configs silently decay.
     *
+    * r16 (VERDICT r15 #6) — the 20%-scan probe: c12 at nprobe = nl/5
+    * read 0.94 at sf0.1, above the 0.9 floor but BELOW the adopted
+    * c10/25% plateau (0.98), and c12's own 25% reading was 0.94 the
+    * same day (k-means sample-order jitter ±0.04 run-to-run). Adopting
+    * would thin the sf0.1 floor margin 0.08 → 0.04 against a config
+    * whose variance is that margin — negative recorded, c10/25% kept.
+    * The PERSISTED store at autoConfig sizing reads the same 0.98 as
+    * the in-memory path (PqTune r16 persisted row; flat probe ranking
+    * — see the routed-probe negative below).
+    *
     * 100 TB note: assignment cost is n·nlist·dim mul-adds; at n ~ 1e9,
     * nlist = 10√n ≈ 316k turns the flat argmin into the bottleneck.
     * IMPLEMENTED (r15): past [[RoutedAssignThreshold]] cells,
@@ -334,46 +344,18 @@ object AnnPq {
     */
   val RoutedAssignThreshold = 256
 
-  /** Routed top-`nprobe` cells for a PROBE (r16 — the search-side twin
-    * of [[nearestCellRouted]], adopted by AnnIndexStore.searchTopK at
-    * autoConfig sizing): visit super-cells in distance-rank order,
-    * collecting their children, until ≥ nprobe candidates are in hand,
-    * then one EXTRA super-cell as near-tie slack (the same boundary
-    * re-cover that keeps routed assignment's recall flat — r15), and
-    * exact-rank the collected children by (d², cellId). Cost per probe:
-    * g·dim + |visited children|·dim ≈ (√nlist + nprobe + √nlist)·dim vs
-    * the flat nlist·dim — the win grows with nlist/nprobe. Approximate
-    * like all routing: a true top-nprobe cell can hide outside the
-    * visited supers; the contract is the recall floor (AnnStoreSpec /
-    * PqTune persisted rows), never internal agreement.
-    */
-  def probeCellsRouted(u: Array[Double], r: CellRouter, nprobe: Int): Array[Int] = {
-    val superRank = r.superCents.indices.map { i =>
-      var d2 = 0.0
-      var d = 0
-      while (d < u.length) { val t = u(d) - r.superCents(i)(d); d2 += t * t; d += 1 }
-      (d2, i)
-    }.sorted
-    val picked = Array.newBuilder[Int]
-    var count = 0
-    var s = 0
-    var slackLeft = 1
-    while (s < superRank.length && (count < nprobe || slackLeft >= 0)) {
-      if (count >= nprobe) slackLeft -= 1
-      if (slackLeft >= 0) {
-        val kids = r.children(superRank(s)._2)
-        picked ++= kids
-        count += kids.length
-      }
-      s += 1
-    }
-    picked.result().map { c =>
-      var d2 = 0.0
-      var d = 0
-      while (d < u.length) { val t = u(d) - r.cents(c)(d); d2 += t * t; d += 1 }
-      (d2, c)
-    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-  }
+  // MEASURED NEGATIVE (r16, do not redo): routing a probe's TOP-NPROBE
+  // cell selection through the router (visit super-cells in rank order
+  // until ≥ nprobe children + one slack super, exact-rank the children)
+  // read recall@5 0.66 vs flat 0.98 at autoConfig sizing on sf0.1. At
+  // the autoConfig ratio nprobe = nlist/4, covering nprobe children
+  // visits only ~nprobe/√nlist of the supers, and on a near-uniform
+  // corpus the super ranking is uninformative — the true top-nprobe
+  // cells spread across ALL supers. Assignment routing survives because
+  // an argmin miss is re-covered by the probe fan-out; probe-side
+  // selection IS the fan-out. AnnIndexStore.searchTopK therefore ranks
+  // probe cells exhaustively at every nlist (per-query cost, not the
+  // per-corpus-vector term the router exists to cut).
 
   private def encodeResidual(r: Array[Double],
                              books: Array[Array[Array[Double]]]): Array[Int] = {

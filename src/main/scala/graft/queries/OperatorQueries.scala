@@ -181,11 +181,12 @@ object OperatorQueries extends QueryPack {
     // r16 (VERDICT r15 #5): the store builds at AUTOCONFIG sizing
     // (nlist = 0 → 10√n cells) like the in-memory graded queries — at
     // sf0.1 that is 447 cells, past RoutedAssignThreshold, so the
-    // routed ASSIGNMENT (save/append via AnnIvf.assign) and the routed
-    // PROBE-CELL ranking (searchTopK) are both exercised by the graded
-    // bench; nprobe = 0 → nlist/4 (the 25%-scan knee). Recall floors:
-    // AnnStoreSpec (routed autoConfig store ≥ 0.9 on a 700-vector
-    // synthetic) + the PqTune persisted-path row.
+    // routed ASSIGNMENT (save/append via AnnIvf.assign) is exercised by
+    // the graded bench; nprobe = 0 → nlist/4 (the 25%-scan knee).
+    // Probe-side cell ranking stays exhaustive (routed probing is a
+    // measured r16 negative: 0.66 vs 0.98 — AnnPq note). Recall floors:
+    // AnnStoreSpec (autoConfig store ≥ 0.9 on a 700-vector synthetic)
+    // + the PqTune persisted-path row.
     "s_sim_ann_store" -> ((s, dir) => {
       val emb = Tables.t(s, dir, "embeddings")
       val (base, _) = Fixtures.store("annstore_app", dir) { fx =>

@@ -53,13 +53,14 @@ class AnnStoreSpec extends SparkSpec {
     assert(overlap >= 12, s"ANN top-20 overlap with exact cosine too low: $overlap/20")
   }
 
-  test("autoConfig store (nlist=0) routes probe ranking past the threshold; recall floor holds") {
+  test("autoConfig store (nlist=0): routed ASSIGNMENT past the threshold; recall floor holds") {
     // r16 (VERDICT r15 #5): a 700-vector synthetic corpus puts
     // autoConfig past RoutedAssignThreshold (10·√700 ≈ 265 ≥ 256), so
-    // save assigns through the router AND searchTopK ranks probe cells
-    // through AnnPq.probeCellsRouted. The contract is the recall floor
-    // vs brute-force cosine — never flat-vs-routed internal agreement
-    // (the r15 near-tie doctrine).
+    // save/append ASSIGN through the two-level router (AnnIvf.assign).
+    // Probe-side cell ranking stays exhaustive — the routed variant is
+    // a measured negative (see AnnPq's r16 note: recall 0.66 vs 0.98).
+    // The contract is the recall floor vs brute-force cosine — never
+    // flat-vs-routed internal agreement (the r15 near-tie doctrine).
     import spark.implicits._
     val dim = 16
     def vec(i: Long): Array[Float] =
