@@ -1624,6 +1624,26 @@ object OperatorQueries extends QueryPack {
          |FROM documents d LEFT JOIN doc_tok t ON d.doc_id = t.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // context-window chunking over the REAL tokenizer ids: the encode
+    // chain's per-doc token list, stride-12/window-16 sliced — every
+    // token id of every chunk hash-graded
+    "s_text_chunk_bpe" ->
+      s"""WITH RECURSIVE ${BpeTrainer.oracleEncodeCtes("documents")},
+         |doc_list AS (
+         |  SELECT d.doc_id AS doc_id,
+         |    CASE WHEN coalesce(t.tokens_csv, '') = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(t.tokens_csv, ',') END AS tl
+         |  FROM documents d LEFT JOIN doc_tok t ON d.doc_id = t.doc_id
+         |  WHERE d.doc_id < 100
+         |)
+         |SELECT doc_id,
+         |  CAST(st // 12 AS BIGINT) AS chunk_id,
+         |  CAST(least(16, len(tl) - st) AS BIGINT) AS chunk_len,
+         |  array_to_string(tl[st+1 : least(st+16, len(tl))], ',') AS chunk_csv
+         |FROM (SELECT doc_id, tl, unnest(range(0, greatest(len(tl) - 1, 0) + 1, 12)) AS st
+         |      FROM doc_list)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // sequence packing over the REAL tokenizer counts: the q_pack_
     // contiguous window cumsum fed by the BPE n_tokens chain above
     "s_pack_bpe" ->
@@ -1734,6 +1754,108 @@ object OperatorQueries extends QueryPack {
         |  CAST(floor(2.0*((c.c+1)*4)/255.0*1e6 + 0.5) AS BIGINT) AS expected_micro,
         |  CAST(0 AS BIGINT) AS violations
         |FROM range(5) c(c) ORDER BY cls""".stripMargin,
+
+    // audio DSP chain replicated end-to-end: trunc'd sine PCM (per
+    // tone class), float samples (v/32768 → REAL), the integer-factor
+    // resample (every 2nd sample — exact by the linear-interp identity
+    // MultimodalDspSpec pins), windowed RMS with the float cast
+    // absorbing double sum-order noise (1e-16 ≪ the 6e-8 float ulp),
+    // class stats rounded at 3dp (margin >> any cross-engine sin ulp)
+    "s_mm_audio_frames" ->
+      """WITH samples AS (
+        |  SELECT k.k AS cls, t.i AS i,
+        |    CAST(trunc((CASE WHEN t.i < 400 THEN 0.6 ELSE 0.15 END)
+        |         * sin(2*pi()*(200.0 + k.k*100.0)*t.i/8000) * 32767) AS BIGINT) AS v
+        |  FROM range(17) k(k), range(800) t(i)
+        |),
+        |pcm AS (SELECT cls, i, CAST(v/32768.0 AS REAL) AS s FROM samples),
+        |rs AS (SELECT cls, i//2 AS j, s FROM pcm WHERE i % 2 = 0),
+        |frames AS (
+        |  SELECT r.cls AS cls, f.f AS f,
+        |    CAST(sqrt(SUM(CAST(r.s AS DOUBLE)*CAST(r.s AS DOUBLE))/80) AS REAL) AS rms
+        |  FROM rs r, range(9) f(f)
+        |  WHERE r.j >= f.f*40 AND r.j < f.f*40 + 80
+        |  GROUP BY r.cls, f.f
+        |),
+        |pc AS (
+        |  SELECT cls,
+        |    CAST(MAX(CASE WHEN f = 0 THEN rms END) AS DOUBLE) AS head,
+        |    CAST(MAX(CASE WHEN f = 8 THEN rms END) AS DOUBLE) AS tail
+        |  FROM frames GROUP BY cls
+        |),
+        |docs AS (SELECT doc_id % 17 AS cls FROM documents)
+        |SELECT d.cls AS tone_class, count(*) AS n_media, CAST(9 AS INT) AS n_frames,
+        |  round(avg(p.head), 3) AS avg_head_rms,
+        |  round(avg(p.tail), 3) AS avg_tail_rms
+        |FROM docs d JOIN pc p ON d.cls = p.cls
+        |GROUP BY d.cls ORDER BY tone_class""".stripMargin,
+
+    // the REAL JDK audio codecs graded against an INDEPENDENT G.711
+    // replication: DuckDB re-derives the int16 fixture (trunc'd sine),
+    // the encoder's round-half-up requantization (AIFF is lossless
+    // PCM16, so its RMS is the requantized RMS exactly), and the CCITT
+    // mu-law encode/decode in pure integer bit math (bias 0x84, clip
+    // 32635, segment ladder, complement) — if javax.sound's UlawCodec
+    // ever drifts from G.711 on any sample, the hash breaks
+    "s_mm_audio_codec" ->
+      """WITH samples AS (
+        |  SELECT k.k AS cls, t.i AS i,
+        |    CAST(trunc(0.4 * sin(2*pi()*(200.0 + k.k*40.0)*t.i/8000) * 32767) AS BIGINT) AS v
+        |  FROM range(20) k(k), range(400) t(i)
+        |),
+        |pcm AS (SELECT cls, i, CAST(v/32768.0 AS REAL) AS s FROM samples),
+        |enc AS (
+        |  SELECT cls, i, s,
+        |    greatest(-32768, least(32767,
+        |      CAST(floor(CAST(s AS DOUBLE)*32767.0 + 0.5) AS BIGINT))) AS e16
+        |  FROM pcm
+        |),
+        |ulaw AS (
+        |  SELECT cls, i, e16,
+        |    (SELECT xor(CAST((CASE WHEN e16 < 0 THEN 128 ELSE 0 END)
+        |       | (ex << 4)
+        |       | ((a >> (ex + 3)) & 15) AS BIGINT), 255)
+        |     FROM (SELECT least(CASE WHEN e16 < 0 THEN -e16 ELSE e16 END, 32635) + 132 AS a),
+        |          (SELECT CASE WHEN (a >> 7) >= 128 THEN 7 WHEN (a >> 7) >= 64 THEN 6
+        |                       WHEN (a >> 7) >= 32 THEN 5 WHEN (a >> 7) >= 16 THEN 4
+        |                       WHEN (a >> 7) >= 8 THEN 3 WHEN (a >> 7) >= 4 THEN 2
+        |                       WHEN (a >> 7) >= 2 THEN 1 ELSE 0 END AS ex)) AS u
+        |  FROM enc
+        |),
+        |dec AS (
+        |  SELECT cls, i,
+        |    (SELECT CASE WHEN (w & 128) != 0 THEN 132 - t ELSE t - 132 END
+        |     FROM (SELECT xor(u, 255) AS w),
+        |          (SELECT (((w & 15) << 3) + 132) << ((w & 112) >> 4) AS t)) AS d16
+        |  FROM ulaw
+        |),
+        |rms AS (
+        |  SELECT p.cls AS cls,
+        |    CAST(sqrt(SUM(CAST(p.s AS DOUBLE)*CAST(p.s AS DOUBLE))/400) AS REAL) AS rw,
+        |    CAST(sqrt(SUM(CAST(CAST(e.e16/32768.0 AS REAL) AS DOUBLE)
+        |                * CAST(CAST(e.e16/32768.0 AS REAL) AS DOUBLE))/400) AS REAL) AS ra,
+        |    CAST(sqrt(SUM(CAST(CAST(d.d16/32768.0 AS REAL) AS DOUBLE)
+        |                * CAST(CAST(d.d16/32768.0 AS REAL) AS DOUBLE))/400) AS REAL) AS ru
+        |  FROM pcm p
+        |  JOIN enc e ON p.cls = e.cls AND p.i = e.i
+        |  JOIN dec d ON p.cls = d.cls AND p.i = d.i
+        |  GROUP BY p.cls
+        |),
+        |perclass AS (
+        |  SELECT cls,
+        |    abs(CAST(ra AS DOUBLE) - CAST(rw AS DOUBLE)) AS aiff_drift,
+        |    abs(CAST(ru AS DOUBLE) - CAST(rw AS DOUBLE)) AS ulaw_drift,
+        |    CASE WHEN abs(CAST(ra AS DOUBLE) - 0.4/sqrt(2)) > 0.001 THEN 1 ELSE 0 END AS bad_aiff,
+        |    CASE WHEN abs(CAST(ru AS DOUBLE) - CAST(rw AS DOUBLE)) > 0.01 THEN 1 ELSE 0 END AS bad_ulaw
+        |  FROM rms
+        |),
+        |docs AS (SELECT doc_id % 20 AS cls FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_audio,
+        |  round(MAX(p.aiff_drift), 6) AS max_aiff_drift,
+        |  round(MAX(p.ulaw_drift), 6) AS max_ulaw_drift,
+        |  CAST(SUM(p.bad_aiff) AS BIGINT) AS aiff_violations,
+        |  CAST(SUM(p.bad_ulaw) AS BIGINT) AS ulaw_violations
+        |FROM docs d JOIN perclass p ON d.cls = p.cls""".stripMargin,
 
     // ANALYTIC-TRUTH oracle (r15): every fixture parameter is a pure
     // function of doc_id and the parser must recover all of them, so
