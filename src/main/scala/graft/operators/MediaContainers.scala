@@ -258,45 +258,60 @@ object MediaContainers {
       pos = 10 + sz
       if (pos > bytes.length) return None
     }
-    var frames = 0L
-    var rate = -1
-    var steps = 0
-    while (pos + 4 <= bytes.length) {
-      steps += 1
-      if (steps > MaxWalkSteps) return None
-      val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
-      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None // sync lost mid-chain
-      val versionBits = (b2 >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
-      val layerBits = (b2 >> 1) & 0x3   // 1 = Layer III
-      if (layerBits != 1 || versionBits == 1) return None // 1 = reserved
-      val mpeg1 = versionBits == 3
-      val brIdx = (bytes(pos + 2) & 0xff) >> 4
-      val srIdx = ((bytes(pos + 2) & 0xff) >> 2) & 0x3
-      val pad = ((bytes(pos + 2) & 0xff) >> 1) & 0x1
-      // MPEG2 and MPEG2.5 share the Layer III bitrate table and the
-      // 72-coefficient framing; ONLY the sample-rate table differs —
-      // routing 2.5 through the MPEG2 rates would report 2× rate/duration
-      val bitrate = (if (mpeg1) Mpeg1Layer3Bitrates else Mpeg2Layer3Bitrates)(brIdx) * 1000
-      val sr = versionBits match {
-        case 3 => Mpeg1Rates(srIdx)
-        case 2 => Mpeg2Rates(srIdx)
-        case _ => Mpeg25Rates(srIdx)
+    // walks the frame chain over [from, end); None unless it tiles EXACTLY
+    def walkFrames(from: Int, end: Int): Option[(Long, Int)] = {
+      var pos = from
+      var frames = 0L
+      var rate = -1
+      var steps = 0
+      while (pos + 4 <= end) {
+        steps += 1
+        if (steps > MaxWalkSteps) return None
+        val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+        if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None // sync lost mid-chain
+        val versionBits = (b2 >> 3) & 0x3 // 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5
+        val layerBits = (b2 >> 1) & 0x3   // 1 = Layer III
+        if (layerBits != 1 || versionBits == 1) return None // 1 = reserved
+        val mpeg1 = versionBits == 3
+        val brIdx = (bytes(pos + 2) & 0xff) >> 4
+        val srIdx = ((bytes(pos + 2) & 0xff) >> 2) & 0x3
+        val pad = ((bytes(pos + 2) & 0xff) >> 1) & 0x1
+        // MPEG2 and MPEG2.5 share the Layer III bitrate table and the
+        // 72-coefficient framing; ONLY the sample-rate table differs —
+        // routing 2.5 through the MPEG2 rates would report 2× rate/duration
+        val bitrate = (if (mpeg1) Mpeg1Layer3Bitrates else Mpeg2Layer3Bitrates)(brIdx) * 1000
+        val sr = versionBits match {
+          case 3 => Mpeg1Rates(srIdx)
+          case 2 => Mpeg2Rates(srIdx)
+          case _ => Mpeg25Rates(srIdx)
+        }
+        if (bitrate == 0 || sr == 0) return None // free-format/reserved: refuse
+        if (rate < 0) rate = sr
+        else if (rate != sr) return None // rate must not jump mid-stream
+        val frameLen = (if (mpeg1) 144 else 72) * bitrate / sr + pad
+        if (frameLen < 4 || pos + frameLen > end) return None // torn frame
+        frames += 1
+        pos += frameLen
       }
-      if (bitrate == 0 || sr == 0) return None // free-format/reserved: refuse
-      if (rate < 0) rate = sr
-      else if (rate != sr) return None // rate must not jump mid-stream
-      val frameLen = (if (mpeg1) 144 else 72) * bitrate / sr + pad
-      if (frameLen < 4 || pos + frameLen > bytes.length) return None // torn frame
-      frames += 1
-      pos += frameLen
+      if (frames == 0 || pos != end) None else Some((frames, rate))
     }
-    if (frames == 0 || pos != bytes.length) None
-    else {
+    // STRICT tiling to the end wins first (so "TAG" bytes that happen to
+    // sit inside the final frame's payload never truncate a valid file);
+    // only a file that fails it retries with an ID3v1 TRAILER (exactly
+    // 128 bytes, "TAG" magic — the metadata block most real CBR files
+    // carry) excluded from the tiling (r16).
+    val parsed = walkFrames(pos, bytes.length).orElse {
+      if (bytes.length - pos >= 128 + 4 && bytes(bytes.length - 128) == 'T' &&
+        bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G')
+        walkFrames(pos, bytes.length - 128)
+      else None
+    }
+    parsed.map { case (frames, rate) =>
       val spf = if (rate >= 32000) 1152 else 576 // MPEG1 vs MPEG2 Layer III
-      Some(ContainerMeta("mp3",
+      ContainerMeta("mp3",
         durationMs = frames * spf * 1000L / rate,
         width = -1, height = -1, sampleRate = rate,
-        nFrames = frames, nTracks = 1))
+        nFrames = frames, nTracks = 1)
     }
   }
 
@@ -418,7 +433,8 @@ object MediaContainers {
     */
   def synthMp3(srIdx: Int, brIdx: Int, nFrames: Int,
                id3Bytes: Int = 0, mpeg1: Boolean = true,
-               padEvery: Int = 0, mpeg25: Boolean = false): Array[Byte] = {
+               padEvery: Int = 0, mpeg25: Boolean = false,
+               id3v1: Boolean = false): Array[Byte] = {
     require(srIdx >= 0 && srIdx <= 2 && brIdx >= 1 && brIdx <= 14 &&
       nFrames > 0 && id3Bytes >= 0 && id3Bytes < (1 << 21) && padEvery >= 0 &&
       !(mpeg1 && mpeg25), "bad mp3 fixture params")
@@ -443,6 +459,10 @@ object MediaContainers {
       out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
       out.write(0xc4) // mono, no mode ext, not copyrighted, original, no emphasis
       (4 until frameLen).foreach(i => out.write((f * 7 + i * 13) & 0xff))
+    }
+    if (id3v1) { // 128-byte trailer: "TAG" + title/artist/... metadata
+      out.write("TAG".getBytes("US-ASCII"))
+      out.write(Array.tabulate[Byte](125)(i => (i * 3 % 96 + 32).toByte))
     }
     out.toByteArray
   }

@@ -1239,11 +1239,16 @@ object Multimodal {
         col("lang").as("format"),
         lit(0).as("width"), lit(0).as("height"))
       .as[MediaRow]
+    // r16 oracle promotion: f0 aggregates in exact µ-units (floor of the
+    // per-doc FLOAT byte-histogram fraction ×1e6 — never a cross-engine
+    // ROUND(avg(double),6)); DuckDB re-derives the stub's byte counting
+    // over the ASCII corpus independently
     featurize(media)
       .groupBy("format")
       .agg(count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+        sum(floor(element_at(col("features"), 1).cast("double") * 1e6 + lit(0.5)))
+          .cast("long").as("f0_micro_total"))
       .orderBy("format")
   }
 }

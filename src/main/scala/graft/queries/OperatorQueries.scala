@@ -1790,6 +1790,23 @@ object OperatorQueries extends QueryPack {
         |FROM docs d JOIN pc p ON d.cls = p.cls
         |GROUP BY d.cls ORDER BY tone_class""".stripMargin,
 
+    // the STUB featurize path's plumbing hash-graded: the byte-histogram
+    // fraction is a pure function of the text bytes (ASCII corpus ⇒
+    // byte == char code), aggregated in exact µ-units per the r16
+    // pattern — proves the binary-column batch plumbing end to end
+    "s_mm_features" ->
+      """WITH perdoc AS (
+        |  SELECT lang AS format, octet_length(encode(text)) AS nb,
+        |    CAST(CAST((SELECT count(*) FROM unnest(string_split_regex(text,'')) AS u(c)
+        |               WHERE length(c) > 0 AND ascii(c) % 16 = 0) AS REAL)
+        |         / CAST(greatest(1, octet_length(encode(text))) AS REAL) AS REAL) AS f0
+        |  FROM documents
+        |)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CAST(floor(CAST(f0 AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS f0_micro_total
+        |FROM perdoc GROUP BY format ORDER BY format""".stripMargin,
+
     // the REAL JDK audio codecs graded against an INDEPENDENT G.711
     // replication: DuckDB re-derives the int16 fixture (trunc'd sine),
     // the encoder's round-half-up requantization (AIFF is lossless

@@ -160,6 +160,26 @@ class MediaContainersSpec extends SparkSpec {
       synthMp3(0, 8, 2, mpeg1 = false)).isEmpty)
   }
 
+  test("mp3: ID3v1 trailer parses as metadata, not garbage; strict tiling wins first (r16)") {
+    val sr = 44100
+    // ID3v2 header + frames + ID3v1 trailer — the full real-file shape
+    val m = parseMp3(synthMp3(0, 9, nFrames = 5, id3Bytes = 21, id3v1 = true)).get
+    assert(m == ContainerMeta("mp3", 5L * 1152 * 1000 / sr, -1, -1, sr, 5, 1))
+    // a trailer-sized junk block WITHOUT the TAG magic stays garbage
+    val junk = synthMp3(0, 9, 3) ++ Array.tabulate[Byte](128)(i => (i % 96 + 32).toByte)
+    assert(parseMp3(junk).isEmpty)
+    // "TAG" at the wrong distance from the end is not a trailer
+    assert(parseMp3(synthMp3(0, 9, 3) ++ "TAG".getBytes ++ new Array[Byte](100)).isEmpty)
+    // strict tiling wins first: a file whose FINAL FRAME contains "TAG"
+    // exactly 128 bytes from the end must still parse whole (never
+    // truncated into a torn frame by the trailer heuristic)
+    val ok = synthMp3(0, 9, nFrames = 4)
+    val tagged = ok.clone()
+    val at = ok.length - 128
+    tagged(at) = 'T'; tagged(at + 1) = 'A'; tagged(at + 2) = 'G'
+    assert(parseMp3(tagged).exists(_.nFrames == 4))
+  }
+
   test("mp3: hostile framing refuses — torn frame, sync loss, rate jump, garbage") {
     val ok = synthMp3(0, 9, nFrames = 4)
     assert(parseMp3(ok.take(ok.length - 10)).isEmpty, "torn final frame")
