@@ -1324,13 +1324,17 @@ object OperatorQueries extends QueryPack {
         }
         .toDF("cls", "gif_bytes", "delta_bytes", "motion", "expected",
           "bad", "delta_exact")
+      // r16 oracle promotion (the s_mm_video_motion pattern): graded
+      // columns = analytic expected_micro + the per-doc verdicts — `bad`
+      // already folds motion-vs-analytic (1e-5), delta-composite
+      // bit-equality, motion-from-delta equality AND the strictly-
+      // smaller-bytes claim, so violations == 0 IS the full contract;
+      // raw byte sizes / float motion stay Spark-side details
       out.groupBy("cls")
         .agg(count(lit(1)).as("n_videos"),
-          min("gif_bytes").as("min_gif_bytes"),
-          min("delta_bytes").as("min_delta_bytes"),
-          round(avg("motion"), 6).as("motion"),
-          round(avg("expected"), 6).as("expected"),
-          sum("bad").as("violations"),
+          floor(first(col("expected")) * 1e6 + lit(0.5)).cast("long")
+            .as("expected_micro"),
+          sum("bad").cast("long").as("violations"),
           sum("delta_exact").as("delta_exact"))
         .orderBy("cls")
     }),
@@ -1743,6 +1747,20 @@ object OperatorQueries extends QueryPack {
         |  CAST(MAX(CAST(floor(d*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS max_drift_micro,
         |  CAST(SUM(CASE WHEN d > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_violations
         |FROM drift""".stripMargin,
+
+    // the GIF codec round-trip graded analytically (the video-motion
+    // pattern): per class, expected motion = step·16/(96·255) in
+    // µ-units; violations == 0 folds motion-vs-analytic, delta-frame
+    // composite BIT-equality, motion-from-delta equality and the
+    // delta-encode-strictly-smaller claim; delta_exact must equal the
+    // class count
+    "s_mm_gif_motion" ->
+      """SELECT CAST(c.c AS INT) AS cls,
+        |  (SELECT count(*) FROM documents d WHERE d.doc_id % 5 = c.c) AS n_videos,
+        |  CAST(floor(((c.c+1)*4) * 16.0 / (96.0*255.0) * 1e6 + 0.5) AS BIGINT) AS expected_micro,
+        |  CAST(0 AS BIGINT) AS violations,
+        |  (SELECT count(*) FROM documents d WHERE d.doc_id % 5 = c.c) AS delta_exact
+        |FROM range(5) c(c) ORDER BY cls""".stripMargin,
 
     // video motion: frame/sample counts and the per-class analytic
     // motion (2·step/255 in µ-units) stated directly; violations == 0 is
