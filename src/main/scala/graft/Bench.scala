@@ -22,7 +22,8 @@ object Bench {
     "s_layout_zorder",
     "s_topk_custom_plan")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** `value` stays the COLD total (comparable round-over-round with
     * r1–r6); `queries` carries the WARM (second-run) per-query time —

@@ -47,7 +47,8 @@ object HostFactor {
     "q_evt_tumbling_hourly" -> 0.320,
     "q_sim_cosine_topk"     -> 0.526)
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

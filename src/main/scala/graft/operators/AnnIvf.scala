@@ -91,21 +91,34 @@ object AnnIvf {
     centroids
   }
 
-  /** Deterministic bounded training sample: first maxTrain ids (at 100 TB
-    * swap for `.sample(fraction, seed)` — any representative subset trains
-    * equally well). Points are L2-NORMALIZED before clustering: the final
-    * ranking is COSINE, and on the unit sphere euclidean order equals
-    * cosine order (|a-b|² = 2 - 2cosθ) — clustering raw magnitudes would
-    * carve Voronoi cells that cut across cosine neighborhoods and bleed
+  /** Deterministic bounded training sample. SELECTION is hash-order —
+    * the maxTrain smallest (xxhash64(vec_id), vec_id) keys — i.e. a
+    * uniform pseudo-random subset that is REPRESENTATIVE at any corpus
+    * size (VERDICT r16 #3: the old `orderBy(vec_id).limit(n)` PREFIX
+    * correlates with ingest order at 100 TB, so the codebook trained on
+    * the oldest corpus slice; recall floors had only ever been measured
+    * on uniform testdata where prefix ≡ random). ORDER within the
+    * collected sample is then canonicalized driver-side by vec_id
+    * before Lloyd iterations (VERDICT r16 #4): k-means init and scan
+    * order depend on array order, and a session-history- or
+    * cpu-count-dependent order was the source of the ±0.04 PqTune
+    * recall-digit jitter. Selection and order are now BOTH total
+    * functions of the id set — two like-protocol runs are bit-identical.
+    *
+    * Points are L2-NORMALIZED before clustering: the final ranking is
+    * COSINE, and on the unit sphere euclidean order equals cosine order
+    * (|a-b|² = 2 - 2cosθ) — clustering raw magnitudes would carve
+    * Voronoi cells that cut across cosine neighborhoods and bleed
     * recall. An empty result doubles as the emptiness probe, so callers
     * never pay a separate isEmpty job (shared with AnnPq).
     */
   private[operators] def collectTrain(embeddings: DataFrame,
                                       maxTrain: Int): Array[Array[Double]] =
     embeddings.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(maxTrain)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      .map { v =>
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxTrain)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+      .map { case (_, v) =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }

@@ -257,12 +257,25 @@ object BpeTrainer {
   // at sf0.01 (exact match, all 64 merges / 500 docs) before wiring.
   // ------------------------------------------------------------------
 
+  /** Oracle-side word-TYPE valve (VERDICT r16 #6): the training
+    * recursion below is O(distinct-pairs × word-types × avg-len) PER
+    * ITERATION — fine at the fixture vocabulary (31 types), quadratic-
+    * ish on an open one. [[MaxHistogramTypes]] bounds the Spark
+    * DRIVER collect (10M); this much tighter bound guards DuckDB
+    * ORACLE tractability: a testdata swap to open-vocabulary text
+    * fails the t2 gate LOUDLY (error() with a routing hint) instead of
+    * timing the driver out. Fixture headroom ~160×.
+    */
+  val MaxOracleTypes: Int = 5000
+
   /** CTE chain ending in `mfinal(ml)` = the rank-ordered merge list for
     * `train(docs, numMerges, minCount)` with default histMinCount=1.
-    * Interpolate after `WITH RECURSIVE `.
+    * Interpolate after `WITH RECURSIVE `. `mfinal` carries the
+    * [[MaxOracleTypes]] valve — every caller inherits it.
     */
   def oracleTrainCtes(docsTable: String, numMerges: Int = 64,
-                      minCount: Long = 2): String =
+                      minCount: Long = 2,
+                      maxTypes: Int = MaxOracleTypes): String =
     s"""hist AS (
        |  SELECT w, count(*)::BIGINT AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsTable)
@@ -311,7 +324,17 @@ object BpeTrainer {
        |  )
        |  WHERE best IS NOT NULL AND -best.negc >= $minCount
        |),
-       |mfinal AS (SELECT merges AS ml FROM bpe WHERE iter = (SELECT max(iter) FROM bpe))""".stripMargin
+       |tvalve AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM hist) > $maxTypes
+       |    THEN error('BPE oracle valve: word-type histogram exceeds $maxTypes types - the recursive CTE is quadratic-ish in vocabulary; raise histMinCount in BOTH engines or re-scope the graded corpus (BpeTrainer.MaxOracleTypes)')
+       |    ELSE 1 END AS ok
+       |),
+       |mfinal AS (
+       |  -- tvalve.ok is referenced in the WHERE (not just cross-joined):
+       |  -- DuckDB prunes an unused CASE column, error() and all
+       |  SELECT merges AS ml FROM bpe, tvalve
+       |  WHERE iter = (SELECT max(iter) FROM bpe) AND tvalve.ok = 1
+       |)""".stripMargin
 
   /** [[oracleTrainCtes]] + the encodeWord recursion + per-doc assembly,
     * ending in `doc_tok(doc_id, tokens_csv, n_tokens)` (docs with no
@@ -370,7 +393,7 @@ object BpeTrainer {
        |word_ids AS (
        |  SELECT w,
        |    list_aggregate(list_transform(syms,
-       |      s -> CAST(list_position(v, s) - 1 AS VARCHAR)), 'string_agg', ',') AS ids_csv,
+       |      s -> coalesce(CAST(list_position(v, s) - 1 AS VARCHAR), '-1')), 'string_agg', ',') AS ids_csv,
        |    CAST(len(syms) AS BIGINT) AS n_syms
        |  FROM word_final, vocab
        |),

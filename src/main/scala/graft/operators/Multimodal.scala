@@ -1118,11 +1118,21 @@ object Multimodal {
     */
   def synthToneWav(freq: Double, sr: Int, n: Int,
                    ampA: Double = 0.4, ampB: Double = 0.4): Array[Byte] = {
-    val data = new Array[Byte](n * 2)
-    var i = 0
-    while (i < n) {
+    val samples = Array.tabulate(n) { i =>
       val amp = if (i < n / 2) ampA else ampB
-      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+      (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+    }
+    pcm16Wav(samples, sr)
+  }
+
+  /** Wrap raw int16 samples in a PCM mono WAV container (the RIFF walk
+    * [[decodeWavPcm]] parses back).
+    */
+  def pcm16Wav(samples: Array[Int], sr: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
       data(i * 2) = (v & 0xff).toByte
       data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -1135,6 +1145,28 @@ object Multimodal {
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataCk
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** Integer-recurrence PCM fixture (ADVICE r16): the audio-CODEC graded
+    * query's samples must be derivable EXACTLY in both engines, and the
+    * old trunc'd-sine fixture rode cross-engine sin() bit-agreement —
+    * measured boundary margins down to 1.6e-14 against a plausible
+    * argument-rounding disagreement of ~1e-9, i.e. one libm/JDK change
+    * away from a t2 break. This LCG noise waveform is pure BIGINT
+    * arithmetic (every term non-negative, so Scala Long `%` ≡ DuckDB
+    * BIGINT `%`), range ±13107 ≈ ±0.4 FS — covering the µ-law segment
+    * ladder exactly as the sine did. [[LcgPcmSql]] is the DuckDB twin,
+    * interpolated (never copied) into the oracle.
+    */
+  def lcgPcm16(cls: Int, i: Int): Int =
+    (((1103515245L * (i + 1000L * cls) + 12345L) % 26215L) - 13107L).toInt
+
+  /** WAV of [[lcgPcm16]] samples for tone class `cls`. */
+  def synthLcgWav(cls: Int, sr: Int, n: Int): Array[Byte] =
+    pcm16Wav(Array.tabulate(n)(i => lcgPcm16(cls, i)), sr)
+
+  /** DuckDB twin of [[lcgPcm16]] over `k.k` (class) / `t.i` (sample). */
+  val LcgPcmSql: String =
+    "((1103515245*(t.i + 1000*k.k) + 12345) % 26215) - 13107"
 
   /** STUB frame sampler — deterministic fixed-stride chunking standing in
     * for video frame extraction (codecs unavailable offline): every

@@ -114,4 +114,48 @@ class BpeOracleSpec extends SparkSpec {
         s"oracle ${oracle.toSeq}\nspark  ${got.toSeq}")
     } finally Fs.rmTree(dir)
   }
+
+  test("oracle type-count valve fails loudly past maxTypes and is silent inside it") {
+    assume(duckdbAvailable, "python3+duckdb oracle not available")
+    import spark.implicits._
+    // 7 word types (w0..w5 + common) — trains fine at the default
+    // valve, trips a maxTypes=5
+    // valve with the routing-hint message (VERDICT r16 #6: the oracle
+    // recursion is quadratic-ish in vocabulary, so an open-vocabulary
+    // testdata swap must fail the t2 gate loudly, not time the driver out)
+    val docs = (0 until 12).map(i => (i.toLong, s"w${i % 6} common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_valve").toString
+    try {
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def run(maxTypes: Int): (Int, String) = {
+        val sql =
+          s"""WITH RECURSIVE ${BpeTrainer.oracleTrainCtes("documents",
+                numMerges = 4, maxTypes = maxTypes)}
+             |SELECT len(ml) FROM mfinal""".stripMargin
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/oracle.sql"),
+          sql.getBytes("UTF-8"))
+        val py =
+          s"""import duckdb, sys
+             |con = duckdb.connect()
+             |con.execute("CREATE VIEW documents AS SELECT * FROM '$dir/documents.parquet/*.parquet'")
+             |try:
+             |    print(con.sql(open('$dir/oracle.sql').read()).fetchall())
+             |except Exception as e:
+             |    print('ERR', e); sys.exit(3)
+             |""".stripMargin
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/run.py"),
+          py.getBytes("UTF-8"))
+        val sb = new StringBuilder
+        val code = Seq("python3", s"$dir/run.py").!(ProcessLogger(sb.append(_)))
+        (code, sb.toString)
+      }
+      val (okCode, okOut) = run(maxTypes = BpeTrainer.MaxOracleTypes)
+      assert(okCode == 0, s"default valve must be silent on 7 types: $okOut")
+      val (valveCode, valveOut) = run(maxTypes = 5)
+      assert(valveCode == 3, s"valve must error past maxTypes: $valveOut")
+      assert(valveOut.contains("BPE oracle valve"),
+        s"valve error must carry the routing hint: $valveOut")
+    } finally Fs.rmTree(dir)
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashDedup, SimHashDedup}
+
+/** The md5-derived 64-bit lane family (r17, VERDICT r16 #2) exists in
+  * THREE dialects that must never drift: the Column form
+  * (SimHashDedup.md5Lane — the simhash graded query), the Spark-SQL
+  * expression string (md5LaneExprOf — inside MinHash's per-position
+  * lambda), and the DuckDB twin (md5LaneSqlOf — the oracles). This spec
+  * pins the first two to each other on real tokens and both to
+  * python-hashlib-derived constants (an independent md5 + the same
+  * signed-reassembly arithmetic — the cross-engine ground truth the
+  * DuckDB dialect was validated against), then proves the md5 MinHash
+  * pipeline on a constructed corpus: signatures equal a driver replica,
+  * and the banded candidate join loses no pair the signatures admit.
+  */
+class Md5LaneSpec extends SparkSpec {
+
+  private val pinned = Seq(
+    "0:hello" -> -7722134714801157903L,
+    "1:hello" -> 2490930073119603596L,
+    "the quick fox" -> 6561991178411561967L,
+    "" -> -3162216497309240828L)
+
+  /** Driver-side replica: JDK MessageDigest + the same reassembly. */
+  private def laneRef(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    (if (hi >= 2147483648L) hi - 4294967296L else hi) * 4294967296L + lo
+  }
+
+  test("md5Lane: Column form, expr-string form, JDK replica and pins all agree") {
+    import spark.implicits._
+    val toks = (pinned.map(_._1) ++ Seq("a", "zz top", "7:shingle one two"))
+      .toDF("tok")
+    val got = toks.select(col("tok"),
+        SimHashDedup.md5Lane(col("tok")).as("c"),
+        expr(SimHashDedup.md5LaneExprOf("tok")).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (t, c, e) =>
+      assert(c == e, s"Column vs expr dialect drift on '$t': $c vs $e")
+      assert(c == laneRef(t), s"lane('$t') = $c != JDK replica ${laneRef(t)}")
+    }
+    val m = got.map(g => g._1 -> g._2).toMap
+    pinned.foreach { case (t, v) =>
+      assert(m(t) == v, s"pinned lane('$t') drifted: ${m(t)} != $v")
+    }
+  }
+
+  test("md5Signatures equal a driver replica; banded pairs lose nothing") {
+    import spark.implicits._
+    // 8 docs: 0/1 near-identical (one token differs), 2/3 identical,
+    // rest unrelated; shingleSize 3 over >= 5 tokens each
+    val texts = Seq(
+      0L -> "a b c d e f g h",
+      1L -> "a b c d e f g x",
+      2L -> "p q r s t u",
+      3L -> "p q r s t u",
+      4L -> "one two three four five",
+      5L -> "six seven eight nine ten",
+      6L -> "alpha beta gamma delta eps",
+      7L -> "x y z w v u t")
+    val docs = texts.toDF("doc_id", "text")
+    val sigs = MinHashDedup.md5Signatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // driver replica
+    def ref(text: String): Vector[Long] = {
+      val tk = text.split(" ", -1)
+      val sh = (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" ")).distinct
+      Vector.tabulate(64)(i => sh.map(s => laneRef(s"$i:$s")).min)
+    }
+    texts.foreach { case (id, t) =>
+      assert(sigs(id) == ref(t), s"md5 signature drift for doc $id")
+    }
+    // identical docs share every band -> must pair at est 1.0; the
+    // one-token-off pair must appear iff some band slice agrees (check
+    // against the signatures directly — band completeness)
+    val pairs = MinHashDedup.md5NearDupPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((2L, 3L)).contains(1.0), s"identical docs must pair at 1.0: $pairs")
+    val bandAgrees = (0 until 16).exists(b =>
+      sigs(0L).slice(b * 4, b * 4 + 4) == sigs(1L).slice(b * 4, b * 4 + 4))
+    val agree01 = (0 until 64).count(j => sigs(0L)(j) == sigs(1L)(j))
+    val expected01 = bandAgrees && agree01 / 64.0 >= 0.3
+    assert(pairs.contains((0L, 1L)) == expected01,
+      s"near-pair (0,1): banded=$bandAgrees agree=$agree01 pairs=$pairs")
+  }
+}

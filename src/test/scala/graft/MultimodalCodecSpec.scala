@@ -284,6 +284,23 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, hd) => a < b && hd <= 3 })
   }
 
+  test("s_mm_image_dedup self-proof is CHECKED corpus-wide: missed_twins == 0 at sf0.01") {
+    // the graded row is rows-only at the driver (1 row always passes),
+    // so its self-proving columns only bite if something READS them —
+    // this does, every sbt test (r17 audit: the row stays no_oracle
+    // because the sinusoid fixture rides round(80·sin·cos) — the
+    // transcendental class the audio_codec promotion just retired —
+    // but the invariance claim itself is now gated, not advisory)
+    val row = graft.queries.OperatorQueries
+      .queries("s_mm_image_dedup")(spark, "/root/testdata/sf0.01")
+      .collect()(0)
+    val nImages = row.getAs[Long]("n_images")
+    assert(nImages > 0)
+    assert(row.getAs[Long]("missed_twins") == 0L,
+      s"corpus-wide dHash brightness invariance broke: $row")
+    assert(row.getAs[Long]("twin_pairs") == nImages, s"twin pairing: $row")
+  }
+
   // ---- audio: AIFF/AU containers + µ-law codec via javax.sound ----
 
   private def toneWav(freq: Double = 440, sr: Int = 8000, n: Int = 1600) =
