@@ -120,10 +120,20 @@ object MinHashDedup {
     * no_oracle → hash-exact. The operator fast path ([[signatures]],
     * the DedupStore probe) keeps xxhash64 — this path trades ~k md5s
     * per shingle for oracle-ability and is the graded query's choice,
-    * not the ingest default. All lanes compute in ONE codegen'd
-    * transform per shingle; the positional min folds in
-    * [[SignatureAggs.ArrayMinAgg]] (primitive buffer, map-side
-    * combined — same aggregate economics as the xxhash64 path).
+    * not the ingest default.
+    *
+    * Plan shape (r17, measured): the seed index EXPLODES to a column
+    * and the lane is a TOP-LEVEL projection — md5/conv/substring all
+    * inside whole-stage codegen, the digest materialized once as `hex`.
+    * The first cut put the lane inside a `transform(sequence(...))`
+    * lambda: Spark evaluates higher-order-function lambdas INTERPRETED
+    * per element (no codegen, no common-subexpression elimination —
+    * the CASE re-evaluated md5 4×), and the graded query read 49.9 s
+    * at sf0.1 vs ~2 s for this shape — a 25× tax for the same values.
+    * Positional mins: partial-aggregated min per (doc, seed) — the
+    * exchange carries one row per (doc, i), 64·docs rows total — then
+    * one 64-element array assembly per doc (collect_list of scalars →
+    * ObjectHashAggregate, no SortAggregate).
     */
   def md5Signatures(docs: DataFrame, textCol: String, idCol: String,
                     numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
@@ -133,11 +143,16 @@ object MinHashDedup {
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(toks) - $shingleSize), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $shingleSize))))")).as("shingle"))
-    val laneExpr = SimHashDedup.md5LaneExprOf("concat(cast(i as string), ':', shingle)")
-    val lanes = toks.withColumn("lanes",
-      expr(s"transform(sequence(0, ${numHashes - 1}), i -> $laneExpr)"))
-    val minAgg = udaf(new SignatureAggs.ArrayMinAgg(numHashes))
-    lanes.groupBy(col(idCol)).agg(minAgg(col("lanes")).as("sig"))
+    toks
+      .select(col(idCol), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
+      .withColumn("hex",
+        md5(concat(col("i").cast("string"), lit(":"), col("shingle"))))
+      .withColumn("lane", SimHashDedup.md5LaneFromHex(col("hex")))
+      .groupBy(col(idCol), col("i")).agg(min("lane").as("m"))
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+        .as("sig"))
   }
 
   /** [[nearDupPairs]] over md5 lanes with a COLLISION-FREE band bucket

@@ -60,42 +60,6 @@ object SignatureAggs {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Elementwise min over fixed-width long-array inputs — the
-    * positional-min aggregate for EXTERNALLY-derived lane families
-    * (the md5 lanes of MinHashDedup.md5Signatures, r17): the caller
-    * computes all `n` lanes per row in one codegen'd transform, this
-    * aggregator folds them with the same primitive-buffer economics as
-    * [[MinHashAgg]].
-    */
-  class ArrayMinAgg(n: Int) extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
-    override def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
-
-    override def reduce(buf: Array[Long], lanes: Seq[Long]): Array[Long] = {
-      require(lanes.length == n, s"lane array length ${lanes.length} != $n")
-      var i = 0
-      while (i < n) {
-        val v = lanes(i)
-        if (v < buf(i)) buf(i) = v
-        i += 1
-      }
-      buf
-    }
-
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < n) {
-        if (b2(i) < b1(i)) b1(i) = b2(i)
-        i += 1
-      }
-      b1
-    }
-
-    override def finish(buf: Array[Long]): Array[Long] = buf
-
-    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-  }
-
   /** MinHash signature: per seed i, min over tokens of xxhash64(i, hbase). */
   class MinHashAgg(numHashes: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
     // hashInt(i, 42) is a constant per position — precompute the seeds once

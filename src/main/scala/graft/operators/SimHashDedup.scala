@@ -35,9 +35,16 @@ object SimHashDedup {
     * compute it identically (the mod-2⁶⁴ wrap that blocks an xxhash64
     * twin is never needed).
     */
-  def md5Lane(c: Column): Column = {
-    val hi = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+  def md5Lane(c: Column): Column = md5LaneFromHex(md5(c))
+
+  /** [[md5Lane]] over an already-computed md5 hex column — callers that
+    * reuse one digest across several derived columns (or whose digest
+    * input is an exploded seed) materialize the hex once and keep every
+    * downstream op inside whole-stage codegen.
+    */
+  def md5LaneFromHex(hex: Column): Column = {
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
     (when(hi >= 2147483648L, hi - 4294967296L).otherwise(hi)) * 4294967296L + lo
   }
 
@@ -50,16 +57,6 @@ object SimHashDedup {
     s"((CASE WHEN $hi >= 2147483648 THEN $hi - 4294967296 ELSE $hi END) * 4294967296 + $lo)"
   }
 
-  /** Spark-SQL-expression twin of [[md5Lane]], for call sites that need
-    * the lane inside a higher-order function lambda (e.g. MinHash's
-    * per-position transform, where a Column can't reach the lambda
-    * variable). SimHashSpec pins all three forms to the same values.
-    */
-  def md5LaneExprOf(tok: String): String = {
-    val hi = s"cast(conv(substring(md5($tok), 1, 8), 16, 10) as bigint)"
-    val lo = s"cast(conv(substring(md5($tok), 9, 8), 16, 10) as bigint)"
-    s"((if($hi >= 2147483648, $hi - 4294967296, $hi)) * 4294967296 + $lo)"
-  }
 
   /** 64-bit simhash per document as column `simhash`.
     *

@@ -68,7 +68,66 @@ object OperatorQueries extends QueryPack {
     fx
   }
 
+  /** Per-JVM `graft-mq` broker fixture: one broker per sfDir, the first
+    * 500 documents (doc_id order) published once as JSON messages. The
+    * broker OBJECT must outlive every lazy DataFrame that reads it, so
+    * it lives here (not in [[Fixtures]], which tracks only dirs) and a
+    * shutdown hook closes sockets + sweeps the log dirs. Returns
+    * (port, published-count).
+    */
+  private val mqBrokers =
+    scala.collection.mutable.Map.empty[String, (graft.sources.MqBroker, Long)]
+  private lazy val mqHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => mqBrokers.synchronized {
+      mqBrokers.values.foreach { case (b, _) =>
+        val d = b.dir; b.close(); graft.Fs.rmTree(d)
+      }
+      mqBrokers.clear()
+    }))
+  private def mqFixture(s: org.apache.spark.sql.SparkSession,
+                        dir: String): (Int, Long) = mqBrokers.synchronized {
+    mqHook
+    val (b, n) = mqBrokers.getOrElseUpdate(dir, {
+      val broker = graft.sources.MqBroker.start(
+        java.nio.file.Files.createTempDirectory("graft_mq_fx").toString)
+      // bounded by construction: LIMIT 500 — the driver never holds
+      // more than the fixture's message batch
+      val msgs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .orderBy("doc_id").limit(500)
+        .collect().map(_.getString(1)).toSeq
+      graft.sources.MqBroker.publishStrings(
+        "127.0.0.1", broker.port, "docs", msgs)
+      (broker, msgs.length.toLong)
+    })
+    (b.port, n)
+  }
+
   val queries: Map[String, Fn] = Map(
+    // NETWORK message-queue round-trip (graft-mq, r17 — the r16 verdict's
+    // capability gap #3): the first 500 documents publish once per JVM
+    // to an in-repo TCP broker (replayable offset log, fsync-before-ack)
+    // and the measured query is the DataSourceV2 BATCH read back over
+    // 4 socket-partitioned offset sub-ranges + the shared from_json
+    // chain. HASH-GRADE oracle: transport + JSON round-trip must be
+    // LOSSLESS — doc_id, md5(text), and the dense publish-order offset
+    // all re-derived by DuckDB straight from the parquet table; one
+    // reordered, dropped, or mutated byte anywhere breaks the hash.
+    // Streaming semantics (checkpoint = consumer group, admission
+    // control, torn-tail recovery, loud past-end fetch) are MqSourceSpec's
+    // contract — this entry grades the transport's value fidelity.
+    "s_mq_roundtrip" -> ((s, dir) => {
+      val (port, _) = mqFixture(s, dir)
+      s.read.format("graft-mq")
+        .option("port", port).option("topic", "docs").load()
+        .select(col("offset"),
+          from_json(col("value"), graft.sources.QueueIngest.docSchema).as("d"))
+        .select(col("d.doc_id").as("doc_id"), md5(col("d.text")).as("fp"),
+          col("offset"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates (exact twin: q_dedup_ngram_jaccard).
     // HASH-GRADE oracle (promoted r17, VERDICT r16 #2 — second md5
     // re-key after s_dedup_simhash): md5-derived lanes + collision-free
@@ -1625,6 +1684,17 @@ object OperatorQueries extends QueryPack {
   private def rmTree(dir: String): Unit = graft.Fs.rmTree(dir)
 
   val oracle: Map[String, String] = Map(
+    // graft-mq transport fidelity (r17): DuckDB re-derives the exact
+    // rows the broker round-trip must produce — first 500 docs in
+    // doc_id order, md5 fingerprints, offsets = dense publish ranks.
+    // Any transport loss, reorder, or byte mutation breaks the hash.
+    "s_mq_roundtrip" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |             ORDER BY doc_id LIMIT 500)
+        |SELECT doc_id, md5(text) AS fp,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS offset
+        |FROM src ORDER BY doc_id""".stripMargin,
+
     // MinHash-LSH near-dup (promoted r17): full pipeline re-derived —
     // md5 lanes (SimHashDedup.md5LaneSqlOf, interpolated), positional
     // mins, csv band buckets (bucket equality ⟺ slice equality, so the

@@ -5,9 +5,10 @@ import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** The md5-derived 64-bit lane family (r17, VERDICT r16 #2) exists in
   * THREE dialects that must never drift: the Column form
-  * (SimHashDedup.md5Lane — the simhash graded query), the Spark-SQL
-  * expression string (md5LaneExprOf — inside MinHash's per-position
-  * lambda), and the DuckDB twin (md5LaneSqlOf — the oracles). This spec
+  * (SimHashDedup.md5Lane — the simhash graded query), the
+  * precomputed-hex form (md5LaneFromHex — MinHash's exploded-seed
+  * codegen path), and the DuckDB twin (md5LaneSqlOf — the oracles).
+  * This spec
   * pins the first two to each other on real tokens and both to
   * python-hashlib-derived constants (an independent md5 + the same
   * signed-reassembly arithmetic — the cross-engine ground truth the
@@ -33,16 +34,16 @@ class Md5LaneSpec extends SparkSpec {
     (if (hi >= 2147483648L) hi - 4294967296L else hi) * 4294967296L + lo
   }
 
-  test("md5Lane: Column form, expr-string form, JDK replica and pins all agree") {
+  test("md5Lane: Column form, from-hex form, JDK replica and pins all agree") {
     import spark.implicits._
     val toks = (pinned.map(_._1) ++ Seq("a", "zz top", "7:shingle one two"))
       .toDF("tok")
     val got = toks.select(col("tok"),
         SimHashDedup.md5Lane(col("tok")).as("c"),
-        expr(SimHashDedup.md5LaneExprOf("tok")).as("e"))
+        SimHashDedup.md5LaneFromHex(md5(col("tok"))).as("e"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     got.foreach { case (t, c, e) =>
-      assert(c == e, s"Column vs expr dialect drift on '$t': $c vs $e")
+      assert(c == e, s"Column vs from-hex dialect drift on '$t': $c vs $e")
       assert(c == laneRef(t), s"lane('$t') = $c != JDK replica ${laneRef(t)}")
     }
     val m = got.map(g => g._1 -> g._2).toMap
