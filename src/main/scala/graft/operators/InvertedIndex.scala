@@ -948,15 +948,27 @@ object InvertedIndex {
     * diverge, and so the span subtree is computed once, not once per
     * consumer branch.
     */
-  def topSpan(docs: DataFrame, n: Int = 3, textCol: String = "text"): String =
+  def topSpan(docs: DataFrame, n: Int = 3, textCol: String = "text"): String = {
+    // width pin (r17, the NgramJaccard doctrine): the span transform is
+    // interpreted per element and the span aggregate shuffles strings —
+    // both ran as single tasks at test scale (one-file scan, AQE
+    // size-coalesce); the count is partitioning-independent
+    val width = {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      math.max(docs.sparkSession.sparkContext.defaultParallelism.toLong,
+        (bytes / (64L * 1024L * 1024L)).toLong).min(Int.MaxValue.toLong).toInt
+    }
     docs.select(split(col(textCol), " ").as("t"))
+      .repartition(width)
       .filter(size(col("t")) >= n)
       .select(explode(expr(
         s"transform(sequence(0, size(t) - $n)," +
           s" i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("span"))
+      .repartition(width, col("span"))
       .groupBy("span").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("span")).limit(1)
       .head().getString(0)
+  }
 
   /** Phrase frame from literal tokens: rows (offset, term). */
   def phraseFrame(spark: SparkSession, tokens: Seq[String]): DataFrame = {

@@ -38,6 +38,26 @@ object NgramJaccard {
   def pairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             threshNum: Int = 1, threshDen: Int = 10,
             dfCutoff: Option[Long] = None, sorted: Boolean = true): DataFrame = {
+    // compute-stage WIDTH (r17): the shingle build, the posting-list
+    // aggregate and the pair generators are real per-row compute
+    // (interpreted HOF lambdas, list sorts), but at test scale every one
+    // of them ran on ONE task — the input is a single parquet file (one
+    // scan task) and AQE's size-based coalescing folds KB-sized shuffles
+    // to one partition (event-log measured: 4 serial 1-task stages,
+    // 0.8–1.5 s each). Explicit repartitions pin those stages to
+    // max(defaultParallelism, inputBytes/64MB): never below the
+    // session's core count, and growing with data exactly like the
+    // natural shuffle would at 100 TB (where inputBytes/64MB dominates
+    // and the pinned exchange replaces the aggregate's own, adding no
+    // extra pass). Values are partitioning-independent (deterministic
+    // aggregates, sort_array-canonicalized lists) — measured ~30%
+    // faster at sf0.1, rows bit-identical.
+    val width = {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byData = (bytes / (64L * 1024L * 1024L)).toLong
+      math.max(docs.sparkSession.sparkContext.defaultParallelism.toLong,
+        byData).min(Int.MaxValue.toLong).toInt
+    }
     // each doc's distinct shingle set is one array per row, so its size
     // (the |A| of the Jaccard union) rides ALONG with every exploded
     // posting — no separate per-doc size table, no join to bring it back,
@@ -47,6 +67,7 @@ object NgramJaccard {
     // cost ~35% of the operator).
     val sh = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .repartition(width)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(toks) - 3)," +
@@ -74,7 +95,7 @@ object NgramJaccard {
     // pair ROWS (the identical volume the self-join would stream, which
     // is exactly why the cutoff exists at scale) but never df² in one
     // allocation.
-    val lists = sh.groupBy("shingle")
+    val lists = sh.repartition(width, col("shingle")).groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(dfFilter)
     // sizes are functionally dependent on the ids, so grouping by all four
@@ -90,8 +111,13 @@ object NgramJaccard {
     val inter = lists
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+      // project to the grouping attrs BEFORE the pinned exchange so the
+      // groupBy's ClusteredDistribution is satisfied by it (partitioning
+      // on the raw structs would add a second exchange)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+      .repartition(width, col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("inter"))
     val out = inter
       .filter(col("inter") * threshDen >= (col("a_n") + col("b_n") - col("inter")) * threshNum)

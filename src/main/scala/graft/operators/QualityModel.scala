@@ -101,11 +101,19 @@ object QualityModel {
       if (sampleFraction >= 1.0) (docs, labeled)
       else (docs.filter(keep), labeled.filter(keep))
     // static state, checkpointed once: features co-partitioned with labels
-    // on doc_id so the per-epoch join and per-doc reduce are exchange-free
+    // on doc_id so the per-epoch join and per-doc reduce are exchange-free.
+    // The width is PINNED to the session's core count (r17): an unpinned
+    // repartition(col) is AQE-coalesced to ONE partition at test scale
+    // (KB-sized exchanges), which made all `epochs` sequential gradient
+    // jobs single-threaded; fixed-point gradient sums are order-free, so
+    // the pinned width changes nothing but wall-clock. At 100 TB the
+    // feature table dwarfs any core count and the cap is the caller's
+    // cluster parallelism exactly as before.
+    val width = spark.sparkContext.defaultParallelism
     val feat = features(d, dim)
-      .repartition(col("doc_id")).localCheckpoint()
+      .repartition(width, col("doc_id")).localCheckpoint()
     val lab = l.select(col("doc_id"), col("label").cast("double").as("y"))
-      .repartition(col("doc_id")).localCheckpoint()
+      .repartition(width, col("doc_id")).localCheckpoint()
     // class-balanced loss: weight each class's errors by 1/(2·prior) so a
     // feature present in BOTH classes at the class base rates contributes
     // zero gradient — without this, imbalance plus a mostly-shared

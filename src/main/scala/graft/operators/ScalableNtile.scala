@@ -32,8 +32,11 @@ object ScalableNtile {
     if (n == 0L) {
       return Seq.empty[(Long, Long, Double)].toDF("o_orderkey", "decile", "pct")
     }
+    // same size-derived partition count as ntileBy (r17) — rank values
+    // are partitioning-independent
+    val parts = math.max(1, math.min(partitions.toLong, (n + 65535) / 65536)).toInt
     val ranked = keyed
-      .repartitionByRange(partitions, col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions("o_totalprice", "o_orderkey")
       .rdd.zipWithIndex()
       .map { case (row, idx) => (row.getLong(0), idx + 1) } // 1-based rank
@@ -97,15 +100,25 @@ object ScalableNtile {
     */
   def ntileBy(df: DataFrame, keyCol: String, k: Int,
               sort: Seq[org.apache.spark.sql.Column], outCol: String,
-              partitions: Int = 32): DataFrame = {
+              partitions: Int = 32, nOpt: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ki = df.columns.indexOf(keyCol)
     require(ki >= 0, s"ntileBy: $keyCol not in ${df.columns.mkString(", ")}")
-    val n = df.count()
+    // callers that rank one checkpointed frame several ways (q_evt_rfm's
+    // three scorings) pass the count once instead of re-running a count
+    // job per scoring (r17)
+    val n = nOpt.getOrElse(df.count())
     if (n == 0L) return Seq.empty[(Long, Long)].toDF(keyCol, outCol)
+    // partition count derived from the input size (≥64k rows per range
+    // partition), capped by `partitions`: ranks are identical under any
+    // partitioning (global rank via per-partition offsets), so the only
+    // effect is not paying 32-way range sampling + task scheduling to
+    // sort a few thousand rows (r17; at scale n/64k exceeds any cap and
+    // the parameter governs as before)
+    val parts = math.max(1, math.min(partitions.toLong, (n + 65535) / 65536)).toInt
     val ranked = df
-      .repartitionByRange(partitions, sort: _*)
+      .repartitionByRange(parts, sort: _*)
       .sortWithinPartitions(sort: _*)
       .rdd.zipWithIndex()
       .map { case (row, idx) => (row.getLong(ki), idx + 1) }

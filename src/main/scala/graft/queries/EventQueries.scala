@@ -324,12 +324,15 @@ object EventQueries extends QueryPack {
           col("monetary"))
         .localCheckpoint()
       import graft.operators.ScalableNtile.ntileBy
+      // one count of the checkpointed base serves all three scorings
+      // (r17: each ntileBy ran its own count job over the same frame)
+      val nUsers = Some(base.count())
       val rs = ntileBy(base, "user_id", 5,
-        Seq(col("recency_days").asc, col("user_id")), "r_l")
+        Seq(col("recency_days").asc, col("user_id")), "r_l", nOpt = nUsers)
       val fs = ntileBy(base, "user_id", 5,
-        Seq(col("frequency").desc, col("user_id")), "f_l")
+        Seq(col("frequency").desc, col("user_id")), "f_l", nOpt = nUsers)
       val ms = ntileBy(base, "user_id", 5,
-        Seq(col("monetary").desc, col("user_id")), "m_l")
+        Seq(col("monetary").desc, col("user_id")), "m_l", nOpt = nUsers)
       base.join(rs, "user_id").join(fs, "user_id").join(ms, "user_id")
         .select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"),

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   */
 object OperatorQueries extends QueryPack {
 
+  /** doc_id stream for per-row CODEC KERNELS, round-robin repartitioned
+    * to the session's default parallelism FIRST: the test tables are
+    * single parquet files, so the scan is ONE task and every map-side
+    * kernel (PNG/GIF/JPEG roundtrips, audio codec chains, container
+    * walks) otherwise runs single-threaded on a 32-core session (r17
+    * measured on s_mm_image_dedup's hash stage: 1.5–1.9 s warm → 0.5 s
+    * with the repartition). numPartitions is EXPLICIT (user-specified
+    * repartition is exempt from AQE coalescing — size-based coalescing
+    * would fold 40 KB of ids straight back to one task) and
+    * scale-adaptive via defaultParallelism, so the driver's low-core
+    * bench rerun and a real cluster both get their own width; the
+    * exchange itself moves 8-byte ids, trivially amortized by any
+    * kernel worth parallelizing.
+    */
+  private def kernelIds(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.Dataset[Long] =
+    Tables.t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+
   /** The three dedup-at-ingest fixture stores (exact / near / semantic),
     * built ONCE per JVM under one Fixtures root — and in PARALLEL
     * (r14, VERDICT r13 #6): each build is 2 triggers of ~10 small jobs
@@ -288,7 +308,7 @@ object OperatorQueries extends QueryPack {
     // decode proven in OperatorSpec
     "s_mm_ppm_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = kernelIds(s, dir)
         .map { id =>
           val w = 8; val h = 8
           val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -326,7 +346,7 @@ object OperatorQueries extends QueryPack {
     // must hold corpus-wide. Map-only at any scale.
     "s_mm_resize" -> ((s, dir) => {
       import s.implicits._
-      val pairs = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pairs = kernelIds(s, dir)
         .map { id =>
           val w = 32; val h = 32
           val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -368,7 +388,7 @@ object OperatorQueries extends QueryPack {
     // shuffle — only the 5 aggregate scalars leave the stage.
     "s_mm_image_codec" -> ((s, dir) => {
       import s.implicits._
-      val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val rows = kernelIds(s, dir)
         .map { id =>
           val w = 16; val h = 12
           val rgb = Multimodal.synthRgb(id, w, h)
@@ -413,7 +433,7 @@ object OperatorQueries extends QueryPack {
     // registry per call.
     "s_mm_audio_codec" -> ((s, dir) => {
       import s.implicits._
-      val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val rows = kernelIds(s, dir)
         .map { id =>
           // integer-recurrence PCM (Multimodal.lcgPcm16, ADVICE r16):
           // the old trunc'd-sine fixture hash-graded values descending
@@ -453,7 +473,7 @@ object OperatorQueries extends QueryPack {
     "s_mm_container_meta" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.MediaContainers._
-      val rows = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val rows = kernelIds(s, dir)
         .map { id =>
           val durMs = 1000L + (id % 10) * 500
           val w = 320 + (id % 4).toInt * 160
@@ -506,7 +526,7 @@ object OperatorQueries extends QueryPack {
     // then MIS-REPORT rather than fail loudly).
     "s_mm_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val hashes = kernelIds(s, dir)
         .flatMap { id =>
           val w = 18; val h = 16 // 2x2-px boxes per dHash cell — smallest honest grid
           val base = Multimodal.synthSmoothGray(id, w, h)
@@ -520,21 +540,62 @@ object OperatorQueries extends QueryPack {
             (2L * id + 1L, Multimodal.imageDHash(
               Multimodal.encodeImage(w, h, shifted, "png")).get))
         }.toDF("img_id", "fp").localCheckpoint() // hash once: pairs + count
-      val pairs = SimHashDedup.pairsFromFingerprints(
-        hashes, "img_id", "fp", maxHamming = 3)
-      val nImg = hashes.agg((count(lit(1)) / 2).cast("long").as("n_images"))
-      // twin ⇔ (even a_id, b_id = a_id + 1): pairsFromFingerprints emits
-      // a_id < b_id, so the parity test is total and unambiguous
-      val isTwin = col("b_id") - col("a_id") === 1L && col("a_id") % 2 === 0
-      pairs.agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(isTwin && col("hamming") === 0, 1).otherwise(0))
-            .cast("long").as("twin_pairs"),
-          sum(when(!isTwin, 1).otherwise(0))
-            .cast("long").as("cross_pairs"))
-        .crossJoin(broadcast(nImg))
-        .select(col("n_images"), col("n_pairs"), col("twin_pairs"),
-          col("cross_pairs"),
+      // r17 OPTIMIZATION (guide §8 decide-with-small-rows; output
+      // IDENTICAL, pinned by MultimodalCodecSpec's value-level ≡
+      // identity-level case): the identity-level pigeonhole join
+      // streamed 2.3M candidate rows at sf0.1 (smooth sinusoids
+      // cluster: 10k images share 1,082 distinct dHashes, the hottest
+      // (chunk, val) group held 284 ids → k² candidates per group).
+      // Every count the output needs is computable from (fp, multiplicity)
+      // GROUPS plus a per-id twin check, so the chunk join now runs over
+      // DISTINCT fingerprint values (≤1,082 rows) and pair counts
+      // re-weight by group sizes:
+      //   n_pairs   = Σ_v C(cnt_v, 2)                       (hamming 0)
+      //             + Σ_{v1<v2, ham≤3} cnt_{v1}·cnt_{v2}    (pigeonhole:
+      //               any pair within hamming 3 shares a 16-bit chunk,
+      //               so the value join finds exactly the ham≤3 value
+      //               pairs the identity join found)
+      //   twin_pairs = ids whose two images (2id, 2id+1) hash EQUAL —
+      //               the old isTwin ∧ hamming=0 count, via one
+      //               groupBy(img_id div 2) instead of a pair scan
+      //   cross_pairs = n_pairs − (twin ids within ham≤3)
+      val groups = hashes.groupBy("fp")
+        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val chunked = groups.select(col("fp"), col("cnt"),
+        explode(expr("transform(sequence(0, 3), c -> named_struct(" +
+          "'chunk', c, 'val', (fp >> (c * 16)) & 65535))")).as("cc"))
+        .select(col("fp"), col("cnt"),
+          col("cc.chunk").as("chunk"), col("cc.val").as("val"))
+      val a = chunked.select(col("fp").as("a_fp"), col("cnt").as("a_cnt"),
+        col("chunk"), col("val"))
+      val b = chunked.select(col("fp").as("b_fp"), col("cnt").as("b_cnt"),
+        col("chunk").as("b_chunk"), col("val").as("b_val"))
+      val crossVal = a.join(b, col("chunk") === col("b_chunk") &&
+          col("val") === col("b_val") && col("a_fp") < col("b_fp"))
+        .select(col("a_fp"), col("b_fp"), col("a_cnt"), col("b_cnt"),
+          expr("bit_count(a_fp ^ b_fp)").as("hamming"))
+        .dropDuplicates("a_fp", "b_fp")
+        .filter(col("hamming") <= 3)
+        .agg(coalesce(sum(col("a_cnt") * col("b_cnt")), lit(0L))
+          .cast("long").as("cross_val_pairs"))
+      val sameVal = groups.agg(
+        coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L))
+          .cast("long").as("same_val_pairs"),
+        (sum("cnt") / 2).cast("long").as("n_images"))
+      // per-id twin check: each id contributed exactly the two images
+      // 2id and 2id+1, so min/max fp per (img_id div 2) are the pair
+      val twins = hashes.groupBy(expr("img_id div 2").as("pid"))
+        .agg(min("fp").as("f1"), max("fp").as("f2"))
+        .agg(sum(when(expr("bit_count(f1 ^ f2)") === 0, 1).otherwise(0))
+          .cast("long").as("twin_pairs"),
+          sum(when(expr("bit_count(f1 ^ f2)") <= 3, 1).otherwise(0))
+            .cast("long").as("twin_ids_ham_le3"))
+      sameVal.crossJoin(broadcast(crossVal)).crossJoin(broadcast(twins))
+        .select(col("n_images"),
+          (col("same_val_pairs") + col("cross_val_pairs")).as("n_pairs"),
+          col("twin_pairs"),
+          (col("same_val_pairs") + col("cross_val_pairs") -
+            col("twin_ids_ham_le3")).as("cross_pairs"),
           (col("n_images") - col("twin_pairs")).as("missed_twins"))
     }),
 
@@ -791,7 +852,7 @@ object OperatorQueries extends QueryPack {
     // sample-exact decode proven in OperatorSpec
     "s_mm_wav_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = kernelIds(s, dir)
         .map { id =>
           val sr = 8000; val n = 400
           val freq = 200.0 + (id % 17) * 100.0
@@ -828,7 +889,7 @@ object OperatorQueries extends QueryPack {
     // Map-only per blob; the aggregate is dim-bounded (17 tone classes).
     "s_mm_audio_frames" -> ((s, dir) => {
       import s.implicits._
-      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val out = kernelIds(s, dir)
         .map { id =>
           val freq = 200.0 + (id % 17) * 100.0
           val wav = Multimodal.synthToneWav(freq, 8000, 800,
@@ -921,19 +982,26 @@ object OperatorQueries extends QueryPack {
       val r = recomputed.select(col("o_orderstatus"),
         col("cnt").as("r_cnt"), col("price").as("r_price"))
       val cmp = m.join(r, Seq("o_orderstatus"), "full_outer")
-      val mismatches = cmp.filter(
-        !(col("m_cnt") <=> col("r_cnt")) || !(col("m_price") <=> col("r_price")))
-        .count()
-      val out = Seq(
-        ("groups_maintained", m.count()),
-        ("groups_recomputed", r.count()),
-        ("value_mismatches", mismatches),
-        ("cdc_rows_consumed", diff.count()))
-        .toDF("metric", "value").orderBy("metric")
-      val rows = out.collect().toSeq // materialize before the dir vanishes
+      // r17: ONE action instead of four — the three cmp-side counts fold
+      // into a single aggregate (presence = the side's non-null count
+      // column; a maintained/recomputed group always has cnt set) and
+      // the diff count rides along as a broadcast 1-row crossJoin, so
+      // the whole self-proof is a single job. Same four values.
+      val agg = cmp.agg(
+          count(col("m_cnt")).as("groups_maintained"),
+          count(col("r_cnt")).as("groups_recomputed"),
+          coalesce(sum(when(!(col("m_cnt") <=> col("r_cnt")) ||
+            !(col("m_price") <=> col("r_price")), 1L).otherwise(0L)), lit(0L))
+            .as("value_mismatches"))
+        .crossJoin(broadcast(diff.agg(count(lit(1)).as("cdc_rows_consumed"))))
+        .collect()(0) // materialize before the dir vanishes
       rmTree(base)
-      rows.map(x => (x.getString(0), x.getLong(1))).toDF("metric", "value")
-        .orderBy("metric")
+      Seq(
+        ("groups_maintained", agg.getAs[Long]("groups_maintained")),
+        ("groups_recomputed", agg.getAs[Long]("groups_recomputed")),
+        ("value_mismatches", agg.getAs[Long]("value_mismatches")),
+        ("cdc_rows_consumed", agg.getAs[Long]("cdc_rows_consumed")))
+        .toDF("metric", "value").orderBy("metric")
     }),
 
     // GDPR-style targeted erasure over the versioned snapshot: bootstrap
@@ -1314,7 +1382,7 @@ object OperatorQueries extends QueryPack {
     // blob; the aggregate is dim-bounded (5 classes).
     "s_mm_video_motion" -> ((s, dir) => {
       import s.implicits._
-      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val out = kernelIds(s, dir)
         .map { id =>
           val cls = (id % 5).toInt
           val step = (cls + 1) * 4
@@ -1363,7 +1431,7 @@ object OperatorQueries extends QueryPack {
     // does not care.
     "s_mm_gif_motion" -> ((s, dir) => {
       import s.implicits._
-      val out = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val out = kernelIds(s, dir)
         .map { id =>
           val cls = (id % 5).toInt
           val step = (cls + 1) * 4
@@ -1439,13 +1507,18 @@ object OperatorQueries extends QueryPack {
         InvertedIndex.write(InvertedIndex.build(docs), fx)
         Map.empty
       }
-      val idx = InvertedIndex.build(docs).localCheckpoint()
       val span = InvertedIndex.topSpan(docs)
       val toks = span.split(' ').toSeq
       val fromIndex = InvertedIndex.searchPhrase(s, base, toks)
         .withColumnRenamed("n_occ", "n_occ_index")
+      // r17: the direct recompute only reads the phrase terms' posting
+      // rows — filter below the aggregate (pushes through the groupBy
+      // keys) instead of checkpointing the whole-corpus index; the
+      // self-proof compares the same per-doc occurrence counts
       val direct = InvertedIndex
-        .phraseOccurrences(idx, InvertedIndex.phraseFrame(s, toks))
+        .phraseOccurrences(
+          InvertedIndex.build(docs).filter(col("term").isin(toks.distinct: _*)),
+          InvertedIndex.phraseFrame(s, toks))
         .withColumnRenamed("n_occ", "n_occ_direct")
       fromIndex.join(direct, Seq("doc_id"), "full_outer")
         .select(col("doc_id"), lit(span).as("phrase"),

@@ -237,8 +237,16 @@ object PipelineQueries extends QueryPack {
     // engine identical), ROUND only decorates the output
     "q_dedup_embed_cosine" -> ((s, dir) => {
       val e = SimQueries.withNorm(s, dir)
+      // r17: the range-condition join is a BroadcastNestedLoopJoin whose
+      // STREAMED side is the single-file embeddings scan — one task doing
+      // all n²/2 64-dim dot products. Round-robin repartition of the
+      // streamed side spreads the quadratic kernel across the session's
+      // cores; pair set and sims are unchanged (the orderBy fixes output
+      // order). The valve bounds n, so width=cores is the right ceiling
+      // at any admitted scale.
       val a = SimQueries.exactPairValve(
-        e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")),
+        e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+          .repartition(s.sparkContext.defaultParallelism),
         e, SimQueries.ExactPairBound, "q_dedup_embed_cosine")
       val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("a_id") < col("b_id"))

@@ -99,8 +99,16 @@ object TextQueries extends QueryPack {
       // one driver-side string: referencing the span subtree from two
       // plan branches re-ran the full trigram aggregate per branch
       val span = InvertedIndex.topSpan(docs)
-      InvertedIndex.phraseOccurrences(InvertedIndex.build(docs),
-          InvertedIndex.phraseFrame(s, span.split(' ').toSeq))
+      val toks = span.split(' ').toSeq
+      // r17: phraseOccurrences only consumes the phrase terms' posting
+      // rows (inner join on term), but the join can't push that predicate
+      // below the posting aggregate — an explicit isin filter on the
+      // grouping key can, so the whole-corpus collect_list aggregate
+      // shrinks to the probed terms. Same rows out, proven by the oracle
+      // hash (DuckDB computes its own posting CTE).
+      InvertedIndex.phraseOccurrences(
+          InvertedIndex.build(docs).filter(col("term").isin(toks.distinct: _*)),
+          InvertedIndex.phraseFrame(s, toks))
         .select(col("doc_id"), lit(span).as("phrase"), col("n_occ"))
         .orderBy("doc_id")
     }),
@@ -122,13 +130,21 @@ object TextQueries extends QueryPack {
       import graft.operators.InvertedIndex
       val docs = Tables.t(s, dir, "documents")
       val terms = InvertedIndex.topSpan(docs).split(' ').toSeq.distinct
-      // postings feed both the candidate filter and the corpus stats —
-      // checkpoint so the tokenize+aggregate runs once; dl rides the
-      // posting rows (the build() inline layout), so no length join
-      val idx = InvertedIndex.build(docs).localCheckpoint()
-      InvertedIndex.bm25(idx.filter(col("term").isin(terms: _*)),
-          idx.select(col("doc_id"), col("dl")).distinct()
-            .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl")))
+      // r17: the full-index checkpoint existed only so the corpus stats
+      // (n_docs, Σdl) and the candidate postings could share one
+      // materialization — but the stats are a plain aggregate over the
+      // DOCUMENTS (dl = token count per doc; every doc has ≥1 split
+      // token, so `distinct (doc_id, dl) over the index` ≡ one row per
+      // document), and the candidate postings shrink to the query terms
+      // when the isin filter is pushed BELOW the posting aggregate.
+      // Neither needs the whole-corpus collect_list build materialized.
+      // Values unchanged — the oracle hash re-proves it.
+      val stats = docs
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tot_dl"))
+      InvertedIndex.bm25(
+          InvertedIndex.build(docs).filter(col("term").isin(terms: _*)),
+          stats)
         .select(col("doc_id"), col("n_terms"), col("bm25"))
         .orderBy("doc_id")
     }),

@@ -301,6 +301,53 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(row.getAs[Long]("twin_pairs") == nImages, s"twin pairing: $row")
   }
 
+  test("s_mm_image_dedup value-level counting ≡ the identity-level pigeonhole join (r17)") {
+    // the r17 optimization replaced the per-image pigeonhole pair join
+    // (2.3M candidate rows at sf0.1 — smooth sinusoids cluster onto
+    // ~1k distinct dHashes) with counts over (fp, multiplicity) groups;
+    // this pins the rewritten aggregate to the original formulation,
+    // column for column, on real corpus data
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    val got = graft.queries.OperatorQueries
+      .queries("s_mm_image_dedup")(spark, sfDir).collect()(0)
+    val hashes = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = 18; val h = 16
+        val base = Multimodal.synthSmoothGray(id, w, h)
+        val shifted = base.map { p =>
+          val v = ((p >> 16) & 0xff) + 3; (v << 16) | (v << 8) | v
+        }
+        Seq(
+          (2L * id, Multimodal.imageDHash(
+            Multimodal.encodeImage(w, h, base, "png")).get),
+          (2L * id + 1L, Multimodal.imageDHash(
+            Multimodal.encodeImage(w, h, shifted, "png")).get))
+      }.toDF("img_id", "fp").localCheckpoint()
+    val pairs = graft.operators.SimHashDedup.pairsFromFingerprints(
+      hashes, "img_id", "fp", maxHamming = 3)
+    val nImg = hashes.agg((count(lit(1)) / 2).cast("long").as("n_images"))
+    val isTwin = col("b_id") - col("a_id") === 1L && col("a_id") % 2 === 0
+    val want = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(isTwin && col("hamming") === 0, 1).otherwise(0))
+          .cast("long").as("twin_pairs"),
+        sum(when(!isTwin, 1).otherwise(0)).cast("long").as("cross_pairs"))
+      .crossJoin(broadcast(nImg))
+      .select(col("n_images"), col("n_pairs"), col("twin_pairs"),
+        col("cross_pairs"),
+        (col("n_images") - col("twin_pairs")).as("missed_twins"))
+      .collect()(0)
+    Seq("n_images", "n_pairs", "twin_pairs", "cross_pairs", "missed_twins")
+      .foreach { c =>
+        assert(got.getAs[Long](c) == want.getAs[Long](c),
+          s"$c: value-level ${got.getAs[Long](c)} != identity-level " +
+            s"${want.getAs[Long](c)}")
+      }
+  }
+
   // ---- audio: AIFF/AU containers + µ-law codec via javax.sound ----
 
   private def toneWav(freq: Double = 440, sr: Int = 8000, n: Int = 1600) =
