@@ -226,6 +226,14 @@ object PageRank {
     require(nVal == 0 || dampDen <= Long.MaxValue / nVal,
       s"dampDen * n would overflow: dampDen=$dampDen n=$nVal")
     val teleport = s"((${dampDen - dampNum} * ${scale}L) div ($dampDen * n))"
+    // r17 measured NEGATIVE (do not redo): dropping the shuffle_hash
+    // hints so AQE broadcasts the checkpointed ranks (legal since the
+    // r10 stats-through-checkpoint discovery) produced MORE jobs
+    // (73 vs 61 — one broadcast-exchange materialization per join per
+    // round) and no wall-clock win (interleaved A/B at sf0.1:
+    // 4.9/4.3/3.7 s hint-free vs 9.5/3.6/3.5 s hinted — a wash inside
+    // host noise). The hinted SHJ stays: same values either way
+    // (exact integer ranks), fewer scheduler round-trips.
     val staticIds = sc.getPersistentRDDs.keySet
     var ranks = nodes.crossJoin(nDf)
       .select(col("id"), expr(s"${scale}L div n").as("rank")).localCheckpoint()

@@ -11,15 +11,15 @@ import org.apache.spark.sql.functions._
   * with a FIXED epoch count and deterministic arithmetic.
   *
   * Scale shape (100 TB):
-  *  - The feature table (doc_id, bucket, x) is built ONCE, repartitioned
-  *    by doc_id and localCheckpoint'ed (the round-5 iterative-op
-  *    discipline: checkpoint static state before the loop).
-  *  - Per epoch: margins reduce per doc WITHOUT an exchange (the groupBy
-  *    rides the checkpointed doc_id partitioning), the per-doc error joins
-  *    features co-partitioned on doc_id (again no exchange), and the
-  *    gradient groupBy(bucket) partial-aggregates map-side, so its
-  *    exchange carries ≤ partitions × dim rows — dim-bounded, never
-  *    corpus-bounded. The driver collects dim+1 longs per epoch.
+  *  - The training set is built ONCE as doc-grouped rows
+  *    (y, buckets[], xs[]) — one shuffle total — and cached (the
+  *    round-5 iterative-op discipline: materialize static state before
+  *    the loop). r17: the previous per-epoch relational plan (margin
+  *    groupBy → label join → gradient union aggregate) believed itself
+  *    co-partitioned, but localCheckpoint forgets hash partitioning, so
+  *    every epoch really paid 3 exchanges; the whole chain is a
+  *    doc-local fold, so each epoch is now ONE treeAggregate job with
+  *    zero shuffles shipping dim+1 longs to the driver.
   *  - Scoring is one map-only pass against broadcast weights.
   *
   * Determinism: double summation is partition-order sensitive, so every
@@ -100,65 +100,87 @@ object QualityModel {
     val (d, l) =
       if (sampleFraction >= 1.0) (docs, labeled)
       else (docs.filter(keep), labeled.filter(keep))
-    // static state, checkpointed once: features co-partitioned with labels
-    // on doc_id so the per-epoch join and per-doc reduce are exchange-free.
-    // The width is PINNED to the session's core count (r17): an unpinned
-    // repartition(col) is AQE-coalesced to ONE partition at test scale
-    // (KB-sized exchanges), which made all `epochs` sequential gradient
-    // jobs single-threaded; fixed-point gradient sums are order-free, so
-    // the pinned width changes nothing but wall-clock. At 100 TB the
-    // feature table dwarfs any core count and the cap is the caller's
-    // cluster parallelism exactly as before.
-    val width = spark.sparkContext.defaultParallelism
-    val feat = features(d, dim)
-      .repartition(width, col("doc_id")).localCheckpoint()
-    val lab = l.select(col("doc_id"), col("label").cast("double").as("y"))
-      .repartition(width, col("doc_id")).localCheckpoint()
+    // static state, built ONCE as DOC-GROUPED rows (y, buckets[], xs[])
+    // and cached as a primitive-array RDD (r17): the old per-epoch plan
+    // (per-doc margin groupBy → label join → gradient union aggregate)
+    // re-exchanged the checkpointed tables every epoch — localCheckpoint
+    // FORGETS hash partitioning, so the "co-partitioned, exchange-free"
+    // epoch was really 3 exchanges + a 2·width-task aggregate per epoch,
+    // and the whole margin/err/gradient chain is one doc-local fold
+    // anyway. Grouping once turns each epoch into a single
+    // treeAggregate job over cached arrays: zero shuffles, dim+1 longs
+    // to the driver — the CrossModal.fitRidge shape. The weight
+    // TRAJECTORY is bit-identical: per-doc margin is the same
+    // Σ_j floor(x_j·w_j·2^24) (long sum, any feature order), err the
+    // same σ-expression, gradient cells the same Σ_docs floor(e·x·2^24)
+    // — all fixed-point, partition- and order-free (QualityModelSpec's
+    // determinism and accuracy pins re-prove it).
+    val grouped = l.select(col("doc_id"), col("label").cast("double").as("y"))
+      .join(features(d, dim)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("bucket"), col("x"))).as("fs")),
+        Seq("doc_id"), "left")
+      .select(col("y"), col("fs"))
+    val rdd = grouped.rdd.map { r =>
+      val y = r.getDouble(0)
+      val fs = if (r.isNullAt(1)) Seq.empty[org.apache.spark.sql.Row]
+        else r.getSeq[org.apache.spark.sql.Row](1)
+      val bs = new Array[Int](fs.length)
+      val xs = new Array[Double](fs.length)
+      var i = 0
+      fs.foreach { f => bs(i) = f.getInt(0); xs(i) = f.getDouble(1); i += 1 }
+      (y, bs, xs)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one job materializes the cache AND the class priors
+    val (nDocsL, nPosL) = rdd.treeAggregate((0L, 0L))(
+      (acc, r) => (acc._1 + 1L, acc._2 + (if (r._1 == 1.0) 1L else 0L)),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    val nDocs = nDocsL.toDouble
+    val nPos = nPosL.toDouble
+    require(nPos > 0 && nPos < nDocs, "need both classes present to train")
     // class-balanced loss: weight each class's errors by 1/(2·prior) so a
     // feature present in BOTH classes at the class base rates contributes
     // zero gradient — without this, imbalance plus a mostly-shared
     // vocabulary buries the few discriminative features under a uniform
     // negative shift (measured: the unbalanced model never beat the
     // majority class on the langid fixture)
-    val nDocs = lab.count().toDouble
-    val nPos = lab.filter(col("y") === 1.0).count().toDouble
-    require(nPos > 0 && nPos < nDocs, "need both classes present to train")
     val wPos = nDocs / (2.0 * nPos)
     val wNeg = nDocs / (2.0 * (nDocs - nPos))
     val w = Array.fill(dim + 1)(0.0)
     try {
       for (_ <- 1 to epochs) {
-        // margin_fx(doc) = Σ_j floor(x_j · w_j · 2^24)  (+ bias below):
-        // fixed-point BEFORE the sum so the reduce is order-independent
-        val wArr = array((0 until dim).map(j => lit(w(j))): _*)
-        val margins = feat
-          .select(col("doc_id"),
-            floor(col("x") * element_at(wArr, col("bucket") + 1) * FX)
-              .cast("long").as("mfx"))
-          .groupBy("doc_id").agg(sum("mfx").as("mfx"))
-        // err = σ(margin) − y, exact given the integer margin
-        val err = lab.join(margins, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            ((lit(1.0) / (lit(1.0) +
-              exp(-(coalesce(col("mfx"), lit(0L)) / FX + lit(w(dim)))))
-              - col("y")) *
-              when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))).as("e"))
-        // gradient: Σ_docs floor(err · x_j · 2^24) per bucket + bias row
-        val gfx = feat.join(err, "doc_id")
-          .select(col("bucket"), floor(col("e") * col("x") * FX).cast("long").as("gfx"))
-          .union(err.select(lit(dim).as("bucket"),
-            floor(col("e") * FX).cast("long").as("gfx")))
-          .groupBy("bucket").agg(sum("gfx").as("gfx"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val wB = w.clone()
+        val gfx = rdd.treeAggregate(new Array[Long](dim + 1))(
+          (acc, r) => {
+            val (y, bs, xs) = r
+            // margin_fx(doc) = Σ_j floor(x_j · w_j · 2^24) (+ bias):
+            // fixed-point BEFORE the sum so the reduce is order-free
+            var mfx = 0L
+            var j = 0
+            while (j < bs.length) {
+              mfx += math.floor(xs(j) * wB(bs(j)) * FX).toLong
+              j += 1
+            }
+            val e = (1.0 / (1.0 + math.exp(-(mfx / FX + wB(dim)))) - y) *
+              (if (y == 1.0) wPos else wNeg)
+            j = 0
+            while (j < bs.length) {
+              acc(bs(j)) += math.floor(e * xs(j) * FX).toLong
+              j += 1
+            }
+            acc(dim) += math.floor(e * FX).toLong
+            acc
+          },
+          (a, b) => { var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a })
         for (j <- 0 to dim) {
-          val g = gfx.getOrElse(j, 0L) / FX / nDocs + l2 * w(j)
+          val g = gfx(j) / FX / nDocs + l2 * w(j)
           w(j) -= lr * g
         }
       }
       w
     } finally {
-      // free the checkpoint blocks (iterative-op hygiene)
-      feat.unpersist(); lab.unpersist()
+      // free the cached training set (iterative-op hygiene)
+      rdd.unpersist(blocking = false); ()
     }
   }
 

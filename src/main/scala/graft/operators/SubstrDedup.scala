@@ -58,10 +58,23 @@ object SubstrDedup {
     */
   val MaxDocTokens: Long = 1L << 20
 
+  /** Compute-stage width (r17, the NgramJaccard doctrine): the window
+    * transform is an interpreted HOF lambda and the gram aggregate
+    * shuffles minLen-token strings — at test scale both ran as single
+    * tasks (one-file scan, AQE size-coalesce). Scale-adaptive:
+    * max(cores, inputBytes/64MB).
+    */
+  private def widthOf(docs: DataFrame): Int = {
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      (bytes / (64L * 1024L * 1024L)).toLong).min(Int.MaxValue.toLong).toInt
+  }
+
   private def windows(docs: DataFrame, minLen: Int,
                       idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         split(col(textCol), " ").as("toks"))
+      .repartition(widthOf(docs))
       // as a FILTER (always-true: assert_true yields NULL or throws) so
       // column pruning cannot optimize the guard away. Both encoding
       // factors are guarded: pos < 2^20 AND 0 <= doc_id < MaxValue/2^20
@@ -99,12 +112,21 @@ object SubstrDedup {
   private def duplicatePositions(docs: DataFrame, minLen: Int,
                                  idCol: String, textCol: String,
                                  hashPrefilter: Boolean): DataFrame = {
+    val width = widthOf(docs)
     val w0 = windows(docs, minLen, idCol, textCol)
-    val w = if (!hashPrefilter) w0 else {
+    val wPre = if (!hashPrefilter) w0 else {
       val wh = w0.withColumn("h", xxhash64(col("gram")))
+        // one pinned h-exchange serves the hot aggregate AND the
+        // semi-join probe side (ReusedExchange)
+        .repartition(width, col("h"))
       val hot = wh.groupBy("h").agg(count(lit(1)).as("hc")).filter(col("hc") > 1)
       wh.join(hot.select("h"), Seq("h"), "left_semi").drop("h")
     }
+    // one pinned gram-exchange below BOTH the first-occurrence aggregate
+    // and the join-back probe side (the join was already co-partitioned
+    // with the aggregate's shuffle; the pin only stops AQE folding the
+    // KB-sized exchange to one task while the stage does real work)
+    val w = wPre.repartition(width, col("gram"))
     val enc = col("doc_id") * MaxDocTokens + col("pos")
     val grams = w.groupBy("gram")
       .agg(count(lit(1)).as("c"), min(enc).as("first_enc"))

@@ -445,7 +445,35 @@ object AnalyticsQueries extends QueryPack {
     // outer MIN collapses walks to shortest distances.
     "q_recursive_reach" -> ((s, dir) => {
       views(s, dir)
-      s.sql(RecursiveReachSql)
+      // r17: Spark's UnionLoop re-inlines every non-recursive CTE per
+      // iteration (the r6 lesson) — event-log measured 47 jobs for 5
+      // hops over a 25-row chain, ~8 per hop re-running the ranked
+      // window + the adjacency self-join. The STATIC edge table is
+      // materialized once as a checkpointed temp view; the recursion
+      // and final select are the same text, and the DuckDB oracle
+      // still runs the original single-text form (its CTEs evaluate
+      // once anyway), so the hash gate re-proves equivalence each run.
+      s.sql(
+        """WITH ranked AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_regionkey,
+          |         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rnk
+          |  FROM nation)
+          |SELECT a.k AS src, b.k AS dst
+          |FROM ranked a JOIN ranked b
+          |  ON a.n_regionkey = b.n_regionkey AND abs(a.rnk - b.rnk) = 1""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("reach_edges_mat")
+      s.sql(
+        """WITH RECURSIVE reach(nationkey, hops) AS (
+          |  SELECT CAST(0 AS BIGINT) AS nationkey, CAST(0 AS BIGINT) AS hops
+          |  UNION ALL
+          |  SELECT e.dst, r.hops + 1
+          |  FROM reach r JOIN reach_edges_mat e ON e.src = r.nationkey
+          |  WHERE r.hops < 4)
+          |SELECT n.n_name, CAST(MIN(r.hops) AS BIGINT) AS hops
+          |FROM reach r JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = r.nationkey
+          |GROUP BY n.n_name
+          |ORDER BY hops, n_name""".stripMargin)
     }),
 
     // SCD2 dimension maintenance (Kimball type-2): customers whose

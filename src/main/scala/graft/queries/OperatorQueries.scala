@@ -559,8 +559,12 @@ object OperatorQueries extends QueryPack {
       //               the old isTwin ∧ hamming=0 count, via one
       //               groupBy(img_id div 2) instead of a pair scan
       //   cross_pairs = n_pairs − (twin ids within ham≤3)
+      // no checkpoint on groups: its two consumers (chunk join + the
+      // same-value aggregate) sit in ONE final plan, so the identical
+      // groupBy(fp) exchanges dedupe via ReusedExchange — a checkpoint
+      // here measured as a pure-overhead 32-task stage (r17)
       val groups = hashes.groupBy("fp")
-        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        .agg(count(lit(1)).as("cnt"))
       val chunked = groups.select(col("fp"), col("cnt"),
         explode(expr("transform(sequence(0, 3), c -> named_struct(" +
           "'chunk', c, 'val', (fp >> (c * 16)) & 65535))")).as("cc"))
@@ -1669,20 +1673,40 @@ object OperatorQueries extends QueryPack {
       // (rank = 1 + strictly-better count over the SAME materialized
       // values — identical to row_number under the total
       // (bm25 desc, doc_id) order).
-      val kwTop = InvertedIndex.searchBm25TopK(s, idx, qt, k = 21)
-        .filter(col("doc_id") =!= 0)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-        .select("doc_id", "bm25").localCheckpoint()
-      val kw20 = kwTop.alias("a")
-        .join(broadcast(kwTop.alias("b")),
-          col("b.bm25") > col("a.bm25") ||
-            (col("b.bm25") === col("a.bm25") &&
-              col("b.doc_id") < col("a.doc_id")), "left")
-        .groupBy(col("a.doc_id").as("doc_id"))
-        .agg((count(col("b.doc_id")) + 1).cast("long").as("kw_rank"))
-      val vec20 = AnnIndexStore.searchTopK(s, ann,
-          emb.filter(col("vec_id") === 0), k = 20, nprobe = 24)
-        .select(col("neighbor_id").as("doc_id"), col("rn").as("vec_rank"))
+      // r17: the keyword and vector branches are independent until the
+      // final fusion join, but each is a chain of small driver-planned
+      // actions (MaxScore θ probe, checkpoint, centroid ranking collect)
+      // — ~40 AQE jobs end to end whose cost is scheduling latency, not
+      // data. Overlap the two builds on driver threads (guide §2.6;
+      // the streamFixtures precedent): each branch's jobs back-fill the
+      // other's idle executors. Results are unchanged — both branches
+      // end materialized (checkpoint / collected plan) before fusion.
+      var kw20Opt: Option[org.apache.spark.sql.DataFrame] = None
+      var vec20Opt: Option[org.apache.spark.sql.DataFrame] = None
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val branches = Seq(
+        new Thread(() => try {
+          val kwTop = InvertedIndex.searchBm25TopK(s, idx, qt, k = 21)
+            .filter(col("doc_id") =!= 0)
+            .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+            .select("doc_id", "bm25").localCheckpoint()
+          kw20Opt = Some(kwTop.alias("a")
+            .join(broadcast(kwTop.alias("b")),
+              col("b.bm25") > col("a.bm25") ||
+                (col("b.bm25") === col("a.bm25") &&
+                  col("b.doc_id") < col("a.doc_id")), "left")
+            .groupBy(col("a.doc_id").as("doc_id"))
+            .agg((count(col("b.doc_id")) + 1).cast("long").as("kw_rank")))
+        } catch { case t: Throwable => failures.add(t); () }),
+        new Thread(() => try {
+          vec20Opt = Some(AnnIndexStore.searchTopK(s, ann,
+              emb.filter(col("vec_id") === 0), k = 20, nprobe = 24)
+            .select(col("neighbor_id").as("doc_id"), col("rn").as("vec_rank")))
+        } catch { case t: Throwable => failures.add(t); () }))
+      branches.foreach(_.start()); branches.foreach(_.join())
+      if (!failures.isEmpty) throw failures.peek()
+      val kw20 = kw20Opt.get
+      val vec20 = vec20Opt.get
       kw20.join(vec20, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),

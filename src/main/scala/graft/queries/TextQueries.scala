@@ -49,6 +49,11 @@ object TextQueries extends QueryPack {
     // (hub-outranks-leaf, mass conservation).
     "s_text_keywords" -> ((s, dir) => {
       val docs = Tables.t(s, dir, "documents")
+      // r17: checkpoint the pair set — it feeds FOUR separate actions
+      // (the vocab count job, the vocab rank job, and the named-edge
+      // build inside the PageRank action; rankBy's RDD jobs cannot
+      // share plan-level exchange reuse), so the bigram extraction +
+      // distinct re-ran per consumer
       val pairs = docs.select(split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr(
@@ -57,16 +62,21 @@ object TextQueries extends QueryPack {
         .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .filter(col("t1") =!= col("t2"))
         .distinct()
+        .localCheckpoint()
       // vocab ids by GLOBAL term rank — the distributed zipWithIndex
       // rank (r13: a web corpus has 10⁸–10⁹ types; the former
       // row_number window put them all through one reducer). Identical
       // ids to the oracle's row_number OVER (ORDER BY term): same total
       // order, same 1-based numbering — the hash grade holds.
+      // vocab is broadcast from three plan branches (both edge-naming
+      // joins + the final rank join) — checkpoint so the range-sorted
+      // zipWithIndex rank computes once, not once per broadcast (r17)
       val vocab = graft.operators.ScalableNtile.rankBy(
           pairs.select(col("t1").as("term"))
             .union(pairs.select(col("t2").as("term"))).distinct(),
           Seq(col("term")))
         .withColumnRenamed("rank", "id")
+        .localCheckpoint()
       val named = pairs
         .join(broadcast(vocab.withColumnRenamed("term", "t1")
           .withColumnRenamed("id", "src")), Seq("t1"))
